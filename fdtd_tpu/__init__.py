@@ -1,0 +1,38 @@
+"""fdtd_tpu — a TPU-native Yee-FDTD electromagnetic simulation framework.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of the reference
+microwave-oven FDTD solver (Ethalides33/FDTD-Maxwell-microwave-oven):
+leapfrog curl updates as fused device kernels, PEC cavity walls by
+construction, TE10 waveguide-port source, TE101 analytical validation
+oracle, energy/SAR diagnostics, VTK/NPZ snapshot streaming, and spatial
+domain decomposition over a ``jax.sharding.Mesh`` with one-cell halo
+exchange — the TPU analogue of the reference's MPI slab decomposition.
+"""
+
+from .params import Mode, Params, SourceConfig, load_parameters, parse_params_text, time_values, num_steps
+from .state import FieldState, Materials, zeros, init_validation, update_coefs, water_block
+from .step import make_step, make_chunk_runner
+from . import analytic, diagnostics, grid
+
+__all__ = [
+    "Mode",
+    "Params",
+    "SourceConfig",
+    "load_parameters",
+    "parse_params_text",
+    "time_values",
+    "num_steps",
+    "FieldState",
+    "Materials",
+    "zeros",
+    "init_validation",
+    "update_coefs",
+    "water_block",
+    "make_step",
+    "make_chunk_runner",
+    "analytic",
+    "diagnostics",
+    "grid",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,128 @@
+"""The jitted leapfrog step and scan driver.
+
+One step replicates the reference loop body order exactly (reference:
+main.c:765-779): [source] -> update_H -> [source] -> update_E.  The source is
+applied twice per step in computation mode — an observable quirk of the
+reference that is part of field-evolution parity (SURVEY section 2.4 item 4).
+
+The whole step is traced once under ``jax.jit``; multi-step runs use
+``lax.scan`` over the per-step time values (precomputed host-side with the
+reference's exact fp64 accumulation, see :func:`fdtd_tpu.params.time_values`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from .params import Mode, Params
+from .source import SourcePlan, apply_source, make_source_plan
+from .state import FieldState, Materials, UpdateCoefs, update_coefs
+from .ops import curl
+from . import diagnostics
+
+
+def make_step(
+    p: Params,
+    materials: Materials | None = None,
+    backend: str = "xla",
+    coefs: UpdateCoefs | None = None,
+) -> Callable[[FieldState, jax.Array], FieldState]:
+    """Build the single-step function ``step(state, t) -> state``.
+
+    ``backend``: "xla" (pure-jnp slice ops) or "pallas" (fused TPU kernel,
+    vacuum path — see :mod:`fdtd_tpu.ops.pallas_step`).
+    """
+    if coefs is None:
+        coefs = update_coefs(p, materials)
+    plan: SourcePlan | None = (
+        make_source_plan(p) if p.mode == Mode.COMPUTATION else None
+    )
+    del materials  # folded into coefs
+
+    if backend == "pallas":
+        from .ops import pallas_step as ps
+
+        update_h, update_e = ps.make_updates(p, coefs)
+    elif backend == "xla":
+        update_h = lambda s: curl.update_h(p, s, coefs)
+        update_e = lambda s: curl.update_e(p, s, coefs)
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    def step(s: FieldState, x) -> FieldState:
+        """One leapfrog step; ``x`` = (t, drive_amp) per :func:`scan_inputs`."""
+        _t, amp = x
+        if plan is not None:
+            s = apply_source(plan, s, amp)
+        s = update_h(s)
+        if plan is not None:
+            s = apply_source(plan, s, amp)
+        s = update_e(s)
+        return s
+
+    return step
+
+
+def scan_inputs(p: Params, times):
+    """Per-step scan inputs: (t, drive_amp) arrays for ``lax.scan``.
+
+    Drive amplitudes are precomputed host-side in libm fp64 (see
+    :func:`fdtd_tpu.source.drive_values`).
+    """
+    import numpy as np
+
+    times = np.asarray(times, dtype=np.float64)
+    if p.mode == Mode.COMPUTATION:
+        from .source import drive_values, make_source_plan as _msp
+
+        amps = drive_values(_msp(p), times)
+    else:
+        amps = np.zeros_like(times)
+    return times, amps
+
+
+@dataclasses.dataclass(frozen=True)
+class RunOutputs:
+    state: FieldState
+    power_j: jax.Array | None  # accumulated sigma*|E|^2*dt per cell (J/m^3)
+
+
+def make_chunk_runner(
+    p: Params,
+    materials: Materials | None = None,
+    backend: str = "xla",
+    accumulate_power: bool = False,
+):
+    """Jitted ``run(state, times, power_acc) -> (state, power_acc)``.
+
+    Scans the step over a chunk of time values (typically ``sampling_rate``
+    steps between snapshots).  Optionally accumulates dissipated energy
+    density for SAR/heating maps (lossy materials only).
+    """
+    coefs = update_coefs(p, materials)
+    step = make_step(p, materials, backend, coefs=coefs)
+    sigma = coefs.sigma_cells
+    dt_step = p.time_step
+
+    @jax.jit
+    def run(s: FieldState, xs, power_acc=None):
+        def body(carry, x):
+            s, acc = carry
+            s = step(s, x)
+            if accumulate_power:
+                acc = acc + diagnostics.power_deposition(p, s, sigma) * dt_step
+            return (s, acc), None
+
+        (s, acc), _ = jax.lax.scan(body, (s, power_acc), xs)
+        return s, acc
+
+    return run
+
+
+def zero_power_acc(p: Params):
+    return jnp.zeros((p.maxk, p.maxj, p.maxi), dtype=jnp.float32)
