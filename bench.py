@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Headline benchmark: Yee cell-updates/s on a 256^3 oven, 1k steps.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Baseline: the reference's single-core 74 Mcells/s (BASELINE.md: 250^3 x 1000
+steps in 211 s on an EPYC 7542 core, no I/O).  North star: >=1e9 cells/s/chip.
+
+Config mirrors BASELINE config #3's compute core: 256^3 grid, computation
+mode (source on), fp32 fields, no output in the timed region.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import numpy as np
+
+from fdtd_tpu.params import Mode, Params, SourceConfig
+from fdtd_tpu.state import zeros
+from fdtd_tpu.step import make_chunk_runner, scan_inputs
+
+BASELINE_MCELLS = 74.0
+
+
+def bench(n=256, steps=1000, dtype="float32", backend=None, warmup_steps=50):
+    if backend is None:
+        backend = os.environ.get("FDTD_BENCH_BACKEND", "pallas")
+    dx = 0.001
+    p = Params(
+        length=n * dx,
+        width=n * dx,
+        height=n * dx,
+        spatial_step=dx,
+        time_step=1e-12,
+        simulation_time=steps * 1e-12,
+        sampling_rate=10**9,
+        mode=Mode.COMPUTATION,
+        dtype=dtype,
+        source=SourceConfig(),
+    )
+    assert p.maxi == n, p.maxi
+
+    try:
+        run = make_chunk_runner(p, backend=backend)
+    except Exception:
+        backend = "xla"
+        run = make_chunk_runner(p, backend=backend)
+
+    state = zeros(p)
+    ts = np.arange(steps, dtype=np.float64) * p.time_step
+    xs = scan_inputs(p, ts)
+    wxs = (xs[0][:warmup_steps], xs[1][:warmup_steps])
+
+    # compile + warmup (chunk shapes: warmup and full)
+    state, _ = run(state, wxs, None)
+    jax.block_until_ready(state.ex)
+
+    state = zeros(p)
+    t0 = time.perf_counter()
+    state, _ = run(state, xs, None)
+    jax.block_until_ready(state.ex)
+    wall = time.perf_counter() - t0
+
+    cells = n**3 * steps
+    mcells = cells / wall / 1e6
+    return {
+        "metric": f"yee_mcells_per_s_{n}cubed_{backend}",
+        "value": round(mcells, 1),
+        "unit": "Mcells/s",
+        "vs_baseline": round(mcells / BASELINE_MCELLS, 2),
+        "wall_s_per_1k_steps": round(wall * 1000 / steps, 3),
+        "dtype": dtype,
+        "device": str(jax.devices()[0]).replace(" ", "_"),
+    }
+
+
+if __name__ == "__main__":
+    n = int(os.environ.get("FDTD_BENCH_N", "256"))
+    steps = int(os.environ.get("FDTD_BENCH_STEPS", "1000"))
+    dtype = os.environ.get("FDTD_BENCH_DTYPE", "float32")
+    result = bench(n=n, steps=steps, dtype=dtype)
+    print(json.dumps(result))

@@ -1,0 +1,88 @@
+"""Command-line driver — drop-in UX for the reference binary.
+
+``python -m fdtd_tpu params.txt`` mirrors ``./microwave params.txt``
+(reference: main.c:807-853), including the banner prints and the
+single-positional-argument contract, while adding opt-in flags for the
+capabilities the reference lacks (materials, precision, backend, resume,
+SAR accumulation, no-output benchmarking).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from .params import Mode, load_parameters
+from .runner import run_simulation
+from .state import water_block
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="fdtd_tpu",
+        description="TPU-native FDTD microwave-oven simulator (params.txt compatible)",
+    )
+    ap.add_argument("params", help="parameters file (.txt), 8 ordered scalars")
+    ap.add_argument("--out", default="r", help="output directory (default: r, like the reference)")
+    ap.add_argument("--dtype", default="float32", choices=["float32", "float64", "bfloat16"])
+    ap.add_argument("--backend", default="xla", choices=["xla", "pallas"])
+    ap.add_argument("--no-output", action="store_true", help="skip snapshots (benchmark mode)")
+    ap.add_argument("--water-block", action="store_true", help="place a water load in the cavity")
+    ap.add_argument("--sar", action="store_true", help="accumulate power deposition (J/m^3)")
+    ap.add_argument("--checkpoint-every", type=int, default=0, metavar="N", help="checkpoint every N steps")
+    ap.add_argument("--resume", action="store_true", help="resume from latest checkpoint in --out")
+    ap.add_argument("--diag-log", default=None, help="JSONL per-sample energy log path")
+    ap.add_argument("--physics-correct", action="store_true",
+                    help="disable reference-quirk compatibility in exported validation vars")
+    return ap
+
+
+def main(argv=None) -> int:
+    print("Welcome into our microwave oven eletrico-magnetic field simulator! \n", end="")
+    args = build_arg_parser().parse_args(argv)
+
+    print("Loading the parameters...")
+    p = load_parameters(args.params, dtype=args.dtype)
+    try:
+        p.validate()
+    except ValueError as e:
+        print(str(e), file=sys.stderr)
+        return 1
+    if not p.is_cfl_stable():
+        print(
+            f"WARNING: time_step {p.time_step:g} exceeds the CFL bound "
+            f"{p.cfl_limit():g}; the run will be unstable",
+            file=sys.stderr,
+        )
+
+    materials = water_block(p) if args.water_block else None
+
+    print("Initializing fields")
+    if p.mode == Mode.VALIDATION:
+        print("Validation mode activated. ")
+    print("Creating mesh")
+    print("Setting initial conditions")
+    print("Launching simulation")
+
+    result = run_simulation(
+        p,
+        out_dir=args.out,
+        materials=materials,
+        backend=args.backend,
+        write_snapshots=not args.no_output,
+        accumulate_power=args.sar,
+        checkpoint_every=args.checkpoint_every,
+        resume=args.resume,
+        quirk_compat=not args.physics_correct,
+        diagnostics_log=args.diag_log,
+    )
+    print(
+        f"{result.iterations} iterations in {result.wall_seconds:.3f}s "
+        f"({result.mcells_per_s:.1f} Mcells/s)"
+    )
+    print("Simulation complete!")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

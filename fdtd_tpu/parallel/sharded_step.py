@@ -1,0 +1,219 @@
+"""Explicit shard_map leapfrog step with ppermute halo exchange.
+
+The TPU-native re-design of the reference's MPI parallel branch
+(description.pdf section 2.2, Figs. 2-3): instead of 1-D Z slabs with
+MPI_Isend/Recv ghost planes, the grid shards over a 1/2/3-D device mesh and
+each step exchanges six one-cell planes per half-step as
+``lax.ppermute`` shifts over ICI — E planes travel toward -axis before the
+H update (H reads E at +1), H planes travel toward +axis before the E update
+(E reads H at -1), the exact communication pattern of the reference
+generalized to 3 axes.  There is no rank-0 output gather: each shard's data
+streams independently (see fdtd_tpu.io).
+
+PEC boundaries and staggered-extent bounds are enforced with global-index
+masks computed from ``lax.axis_index`` + iota — rank-local constants that
+XLA folds into the fused update.
+
+A GSPMD alternative (jit + sharding constraints on the single-device code,
+letting XLA insert the collectives) is in :mod:`fdtd_tpu.parallel.gspmd`;
+both produce identical fields, and the explicit version is the one with
+hand-controlled comm scheduling.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..constants import EPSILON, MU
+from ..params import Mode, Params
+from ..source import make_source_plan
+from ..state import FieldState
+from .mesh import AXES, field_sharding, padded_divisible_shape
+
+
+def _source_pattern(p: Params, shape_ji: tuple[int, int], dtype) -> tuple[np.ndarray, np.ndarray]:
+    """Global (Jp, Ip) profile and mask arrays for the z=0 source patch."""
+    Jp, Ip = shape_ji
+    prof = np.zeros((Jp, Ip), dtype=np.float64)
+    mask = np.zeros((Jp, Ip), dtype=bool)
+    if p.mode == Mode.COMPUTATION:
+        plan = make_source_plan(p)
+        prof[plan.j0 : plan.j1, plan.i0 : plan.i1] = np.asarray(plan.profile)[None, :]
+        mask[plan.j0 : plan.j1, plan.i0 : plan.i1] = True
+    return prof.astype(dtype), mask
+
+
+def make_sharded_step(p: Params, mesh: Mesh):
+    """Build (sharded_step, aux_arrays) for vacuum runs.
+
+    ``sharded_step(amp, state) -> state`` operates on fields of the
+    mesh-divisible global shape (see ``pad_state_for_mesh``).
+    """
+    if p.mode == Mode.COMPUTATION:
+        plan = make_source_plan(p)
+        inv_z_te = plan.inv_z_te
+    else:
+        inv_z_te = 0.0
+
+    K, J, I = p.maxk, p.maxj, p.maxi
+    Kp, Jp, Ip = padded_divisible_shape(p, mesh)
+    nz, ny, nx = (mesh.shape[a] for a in AXES)
+    Lk, Lj, Li = Kp // nz, Jp // ny, Ip // nx
+    dtype = jnp.dtype(p.dtype)
+    f_h = dtype.type(p.time_step / (MU * p.spatial_step))
+    f_e = dtype.type(p.time_step / (EPSILON * p.spatial_step))
+    computation = p.mode == Mode.COMPUTATION
+
+    prof_np, mask_np = _source_pattern(p, (Jp, Ip), dtype)
+    src_sh = NamedSharding(mesh, P("y", "x"))
+    prof = jax.device_put(jnp.asarray(prof_np), src_sh)
+    msrc = jax.device_put(jnp.asarray(mask_np), src_sh)
+
+    nsh = {0: nz, 1: ny, 2: nx}
+    lsz = {0: Lk, 1: Lj, 2: Li}
+
+    def shift_up(x, dim):
+        """xp[l] = x[global l+1]; zero beyond the global top (masked there)."""
+        n = nsh[dim]
+        rest = lax.slice_in_dim(x, 1, None, axis=dim)
+        first = lax.slice_in_dim(x, 0, 1, axis=dim)
+        if n > 1:
+            recv = lax.ppermute(first, AXES[dim], [(r, r - 1) for r in range(1, n)])
+        else:
+            recv = jnp.zeros_like(first)
+        return jnp.concatenate([rest, recv], axis=dim)
+
+    def shift_down(x, dim):
+        """xm[l] = x[global l-1]; zero below 0 (masked there)."""
+        n = nsh[dim]
+        rest = lax.slice_in_dim(x, 0, -1, axis=dim)
+        last = lax.slice_in_dim(x, -1, None, axis=dim)
+        if n > 1:
+            recv = lax.ppermute(last, AXES[dim], [(r, r + 1) for r in range(n - 1)])
+        else:
+            recv = jnp.zeros_like(last)
+        return jnp.concatenate([recv, rest], axis=dim)
+
+    def gindex(local_shape, dim):
+        r = lax.axis_index(AXES[dim])
+        io = lax.broadcasted_iota(jnp.int32, local_shape, dim)
+        return io + r * lsz[dim]
+
+    def local_step(amp, ex, ey, ez, hx, hy, hz, prof_l, msrc_l):
+        shp = ex.shape
+        gz = gindex(shp, 0)
+        gy = gindex(shp, 1)
+        gx = gindex(shp, 2)
+
+        def inject(ex, ez, hx, hz):
+            m = (gz == 0) & msrc_l[None, :, :]
+            drive = (amp * prof_l[None, :, :]).astype(dtype)
+            ez = jnp.where(m, drive, ez)
+            ex = jnp.where(m, dtype.type(0), ex)
+            hz = jnp.where(m, dtype.type(0), hz)
+            hx = jnp.where(m, (-inv_z_te) * drive, hx)
+            return ex, ez, hx, hz
+
+        if computation:
+            ex, ez, hx, hz = inject(ex, ez, hx, hz)
+
+        # --- H half-step: needs E at +1 (planes from the next rank) ---
+        ey_pz = shift_up(ey, 0)
+        ey_px = shift_up(ey, 2)
+        ez_py = shift_up(ez, 1)
+        ez_px = shift_up(ez, 2)
+        ex_pz = shift_up(ex, 0)
+        ex_py = shift_up(ex, 1)
+
+        m_hx = (gz < K) & (gy < J) & (gx < I + 1)
+        m_hy = (gz < K) & (gy < J + 1) & (gx < I)
+        m_hz = (gz < K + 1) & (gy < J) & (gx < I)
+        hx = jnp.where(m_hx, hx + f_h * ((ey_pz - ey) - (ez_py - ez)), hx)
+        hy = jnp.where(m_hy, hy + f_h * ((ez_px - ez) - (ex_pz - ex)), hy)
+        hz = jnp.where(m_hz, hz + f_h * ((ex_py - ex) - (ey_px - ey)), hz)
+
+        if computation:
+            ex, ez, hx, hz = inject(ex, ez, hx, hz)
+
+        # --- E half-step: needs H at -1 (planes from the previous rank) ---
+        hz_my = shift_down(hz, 1)
+        hy_mz = shift_down(hy, 0)
+        hx_mz = shift_down(hx, 0)
+        hz_mx = shift_down(hz, 2)
+        hy_mx = shift_down(hy, 2)
+        hx_my = shift_down(hx, 1)
+
+        m_ex = (gz >= 1) & (gz < K) & (gy >= 1) & (gy < J) & (gx < I)
+        m_ey = (gz >= 1) & (gz < K) & (gy < J) & (gx >= 1) & (gx < I)
+        m_ez = (gz < K) & (gy >= 1) & (gy < J) & (gx >= 1) & (gx < I)
+        ex = jnp.where(m_ex, ex + f_e * ((hz - hz_my) - (hy - hy_mz)), ex)
+        ey = jnp.where(m_ey, ey + f_e * ((hx - hx_mz) - (hz - hz_mx)), ey)
+        ez = jnp.where(m_ez, ez + f_e * ((hy - hy_mx) - (hx - hx_my)), ez)
+
+        return ex, ey, ez, hx, hy, hz
+
+    fspec = P(*AXES)
+    smap = jax.shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), fspec, fspec, fspec, fspec, fspec, fspec, P("y", "x"), P("y", "x")),
+        out_specs=(fspec,) * 6,
+    )
+
+    def sharded_step(amp, s: FieldState) -> FieldState:
+        ex, ey, ez, hx, hy, hz = smap(amp, s.ex, s.ey, s.ez, s.hx, s.hy, s.hz, prof, msrc)
+        return FieldState(ex, ey, ez, hx, hy, hz)
+
+    return sharded_step
+
+
+def make_sharded_chunk_runner(p: Params, mesh: Mesh):
+    """Jitted ``run(state, amps) -> state`` scanning the sharded step."""
+    sharded_step = make_sharded_step(p, mesh)
+
+    @jax.jit
+    def run(s: FieldState, amps):
+        def body(s, amp):
+            return sharded_step(amp, s), None
+
+        s, _ = lax.scan(body, s, amps)
+        return s
+
+    return run
+
+
+def dryrun(n_devices: int) -> None:
+    """One full sharded step on tiny shapes over an n_devices mesh."""
+    from ..params import Params as _P, SourceConfig
+    from ..state import zeros
+    from .mesh import make_mesh, pad_state_for_mesh
+
+    mesh = make_mesh(n_devices)
+    n = 16
+    dx = 0.001
+    p = _P(
+        length=n * dx,
+        width=n * dx,
+        height=n * dx,
+        spatial_step=dx,
+        time_step=1e-12,
+        simulation_time=4e-12,
+        sampling_rate=10**9,
+        mode=Mode.COMPUTATION,
+        dtype="float32",
+    )
+    state = pad_state_for_mesh(p, zeros(p), mesh)
+    run = make_sharded_chunk_runner(p, mesh)
+    amps = jnp.asarray(np.array([0.0, 0.5, 1.0], dtype=np.float32))
+    out = run(state, amps)
+    jax.block_until_ready(out.ex)
+    # a cross-shard reduction exercises the collective path end-to-end
+    total = jax.jit(lambda s: sum(jnp.sum(jnp.square(a.astype(jnp.float32))) for a in (s.ex, s.ey, s.ez, s.hx, s.hy, s.hz)))(out)
+    assert bool(jnp.isfinite(total)), total

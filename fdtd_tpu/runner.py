@@ -1,0 +1,136 @@
+"""Simulation orchestration: snapshot cadence, diagnostics, checkpoints.
+
+Replicates the reference driver's observable behavior (reference:
+propagate_fields, main.c:755-799): an initial snapshot at iteration 1
+*before* the loop, then one snapshot after every step whose 1-based index is
+a multiple of ``sampling_rate`` — with params.txt's rate=2 that yields files
+0001, 0002, 0004, ... (SURVEY section 2.4 item 8).  Steps between snapshots
+run as one jitted ``lax.scan`` chunk; snapshot encoding is asynchronous
+(:mod:`fdtd_tpu.io.snapshots`).
+
+Extensions over the reference: JSONL energy/diagnostic logging, optional
+SAR/power-deposition accumulation, checkpoint/resume.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+from typing import Callable
+
+import jax
+import numpy as np
+
+from . import diagnostics
+from .io.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from .io.snapshots import SnapshotWriter, aggregate_all, validation_extras
+from .params import Mode, Params, time_values
+from .state import FieldState, Materials, init_validation, zeros
+from .step import make_chunk_runner, scan_inputs, zero_power_acc
+
+
+@dataclasses.dataclass
+class RunResult:
+    state: FieldState
+    iterations: int
+    wall_seconds: float
+    mcells_per_s: float
+    power_j: jax.Array | None = None
+
+
+def initial_state(p: Params) -> FieldState:
+    return init_validation(p) if p.mode == Mode.VALIDATION else zeros(p)
+
+
+def run_simulation(
+    p: Params,
+    out_dir: str = "r",
+    materials: Materials | None = None,
+    backend: str = "xla",
+    write_snapshots: bool = True,
+    accumulate_power: bool = False,
+    checkpoint_every: int = 0,
+    resume: bool = False,
+    quirk_compat: bool = True,
+    log: Callable[[str], None] = print,
+    diagnostics_log: str | None = None,
+) -> RunResult:
+    p.validate()
+    ts = time_values(p)
+    xs_t, xs_a = scan_inputs(p, ts)
+    run_chunk = make_chunk_runner(p, materials, backend, accumulate_power)
+
+    state = initial_state(p)
+    power = zero_power_acc(p) if accumulate_power else None
+    start_step = 0
+
+    if resume:
+        ck = latest_checkpoint(out_dir)
+        if ck:
+            state, it_done, _t = load_checkpoint(ck, p)
+            start_step = it_done
+            log(f"Resuming from {ck} (after step {it_done})")
+
+    if checkpoint_every:
+        os.makedirs(out_dir, exist_ok=True)
+    writer = SnapshotWriter(p, out_dir) if write_snapshots else None
+    diag_f = open(diagnostics_log, "a") if diagnostics_log else None
+
+    def snapshot(s: FieldState, iteration: int, t: float):
+        if writer is None:
+            return
+        variables = aggregate_all(p, s)
+        if p.mode == Mode.VALIDATION:
+            variables.update(validation_extras(p, s, t, quirk_compat=quirk_compat))
+        writer.submit(variables, iteration)
+
+    def log_diag(s: FieldState, iteration: int, t: float):
+        if diag_f is None:
+            return
+        e = float(diagnostics.e_energy(p, s))
+        h = float(diagnostics.h_energy(p, s))
+        diag_f.write(
+            json.dumps(
+                {"iteration": iteration, "t": t, "E_energy": e, "H_energy": h, "total": e + h}
+            )
+            + "\n"
+        )
+
+    n = len(ts)
+    rate = max(1, p.sampling_rate)
+
+    if start_step == 0:
+        # Initial snapshot at iteration 1 (reference: main.c:758-764).
+        snapshot(state, 1, 0.0)
+        log_diag(state, 0, 0.0)
+
+    t0 = time.perf_counter()
+    pos = start_step
+    while pos < n:
+        # next snapshot boundary: smallest multiple of rate > pos (1-based steps)
+        boundary = ((pos // rate) + 1) * rate
+        end = min(boundary, n)
+        chunk = (xs_t[pos:end], xs_a[pos:end])
+        state, power = run_chunk(state, chunk, power)
+        pos = end
+        t_now = float(ts[pos - 1])
+        if pos % rate == 0:
+            snapshot(state, pos, t_now)
+            log_diag(state, pos, t_now)
+        if checkpoint_every and pos % checkpoint_every == 0:
+            jax.block_until_ready(state.ex)
+            save_checkpoint(os.path.join(out_dir, f"ckpt{pos:06d}.npz"), state, pos, t_now)
+
+    jax.block_until_ready(state.ex)
+    wall = time.perf_counter() - t0
+
+    if writer is not None:
+        writer.close()
+    if diag_f is not None:
+        diag_f.close()
+
+    steps_done = n - start_step
+    mcells = p.cell_count * steps_done / wall / 1e6 if wall > 0 else float("inf")
+    return RunResult(state, n, wall, mcells, power)

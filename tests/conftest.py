@@ -18,6 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 
 jax.config.update("jax_enable_x64", True)
+# The axon TPU plugin ignores JAX_PLATFORMS=cpu; route computation to the
+# host CPU devices explicitly so tests are hermetic and fp64-exact.
+jax.config.update("jax_default_device", jax.devices("cpu")[0])
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,89 @@
+"""Multi-device correctness on a virtual 8-device CPU mesh.
+
+The sharded paths (explicit shard_map + ppermute halos, and GSPMD) must
+reproduce the single-device evolution exactly — the same guarantee the
+reference's MPI branch was argued to have via validation mode
+(description.pdf section 5)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from fdtd_tpu.params import Mode, time_values
+from fdtd_tpu.parallel.gspmd import make_gspmd_chunk_runner
+from fdtd_tpu.parallel.mesh import factor3, make_mesh, pad_state_for_mesh, unpad_state
+from fdtd_tpu.parallel.sharded_step import make_sharded_chunk_runner
+from fdtd_tpu.state import init_validation, zeros
+from fdtd_tpu.step import make_chunk_runner, scan_inputs
+
+COMPONENTS = ["ex", "ey", "ez", "hx", "hy", "hz"]
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices("cpu")) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _single_device_result(p, n_steps):
+    s = init_validation(p) if p.mode == Mode.VALIDATION else zeros(p)
+    run = make_chunk_runner(p)
+    xs = scan_inputs(p, time_values(p)[:n_steps])
+    s, _ = run(s, xs, None)
+    return s
+
+
+def _compare(p, got, want, atol=1e-14):
+    got = unpad_state(p, got)
+    for c in COMPONENTS:
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, c)),
+            np.asarray(getattr(want, c)),
+            atol=atol,
+            rtol=1e-10,
+            err_msg=c,
+        )
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1, 1), (2, 2, 2), (1, 4, 2)])
+@pytest.mark.parametrize("mode", [Mode.VALIDATION, Mode.COMPUTATION])
+def test_shard_map_matches_single_device(tiny_params, mesh_shape, mode):
+    p = dataclasses.replace(tiny_params, mode=mode)
+    n_steps = 10
+    want = _single_device_result(p, n_steps)
+
+    mesh = make_mesh(8, mesh_shape, devices=jax.devices("cpu"))
+    s0 = init_validation(p) if mode == Mode.VALIDATION else zeros(p)
+    s0 = pad_state_for_mesh(p, s0, mesh)
+    run = make_sharded_chunk_runner(p, mesh)
+    _, amps = scan_inputs(p, time_values(p)[:n_steps])
+    got = run(s0, amps)
+    _compare(p, got, want)
+
+
+@pytest.mark.parametrize("mode", [Mode.VALIDATION, Mode.COMPUTATION])
+def test_gspmd_matches_single_device(tiny_params, mode):
+    p = dataclasses.replace(tiny_params, mode=mode)
+    n_steps = 10
+    want = _single_device_result(p, n_steps)
+
+    mesh = make_mesh(8, (2, 2, 2), devices=jax.devices("cpu"))
+    s0 = init_validation(p) if mode == Mode.VALIDATION else zeros(p)
+    s0 = pad_state_for_mesh(p, s0, mesh)
+    run = make_gspmd_chunk_runner(p, mesh)
+    xs = scan_inputs(p, time_values(p)[:n_steps])
+    got = run(s0, xs)
+    _compare(p, got, want)
+
+
+def test_factor3():
+    assert factor3(8) == (2, 2, 2)
+    assert factor3(4) == (2, 2, 1)
+    assert sorted(factor3(6), reverse=True) == [3, 2, 1]
+    assert factor3(1) == (1, 1, 1)
+
+
+def test_dryrun_entrypoint():
+    from fdtd_tpu.parallel.sharded_step import dryrun
+
+    dryrun(8)
