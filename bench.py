@@ -53,19 +53,27 @@ def bench(n=256, steps=1000, dtype="float32", backend=None, warmup_steps=50):
         run = make_chunk_runner(p, backend=backend)
 
     state = zeros(p)
+    if backend == "pallas":
+        from fdtd_tpu.ops.pallas_step import pad_state_k
+
+        state = pad_state_k(p, state)
     ts = np.arange(steps, dtype=np.float64) * p.time_step
     xs = scan_inputs(p, ts)
-    wxs = (xs[0][:warmup_steps], xs[1][:warmup_steps])
 
-    # compile + warmup (chunk shapes: warmup and full)
-    state, _ = run(state, wxs, None)
-    jax.block_until_ready(state.ex)
+    # Compile + warmup with the SAME shapes as the timed run, and force a
+    # real device->host materialization: through remote-device tunnels,
+    # block_until_ready alone can return before execution completes and
+    # identical repeat calls can be served from a cache.
+    out, _ = run(state, xs, None)
+    _ = float(np.asarray(out.ex.ravel()[12345]))
 
-    state = zeros(p)
-    t0 = time.perf_counter()
-    state, _ = run(state, xs, None)
-    jax.block_until_ready(state.ex)
-    wall = time.perf_counter() - t0
+    wall = float("inf")
+    for rep in range(3):
+        xs_u = (xs[0], xs[1] + 1e-7 * (rep + 1))  # unique values, same shapes
+        t0 = time.perf_counter()
+        out, _ = run(state, xs_u, None)
+        _ = float(np.asarray(out.ex.ravel()[12345]))
+        wall = min(wall, time.perf_counter() - t0)
 
     cells = n**3 * steps
     mcells = cells / wall / 1e6
