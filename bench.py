@@ -30,7 +30,7 @@ BASELINE_MCELLS = 74.0
 
 def bench(n=256, steps=1000, dtype="float32", backend=None, warmup_steps=50):
     if backend is None:
-        backend = os.environ.get("FDTD_BENCH_BACKEND", "pallas")
+        backend = os.environ.get("FDTD_BENCH_BACKEND", "pallas_fused")
     dx = 0.001
     p = Params(
         length=n * dx,
@@ -52,11 +52,10 @@ def bench(n=256, steps=1000, dtype="float32", backend=None, warmup_steps=50):
         backend = "xla"
         run = make_chunk_runner(p, backend=backend)
 
-    state = zeros(p)
-    if backend == "pallas":
-        from fdtd_tpu.ops.pallas_step import pad_state_k
+    from fdtd_tpu.step import backend_adapters
 
-        state = pad_state_k(p, state)
+    prep, _ = backend_adapters(p, backend)
+    state = prep(zeros(p))
     ts = np.arange(steps, dtype=np.float64) * p.time_step
     xs = scan_inputs(p, ts)
 

@@ -1,0 +1,456 @@
+"""Single-pass fused Pallas kernel: source + H + source + E in one sweep.
+
+The v2 TPU hot path.  Two ideas beyond :mod:`fdtd_tpu.ops.pallas_step`:
+
+1. **Aligned strip layout.**  The padded uniform arrays have a 2^n+1 minor
+   (i) extent, and misaligned 257-lane DMA runs at ~55% of HBM peak while
+   256-lane runs at ~85% (measured on v5e).  So the hot state stores a
+   (S, J+1, Ib=maxi) *bulk* plus tiny (S, J+1, 1) *strips* holding the
+   i=maxi column of the only components that have one (Ey, Ez, Hx).
+   Ey/Ez strips are PEC-frozen (never updated by the reference's E loops,
+   main.c:483-499); their coupling into the last bulk column of Hy/Hz is a
+   *constant* field folded into lane-aligned correction arrays carried in
+   the state.  The Hx strip evolves but is never read back by any E
+   update, so it gets a cheap 2-D jnp update outside the kernel.
+
+2. **Whole-step fusion.**  One kernel computes H' from E (one halo row
+   below each output slab, recomputed redundantly) and then E' from H', so
+   per step each field is read once and written once (~54 B/cell at TK=8
+   vs 75 for the two-pass version).  Both source applications (reference
+   main.c:770-778) happen in-kernel on the k=0 rows with drive planes
+   precomputed outside to bit-match the jnp path.
+
+Layout bookkeeping: storage row s holds physical row k = s - TK; the
+leading TK rows are a dead zero slab so every Element window start
+``(g+1)*TK-1`` is nonnegative (Mosaic does not support low padding) and
+"k = -1" reads are genuine zeros.  Output slab b = g+1 is Blocked — it
+never touches the dead slab, which stays zero via input/output aliasing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import Mode, Params
+from ..source import make_source_plan
+from ..state import FieldState, UpdateCoefs
+
+TK = 8
+
+
+def dims(p: Params):
+    """(S, J1, Ib): storage rows, j extent, bulk i extent."""
+    K1, J1, I1 = p.padded_shape
+    Kp = ((K1 + TK - 1) // TK) * TK
+    return Kp + TK, J1, p.maxi
+
+
+def corr_width(Ib: int) -> int:
+    """Lane-aligned width of the strip-correction arrays."""
+    return Ib if Ib % 128 else 128
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["ex", "ey", "ez", "hx", "hy", "hz", "ey_s", "ez_s", "hx_s", "corr_hy", "corr_hz"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class StrippedState:
+    """Hot-path layout: six (S, J1, Ib) bulks, three (S, J1, 1) strips, and
+    two (S, J1, W) constant correction arrays (W = corr_width(Ib))."""
+
+    ex: jax.Array
+    ey: jax.Array
+    ez: jax.Array
+    hx: jax.Array
+    hy: jax.Array
+    hz: jax.Array
+    ey_s: jax.Array
+    ez_s: jax.Array
+    hx_s: jax.Array
+    corr_hy: jax.Array  # + Ez_s at the last lane (x curl coupling)
+    corr_hz: jax.Array  # - Ey_s at the last lane
+
+
+def to_stripped(p: Params, s: FieldState) -> StrippedState:
+    S, J1, Ib = dims(p)
+    K1 = p.padded_shape[0]
+    W = corr_width(Ib)
+
+    def emb(a):  # (K1, J1, I1) -> (S, J1, Ib)
+        out = jnp.zeros((S, J1, Ib), a.dtype)
+        return out.at[TK : TK + K1].set(a[:, :, :Ib])
+
+    def strip(a):
+        out = jnp.zeros((S, J1, 1), a.dtype)
+        return out.at[TK : TK + K1].set(a[:, :, Ib : Ib + 1])
+
+    ey_s = strip(s.ey)
+    ez_s = strip(s.ez)
+    corr_hy = jnp.zeros((S, J1, W), s.ey.dtype).at[:, :, W - 1 :].set(ez_s)
+    corr_hz = jnp.zeros((S, J1, W), s.ey.dtype).at[:, :, W - 1 :].set(-ey_s)
+
+    return StrippedState(
+        emb(s.ex), emb(s.ey), emb(s.ez), emb(s.hx), emb(s.hy), emb(s.hz),
+        ey_s, ez_s, strip(s.hx), corr_hy, corr_hz,
+    )
+
+
+def to_full(p: Params, st: StrippedState) -> FieldState:
+    K1 = p.padded_shape[0]
+    z = lambda b: jnp.zeros((K1, st.ex.shape[1], 1), b.dtype)
+
+    def comb(bulk, strip_col):
+        return jnp.concatenate([bulk[TK : TK + K1], strip_col], axis=2)
+
+    return FieldState(
+        ex=comb(st.ex, z(st.ex)),
+        ey=comb(st.ey, st.ey_s[TK : TK + K1]),
+        ez=comb(st.ez, st.ez_s[TK : TK + K1]),
+        hx=comb(st.hx, st.hx_s[TK : TK + K1]),
+        hy=comb(st.hy, z(st.hy)),
+        hz=comb(st.hz, z(st.hz)),
+    )
+
+
+def _kernel(p: Params, f_h, f_e, patch, Ib, W,
+            ex_ref, ey_ref, ez_ref, hx_ref, hy_ref, hz_ref,
+            chy_ref, chz_ref,
+            oex, oey, oez, ohx, ohy, ohz):
+    """One whole leapfrog step on output slab g+1.
+
+    Source semantics: injection happens *outside* the kernel (a tiny
+    dynamic-update-slice on the k=0 plane before the call), and ``patch``
+    (a static rectangle (j0, j1, i0, i1) or None) excludes the patch cells
+    from the Hx/Hz update — leaving them at their injected base, which is
+    exactly the reference's set_source -> update_H -> set_source sequence
+    (main.c:770-778): the second hard-set overwrites whatever update_H
+    accumulated on the patch.
+    """
+    g = pl.program_id(0)
+    K, J = p.maxk, p.maxj
+    L = g * TK  # first output k row
+
+    # E window: k rows L-1 .. L+TK+1 (TK+3 rows); H window: L-1 .. H (TK+1)
+    exw, eyw, ezw = ex_ref[:], ey_ref[:], ez_ref[:]
+    hxw, hyw, hzw = hx_ref[:], hy_ref[:], hz_ref[:]
+
+    dt = exw.dtype
+    gk_h = jax.lax.broadcasted_iota(jnp.int32, hxw.shape, 0) + (L - 1)
+    jj_h = jax.lax.broadcasted_iota(jnp.int32, hxw.shape, 1)
+
+    # --- H half-step on k rows L-1 .. H ---
+    ex0, ex1 = exw[: TK + 1], exw[1 : TK + 2]
+    ey0, ey1 = eyw[: TK + 1], eyw[1 : TK + 2]
+    ez0 = ezw[: TK + 1]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, ex0.shape, 2)
+    zf = jnp.zeros((), dt)
+    # i+1 shifts, zero beyond the bulk; the frozen strip coupling enters via
+    # the constant correction arrays on the last lane group below.
+    ey_px = jnp.where(lane == Ib - 1, zf, jnp.roll(ey0, -1, axis=2))
+    ez_px = jnp.where(lane == Ib - 1, zf, jnp.roll(ez0, -1, axis=2))
+    ez_py = jnp.roll(ez0, -1, axis=1)
+    ex_py = jnp.roll(ex0, -1, axis=1)
+
+    inc_hy = (ez_px - ez0) - (ex1 - ex0)
+    inc_hz = (ex_py - ex0) - (ey_px - ey0)
+    chy = chy_ref[:]  # (TK+1, J1, W)
+    chz = chz_ref[:]
+    if W == Ib:
+        inc_hy = inc_hy + chy
+        inc_hz = inc_hz + chz
+    else:
+        inc_hy = jnp.concatenate([inc_hy[:, :, : Ib - W], inc_hy[:, :, Ib - W :] + chy], axis=2)
+        inc_hz = jnp.concatenate([inc_hz[:, :, : Ib - W], inc_hz[:, :, Ib - W :] + chz], axis=2)
+
+    m_hx = (gk_h < K) & (jj_h < J)
+    m_hy = gk_h < K
+    m_hz = (gk_h < K + 1) & (jj_h < J)
+    if patch is not None:
+        j0, j1, i0, i1 = patch
+        ii_hh = lane[:, :, :]  # same shape as the H window
+        m_patch = (
+            (gk_h == 0)
+            & (jj_h >= j0) & (jj_h < j1)
+            & (ii_hh >= i0) & (ii_hh < i1)
+        )
+        m_hx = m_hx & ~m_patch
+        m_hz = m_hz & ~m_patch
+    hxp = jnp.where(m_hx, hxw + f_h * ((ey1 - ey0) - (ez_py - ez0)), hxw)
+    hyp = jnp.where(m_hy, hyw + f_h * inc_hy, hyw)
+    hzp = jnp.where(m_hz, hzw + f_h * inc_hz, hzw)
+
+    # --- E half-step on k rows L .. H ---
+    hx0, hx_m1 = hxp[1:], hxp[:-1]
+    hy0, hy_m1 = hyp[1:], hyp[:-1]
+    hz0 = hzp[1:]
+    exb = exw[1 : TK + 1]
+    eyb = eyw[1 : TK + 1]
+    ezb = ezw[1 : TK + 1]
+
+    # fresh iotas (slicing a broadcast iota crashes Mosaic's layout pass)
+    eshape = hx0.shape
+    gk = jax.lax.broadcasted_iota(jnp.int32, eshape, 0) + L
+    jj = jax.lax.broadcasted_iota(jnp.int32, eshape, 1)
+    ii = jax.lax.broadcasted_iota(jnp.int32, eshape, 2)
+    hz_my = jnp.roll(hz0, 1, axis=1)
+    hz_mx = jnp.roll(hz0, 1, axis=2)
+    hy_mx = jnp.roll(hy0, 1, axis=2)
+    hx_my = jnp.roll(hx0, 1, axis=1)
+
+    m_ex = (gk >= 1) & (gk < K) & (jj >= 1) & (jj < J)
+    m_ey = (gk >= 1) & (gk < K) & (jj < J) & (ii >= 1)
+    m_ez = (gk < K) & (jj >= 1) & (jj < J) & (ii >= 1)
+    oex[:] = jnp.where(m_ex, exb + f_e * ((hz0 - hz_my) - (hy0 - hy_m1)), exb)
+    oey[:] = jnp.where(m_ey, eyb + f_e * ((hx0 - hx_m1) - (hz0 - hz_mx)), eyb)
+    oez[:] = jnp.where(m_ez, ezb + f_e * ((hy0 - hy_mx) - (hx0 - hx_my)), ezb)
+    ohx[:] = hxp[1:]
+    ohy[:] = hyp[1:]
+    ohz[:] = hzp[1:]
+
+
+def _h_kernel2(p: Params, f_h, patch, Ib, W,
+               ex_ref, ey_ref, ez_ref, hx_ref, hy_ref, hz_ref, chy_ref, chz_ref,
+               ohx, ohy, ohz):
+    """H half-step on slab g+1 (k rows L..H); E windows carry one halo row up.
+
+    Alias-safe: writes only H, whose blocks are read without cross-block
+    halos in this pass.
+    """
+    g = pl.program_id(0)
+    K, J = p.maxk, p.maxj
+    L = g * TK
+
+    exw, eyw, ezw = ex_ref[:], ey_ref[:], ez_ref[:]  # (TK+1, J1, Ib): rows L..H+1
+    hxw, hyw, hzw = hx_ref[:], hy_ref[:], hz_ref[:]  # (TK, J1, Ib): rows L..H
+    dt = exw.dtype
+
+    ex0, ex1 = exw[:TK], exw[1:]
+    ey0, ey1 = eyw[:TK], eyw[1:]
+    ez0 = ezw[:TK]
+
+    shape = ex0.shape
+    gk = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + L
+    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    zf = jnp.zeros((), dt)
+
+    ey_px = jnp.where(lane == Ib - 1, zf, jnp.roll(ey0, -1, axis=2))
+    ez_px = jnp.where(lane == Ib - 1, zf, jnp.roll(ez0, -1, axis=2))
+    ez_py = jnp.roll(ez0, -1, axis=1)
+    ex_py = jnp.roll(ex0, -1, axis=1)
+
+    inc_hy = (ez_px - ez0) - (ex1 - ex0)
+    inc_hz = (ex_py - ex0) - (ey_px - ey0)
+    chy = chy_ref[:]
+    chz = chz_ref[:]
+    if W == Ib:
+        inc_hy = inc_hy + chy
+        inc_hz = inc_hz + chz
+    else:
+        inc_hy = jnp.concatenate([inc_hy[:, :, : Ib - W], inc_hy[:, :, Ib - W :] + chy], axis=2)
+        inc_hz = jnp.concatenate([inc_hz[:, :, : Ib - W], inc_hz[:, :, Ib - W :] + chz], axis=2)
+
+    m_hx = (gk < K) & (jj < J)
+    m_hy = gk < K
+    m_hz = (gk < K + 1) & (jj < J)
+    if patch is not None:
+        j0, j1, i0, i1 = patch
+        m_patch = (gk == 0) & (jj >= j0) & (jj < j1) & (lane >= i0) & (lane < i1)
+        m_hx = m_hx & ~m_patch
+        m_hz = m_hz & ~m_patch
+    ohx[:] = jnp.where(m_hx, hxw + f_h * ((ey1 - ey0) - (ez_py - ez0)), hxw)
+    ohy[:] = jnp.where(m_hy, hyw + f_h * inc_hy, hyw)
+    ohz[:] = jnp.where(m_hz, hzw + f_h * inc_hz, hzw)
+
+
+def _e_kernel2(p: Params, f_e, Ib,
+               hx_ref, hy_ref, hz_ref, ex_ref, ey_ref, ez_ref,
+               oex, oey, oez):
+    """E half-step on slab g+1; H windows carry one halo row down.
+
+    Alias-safe: writes only E; the H halo rows were finalized by the H pass.
+    """
+    g = pl.program_id(0)
+    K, J = p.maxk, p.maxj
+    L = g * TK
+
+    hxw, hyw, hzw = hx_ref[:], hy_ref[:], hz_ref[:]  # (TK+1, J1, Ib): rows L-1..H
+    exb, eyb, ezb = ex_ref[:], ey_ref[:], ez_ref[:]  # (TK, J1, Ib): rows L..H
+
+    hx0, hx_m1 = hxw[1:], hxw[:TK]
+    hy0, hy_m1 = hyw[1:], hyw[:TK]
+    hz0 = hzw[1:]
+
+    shape = exb.shape
+    gk = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + L
+    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    ii = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+
+    hz_my = jnp.roll(hz0, 1, axis=1)
+    hz_mx = jnp.roll(hz0, 1, axis=2)
+    hy_mx = jnp.roll(hy0, 1, axis=2)
+    hx_my = jnp.roll(hx0, 1, axis=1)
+
+    m_ex = (gk >= 1) & (gk < K) & (jj >= 1) & (jj < J)
+    m_ey = (gk >= 1) & (gk < K) & (jj < J) & (ii >= 1)
+    m_ez = (gk < K) & (jj >= 1) & (jj < J) & (ii >= 1)
+    oex[:] = jnp.where(m_ex, exb + f_e * ((hz0 - hz_my) - (hy0 - hy_m1)), exb)
+    oey[:] = jnp.where(m_ey, eyb + f_e * ((hx0 - hx_m1) - (hz0 - hz_mx)), eyb)
+    oez[:] = jnp.where(m_ez, ezb + f_e * ((hy0 - hy_mx) - (hx0 - hx_my)), ezb)
+
+
+def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None,
+                    two_pass: bool = True):
+    """Build ``step(state: StrippedState, (t, amp)) -> StrippedState``.
+
+    ``two_pass=True`` (default) runs H and E as separate aliased in-place
+    kernels — alias-safe and measurably faster on v5e; ``False`` uses the
+    single fused whole-step kernel (lower theoretical traffic but must
+    ping-pong buffers because the one-row-down halo recompute would race
+    with in-place writes).
+    """
+    if not isinstance(coefs.ca_x, (int, float)) or coefs.ca_x != 1.0:
+        raise NotImplementedError("pallas_fused supports vacuum only")
+    if interpret is None:
+        dd = jax.config.jax_default_device
+        interpret = (dd.platform != "tpu") if dd is not None else (jax.default_backend() != "tpu")
+
+    S, J1, Ib = dims(p)
+    W = corr_width(Ib)
+    nk = (S - TK) // TK
+    dtype = jnp.dtype(p.dtype)
+    f_h = dtype.type(coefs.h_factor)
+    f_e = dtype.type(coefs.cb_x)
+    inject = p.mode == Mode.COMPUTATION
+    plan = make_source_plan(p) if inject else None
+    patch = (plan.j0, plan.j1, plan.i0, plan.i1) if inject else None
+
+    def inject_source(st: StrippedState, amp) -> StrippedState:
+        """Hard-set the source patch on the k=0 plane (storage row TK),
+        computed exactly like fdtd_tpu.source.apply_source for bit-parity."""
+        amp_j = jnp.asarray(amp)
+        prof_row = jnp.asarray(plan.profile, dtype=jnp.result_type(amp_j))
+        row = amp_j * prof_row
+        nj, ni = plan.j1 - plan.j0, len(plan.profile)
+        pv = jnp.broadcast_to(row[None, :], (nj, ni))
+        zero = jnp.zeros((nj, ni), dtype)
+        sl = (TK, slice(plan.j0, plan.j1), slice(plan.i0, plan.i1))
+        return dataclasses.replace(
+            st,
+            ez=st.ez.at[sl].set(pv.astype(dtype)),
+            ex=st.ex.at[sl].set(zero),
+            hz=st.hz.at[sl].set(zero),
+            hx=st.hx.at[sl].set((-plan.inv_z_te * pv).astype(dtype)),
+        )
+
+    bulk_shape = jax.ShapeDtypeStruct((S, J1, Ib), dtype)
+
+    e_win = pl.BlockSpec(
+        (pl.Element(TK + 3, (0, 2)), pl.Element(J1), pl.Element(Ib)),
+        lambda g: ((g + 1) * TK - 1, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    h_win = pl.BlockSpec(
+        (pl.Element(TK + 1, (0, 0)), pl.Element(J1), pl.Element(Ib)),
+        lambda g: ((g + 1) * TK - 1, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    c_win = pl.BlockSpec(
+        (pl.Element(TK + 1, (0, 0)), pl.Element(J1), pl.Element(W)),
+        lambda g: ((g + 1) * TK - 1, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec((TK, J1, Ib), lambda g: (g + 1, 0, 0), memory_space=pltpu.VMEM)
+    cp = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+
+    if two_pass:
+        blk = pl.BlockSpec((TK, J1, Ib), lambda g: (g + 1, 0, 0), memory_space=pltpu.VMEM)
+        cblk = pl.BlockSpec((TK, J1, W), lambda g: (g + 1, 0, 0), memory_space=pltpu.VMEM)
+        e_up = pl.BlockSpec(  # E rows L..H+1
+            (pl.Element(TK + 1, (0, 1)), pl.Element(J1), pl.Element(Ib)),
+            lambda g: ((g + 1) * TK, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        h_dn = pl.BlockSpec(  # H rows L-1..H
+            (pl.Element(TK + 1, (0, 0)), pl.Element(J1), pl.Element(Ib)),
+            lambda g: ((g + 1) * TK - 1, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        aliases = {} if interpret else {3: 0, 4: 1, 5: 2}
+        h_call = pl.pallas_call(
+            functools.partial(_h_kernel2, p, f_h, patch, Ib, W),
+            grid=(nk,),
+            in_specs=[e_up] * 3 + [blk] * 3 + [cblk] * 2,
+            out_specs=[blk] * 3,
+            out_shape=(bulk_shape,) * 3,
+            input_output_aliases=aliases,
+            compiler_params=cp,
+            interpret=interpret,
+        )
+        e_call = pl.pallas_call(
+            functools.partial(_e_kernel2, p, f_e, Ib),
+            grid=(nk,),
+            in_specs=[h_dn] * 3 + [blk] * 3,
+            out_specs=[blk] * 3,
+            out_shape=(bulk_shape,) * 3,
+            input_output_aliases=aliases,
+            compiler_params=cp,
+            interpret=interpret,
+        )
+
+        def call(ex, ey, ez, hx, hy, hz, chy, chz):
+            hx, hy, hz = h_call(ex, ey, ez, hx, hy, hz, chy, chz)
+            ex, ey, ez = e_call(hx, hy, hz, ex, ey, ez)
+            return ex, ey, ez, hx, hy, hz
+
+    else:
+        # Single fused whole-step kernel.  NO aliasing: iteration g+1
+        # re-reads row g*TK+TK-1 (the one-row-below halo recompute), which
+        # iteration g already wrote — aliased buffers would observe the NEW
+        # value.  Outputs ping-pong to fresh buffers; the dead slab of a
+        # fresh output is uninitialized but provably never read.
+        call = pl.pallas_call(
+            functools.partial(_kernel, p, f_h, f_e, patch, Ib, W),
+            grid=(nk,),
+            in_specs=[e_win] * 3 + [h_win] * 3 + [c_win] * 2,
+            out_specs=[out_spec] * 6,
+            out_shape=(bulk_shape,) * 6,
+            compiler_params=cp,
+            interpret=interpret,
+        )
+
+    K, J = p.maxk, p.maxj
+
+    def step(st: StrippedState, x) -> StrippedState:
+        _t, amp = x
+        if inject:
+            st = inject_source(st, amp)
+        ex, ey, ez, hx, hy, hz = call(
+            st.ex, st.ey, st.ez, st.hx, st.hy, st.hz,
+            st.corr_hy, st.corr_hz,
+        )
+        # Hx strip update (write-only boundary column; reference Hx bounds
+        # i < maxi+1, main.c:445-449); 2-D jnp, ~K1*J1 cells.
+        ey_s2 = st.ey_s[:, :, 0]
+        ez_s2 = st.ez_s[:, :, 0]
+        sl = (slice(TK, TK + K), slice(0, J))
+        curl = (ey_s2[TK + 1 : TK + K + 1, :J] - ey_s2[sl]) - (
+            ez_s2[TK : TK + K, 1 : J + 1] - ez_s2[sl]
+        )
+        hx_s = st.hx_s.at[sl[0], sl[1], 0].add(f_h * curl)
+        return StrippedState(
+            ex, ey, ez, hx, hy, hz, st.ey_s, st.ez_s, hx_s, st.corr_hy, st.corr_hz
+        )
+
+    return step

@@ -44,6 +44,12 @@ def make_step(
     )
     del materials  # folded into coefs
 
+    if backend == "pallas_fused":
+        # whole-step fused kernel (source injection included in-kernel);
+        # operates on the StrippedState fast layout.
+        from .ops import pallas_fused as pf
+
+        return pf.make_fused_step(p, coefs)
     if backend == "pallas":
         from .ops import pallas_step as ps
 
@@ -126,3 +132,20 @@ def make_chunk_runner(
 
 def zero_power_acc(p: Params):
     return jnp.zeros((p.maxk, p.maxj, p.maxi), dtype=jnp.float32)
+
+
+def backend_adapters(p: Params, backend: str):
+    """(prepare, restore) between the canonical FieldState layout and the
+    backend's hot-path layout."""
+    if backend == "pallas":
+        from .ops.pallas_step import k_padding, pad_state_k
+
+        K1 = p.padded_shape[0]
+        return (lambda s: pad_state_k(p, s)), (
+            lambda s: jax.tree.map(lambda a: a[:K1], s)
+        )
+    if backend == "pallas_fused":
+        from .ops.pallas_fused import to_full, to_stripped
+
+        return (lambda s: to_stripped(p, s)), (lambda s: to_full(p, s))
+    return (lambda s: s), (lambda s: s)
