@@ -85,7 +85,10 @@ class SnapshotWriter:
 
     def _write(self, path: str, variables: dict[str, jax.Array]) -> None:
         host = {k: np.asarray(v) for k, v in variables.items()}
-        write_vtr(path, self.coords, host)
+        from .native import write_vtr_native
+
+        if not write_vtr_native(path, self.coords, host):
+            write_vtr(path, self.coords, host)
 
     def close(self) -> None:
         for f in self._inflight:

@@ -28,7 +28,7 @@ from .io.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
 from .io.snapshots import SnapshotWriter, aggregate_all, validation_extras
 from .params import Mode, Params, time_values
 from .state import FieldState, Materials, init_validation, zeros
-from .step import make_chunk_runner, scan_inputs, zero_power_acc
+from .step import backend_adapters, make_chunk_runner, scan_inputs, zero_power_acc
 
 
 @dataclasses.dataclass
@@ -73,6 +73,10 @@ def run_simulation(
             start_step = it_done
             log(f"Resuming from {ck} (after step {it_done})")
 
+    # hot-path layout conversion (identity for the xla backend)
+    prep, restore = backend_adapters(p, backend)
+    state = prep(state)
+
     if checkpoint_every:
         os.makedirs(out_dir, exist_ok=True)
     writer = SnapshotWriter(p, out_dir) if write_snapshots else None
@@ -103,8 +107,8 @@ def run_simulation(
 
     if start_step == 0:
         # Initial snapshot at iteration 1 (reference: main.c:758-764).
-        snapshot(state, 1, 0.0)
-        log_diag(state, 0, 0.0)
+        snapshot(restore(state), 1, 0.0)
+        log_diag(restore(state), 0, 0.0)
 
     t0 = time.perf_counter()
     pos = start_step
@@ -116,13 +120,16 @@ def run_simulation(
         state, power = run_chunk(state, chunk, power)
         pos = end
         t_now = float(ts[pos - 1])
+        if pos % rate == 0 or (checkpoint_every and pos % checkpoint_every == 0):
+            full = restore(state)
         if pos % rate == 0:
-            snapshot(state, pos, t_now)
-            log_diag(state, pos, t_now)
+            snapshot(full, pos, t_now)
+            log_diag(full, pos, t_now)
         if checkpoint_every and pos % checkpoint_every == 0:
-            jax.block_until_ready(state.ex)
-            save_checkpoint(os.path.join(out_dir, f"ckpt{pos:06d}.npz"), state, pos, t_now)
+            jax.block_until_ready(full.ex)
+            save_checkpoint(os.path.join(out_dir, f"ckpt{pos:06d}.npz"), full, pos, t_now)
 
+    state = restore(state)
     jax.block_until_ready(state.ex)
     wall = time.perf_counter() - t0
 

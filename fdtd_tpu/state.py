@@ -114,6 +114,11 @@ def water_block(p: Params, lo=(0.3, 0.3, 0.3), hi=(0.7, 0.7, 0.7), eps_r=78.0, s
     return Materials(eps_r=er, sigma=sg)
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["ca_x", "ca_y", "ca_z", "cb_x", "cb_y", "cb_z", "h_factor", "sigma_cells"],
+    meta_fields=[],
+)
 @dataclasses.dataclass(frozen=True)
 class UpdateCoefs:
     """Per-component E-update coefficients, and the scalar H factor.

@@ -1,0 +1,51 @@
+"""vmap design-sweep tests (BASELINE config #5)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+
+from fdtd_tpu.params import Mode, time_values
+from fdtd_tpu.state import init_validation, water_block, zeros
+from fdtd_tpu.step import make_chunk_runner, make_step, scan_inputs
+from fdtd_tpu.sweep import frequency_sweep, material_sweep
+
+
+def test_frequency_sweep_matches_individual_runs(tiny_params):
+    p = dataclasses.replace(tiny_params, mode=Mode.COMPUTATION, dtype="float32")
+    freqs = [2.45e10, 1.0e10, 5.0e9]
+    res = frequency_sweep(p, freqs, n_steps=10)
+    assert res.states.ex.shape[0] == 3
+    assert res.e_energy.shape == (3,)
+
+    # member 1 must equal a standalone run at that frequency
+    from fdtd_tpu.params import SourceConfig
+
+    p1 = dataclasses.replace(p, source=SourceConfig(frequency=freqs[1]))
+    s = zeros(p1)
+    step = jax.jit(make_step(p1))
+    ts, amps = scan_inputs(p1, time_values(p1)[:10])
+    for t, a in zip(ts, amps):
+        s = step(s, (t, a))
+    for c in ["ez", "hx", "ey"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(res.states, c))[1],
+            np.asarray(getattr(s, c)),
+            atol=1e-6,
+            rtol=1e-5,
+            err_msg=c,
+        )
+    # different frequencies produce different fields
+    assert not np.allclose(np.asarray(res.states.ez)[0], np.asarray(res.states.ez)[2])
+
+
+def test_material_sweep(tiny_params):
+    p = dataclasses.replace(tiny_params, dtype="float32")
+    mats = [
+        water_block(p, lo=(0.1, 0.1, 0.1), hi=(0.5, 0.5, 0.5), eps_r=1.0, sigma=s)
+        for s in (0.5, 2.0, 8.0)
+    ]
+    res = material_sweep(p, mats, n_steps=15)
+    e = np.asarray(res.e_energy) + np.asarray(res.h_energy)
+    # more conductive load -> more dissipation
+    assert e[0] > e[1] > e[2] > 0
