@@ -231,9 +231,11 @@ def _h_kernel2(p: Params, f_h, patch, Ib, W,
     K, J = p.maxk, p.maxj
     L = g * TK
 
-    exw, eyw, ezw = ex_ref[:], ey_ref[:], ez_ref[:]  # (TK+1, J1, Ib): rows L..H+1
-    hxw, hyw, hzw = hx_ref[:], hy_ref[:], hz_ref[:]  # (TK, J1, Ib): rows L..H
-    dt = exw.dtype
+    st = ex_ref.dtype
+    cd = jnp.float32 if st == jnp.bfloat16 else st  # fp32 compute on bf16 storage
+    exw, eyw, ezw = ex_ref[:].astype(cd), ey_ref[:].astype(cd), ez_ref[:].astype(cd)
+    hxw, hyw, hzw = hx_ref[:].astype(cd), hy_ref[:].astype(cd), hz_ref[:].astype(cd)
+    dt = cd
 
     ex0, ex1 = exw[:TK], exw[1:]
     ey0, ey1 = eyw[:TK], eyw[1:]
@@ -269,9 +271,9 @@ def _h_kernel2(p: Params, f_h, patch, Ib, W,
         m_patch = (gk == 0) & (jj >= j0) & (jj < j1) & (lane >= i0) & (lane < i1)
         m_hx = m_hx & ~m_patch
         m_hz = m_hz & ~m_patch
-    ohx[:] = jnp.where(m_hx, hxw + f_h * ((ey1 - ey0) - (ez_py - ez0)), hxw)
-    ohy[:] = jnp.where(m_hy, hyw + f_h * inc_hy, hyw)
-    ohz[:] = jnp.where(m_hz, hzw + f_h * inc_hz, hzw)
+    ohx[:] = jnp.where(m_hx, hxw + f_h * ((ey1 - ey0) - (ez_py - ez0)), hxw).astype(st)
+    ohy[:] = jnp.where(m_hy, hyw + f_h * inc_hy, hyw).astype(st)
+    ohz[:] = jnp.where(m_hz, hzw + f_h * inc_hz, hzw).astype(st)
 
 
 def _e_kernel2(p: Params, f_e, Ib,
@@ -285,8 +287,10 @@ def _e_kernel2(p: Params, f_e, Ib,
     K, J = p.maxk, p.maxj
     L = g * TK
 
-    hxw, hyw, hzw = hx_ref[:], hy_ref[:], hz_ref[:]  # (TK+1, J1, Ib): rows L-1..H
-    exb, eyb, ezb = ex_ref[:], ey_ref[:], ez_ref[:]  # (TK, J1, Ib): rows L..H
+    st = ex_ref.dtype
+    cd = jnp.float32 if st == jnp.bfloat16 else st
+    hxw, hyw, hzw = hx_ref[:].astype(cd), hy_ref[:].astype(cd), hz_ref[:].astype(cd)  # rows L-1..H
+    exb, eyb, ezb = ex_ref[:].astype(cd), ey_ref[:].astype(cd), ez_ref[:].astype(cd)  # rows L..H
 
     hx0, hx_m1 = hxw[1:], hxw[:TK]
     hy0, hy_m1 = hyw[1:], hyw[:TK]
@@ -305,9 +309,9 @@ def _e_kernel2(p: Params, f_e, Ib,
     m_ex = (gk >= 1) & (gk < K) & (jj >= 1) & (jj < J)
     m_ey = (gk >= 1) & (gk < K) & (jj < J) & (ii >= 1)
     m_ez = (gk < K) & (jj >= 1) & (jj < J) & (ii >= 1)
-    oex[:] = jnp.where(m_ex, exb + f_e * ((hz0 - hz_my) - (hy0 - hy_m1)), exb)
-    oey[:] = jnp.where(m_ey, eyb + f_e * ((hx0 - hx_m1) - (hz0 - hz_mx)), eyb)
-    oez[:] = jnp.where(m_ez, ezb + f_e * ((hy0 - hy_mx) - (hx0 - hx_my)), ezb)
+    oex[:] = jnp.where(m_ex, exb + f_e * ((hz0 - hz_my) - (hy0 - hy_m1)), exb).astype(st)
+    oey[:] = jnp.where(m_ey, eyb + f_e * ((hx0 - hx_m1) - (hz0 - hz_mx)), eyb).astype(st)
+    oez[:] = jnp.where(m_ez, ezb + f_e * ((hy0 - hy_mx) - (hx0 - hx_my)), ezb).astype(st)
 
 
 def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None,
@@ -330,8 +334,9 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
     W = corr_width(Ib)
     nk = (S - TK) // TK
     dtype = jnp.dtype(p.dtype)
-    f_h = dtype.type(coefs.h_factor)
-    f_e = dtype.type(coefs.cb_x)
+    compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
+    f_h = compute_dtype.type(coefs.h_factor)
+    f_e = compute_dtype.type(coefs.cb_x)
     inject = p.mode == Mode.COMPUTATION
     plan = make_source_plan(p) if inject else None
     patch = (plan.j0, plan.j1, plan.i0, plan.i1) if inject else None
@@ -448,7 +453,7 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
         curl = (ey_s2[TK + 1 : TK + K + 1, :J] - ey_s2[sl]) - (
             ez_s2[TK : TK + K, 1 : J + 1] - ez_s2[sl]
         )
-        hx_s = st.hx_s.at[sl[0], sl[1], 0].add(f_h * curl)
+        hx_s = st.hx_s.at[sl[0], sl[1], 0].add((f_h * curl).astype(st.hx_s.dtype))
         return StrippedState(
             ex, ey, ez, hx, hy, hz, st.ey_s, st.ez_s, hx_s, st.corr_hy, st.corr_hz
         )

@@ -113,3 +113,29 @@ def test_stripped_round_trip():
             # structurally zero / never read in the reference layout)
             want[:, :, p.maxi] = 0.0
         np.testing.assert_array_equal(got, want, err_msg=c)
+
+
+def test_bf16_storage_fp32_compute_accuracy():
+    """bf16 fields halve HBM traffic; fp32 in-kernel compute keeps the error
+    to storage-rounding level (few % after tens of steps)."""
+    import dataclasses
+
+    p32 = _params(16, Mode.VALIDATION, dtype="float32")
+    p16 = dataclasses.replace(p32, dtype="bfloat16")
+    s32 = init_validation(p32)
+    prep16, rest16 = backend_adapters(p16, "pallas_fused")
+    s16 = prep16(init_validation(p16))
+    step32 = jax.jit(make_step(p32))
+    step16 = jax.jit(make_step(p16, backend="pallas_fused"))
+    ts, amps = scan_inputs(p32, time_values(p32)[:10])
+    for t, a in zip(ts, amps):
+        s32 = step32(s32, (t, a))
+        s16 = step16(s16, (t, a))
+    b16 = rest16(s16)
+    num = den = 0.0
+    for c in COMPONENTS:
+        d = np.asarray(getattr(b16, c), np.float64) - np.asarray(getattr(s32, c), np.float64)
+        num += float((d * d).sum())
+        den += float((np.asarray(getattr(s32, c), np.float64) ** 2).sum())
+    rel = (num / den) ** 0.5
+    assert rel < 0.05, rel
