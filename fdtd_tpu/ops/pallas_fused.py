@@ -60,13 +60,21 @@ def corr_width(Ib: int) -> int:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["ex", "ey", "ez", "hx", "hy", "hz", "ey_s", "ez_s", "hx_s", "corr_hy", "corr_hz"],
+    data_fields=[
+        "ex", "ey", "ez", "hx", "hy", "hz", "ey_s", "ez_s", "hx_s",
+        "corr_hy", "corr_hz", "ca_x", "ca_y", "ca_z", "cb_x", "cb_y", "cb_z",
+    ],
     meta_fields=[],
 )
 @dataclasses.dataclass
 class StrippedState:
-    """Hot-path layout: six (S, J1, Ib) bulks, three (S, J1, 1) strips, and
-    two (S, J1, W) constant correction arrays (W = corr_width(Ib))."""
+    """Hot-path layout: six (S, J1, Ib) bulks, three (S, J1, 1) strips, two
+    (S, J1, W) constant correction arrays (W = corr_width(Ib)), and — for
+    lossy media — six embedded ca/cb coefficient arrays.
+
+    Per-simulation constants ride in the state (scan carries them
+    unchanged) rather than as closure captures: closed-over arrays embed as
+    HLO constants, which explodes compile time at 256^3."""
 
     ex: jax.Array
     ey: jax.Array
@@ -79,9 +87,24 @@ class StrippedState:
     hx_s: jax.Array
     corr_hy: jax.Array  # + Ez_s at the last lane (x curl coupling)
     corr_hz: jax.Array  # - Ey_s at the last lane
+    ca_x: jax.Array | None = None
+    ca_y: jax.Array | None = None
+    ca_z: jax.Array | None = None
+    cb_x: jax.Array | None = None
+    cb_y: jax.Array | None = None
+    cb_z: jax.Array | None = None
 
 
-def to_stripped(p: Params, s: FieldState) -> StrippedState:
+def embed_coef(p: Params, a, fill):
+    """Embed a (K1, J1, I1) coefficient array into the stripped bulk box."""
+    S, J1, Ib = dims(p)
+    K1 = p.padded_shape[0]
+    dtype = jnp.dtype(p.dtype)
+    out = jnp.full((S, J1, Ib), fill, dtype)
+    return out.at[TK : TK + K1].set(jnp.asarray(a, dtype)[:, :, :Ib])
+
+
+def to_stripped(p: Params, s: FieldState, coefs: UpdateCoefs | None = None) -> StrippedState:
     S, J1, Ib = dims(p)
     K1 = p.padded_shape[0]
     W = corr_width(Ib)
@@ -99,10 +122,21 @@ def to_stripped(p: Params, s: FieldState) -> StrippedState:
     corr_hy = jnp.zeros((S, J1, W), s.ey.dtype).at[:, :, W - 1 :].set(ez_s)
     corr_hz = jnp.zeros((S, J1, W), s.ey.dtype).at[:, :, W - 1 :].set(-ey_s)
 
-    return StrippedState(
+    st = StrippedState(
         emb(s.ex), emb(s.ey), emb(s.ez), emb(s.hx), emb(s.hy), emb(s.hz),
         ey_s, ez_s, strip(s.hx), corr_hy, corr_hz,
     )
+    if coefs is not None and not isinstance(coefs.ca_x, (int, float)):
+        st = dataclasses.replace(
+            st,
+            ca_x=embed_coef(p, coefs.ca_x, 1.0),
+            ca_y=embed_coef(p, coefs.ca_y, 1.0),
+            ca_z=embed_coef(p, coefs.ca_z, 1.0),
+            cb_x=embed_coef(p, coefs.cb_x, 0.0),
+            cb_y=embed_coef(p, coefs.cb_y, 0.0),
+            cb_z=embed_coef(p, coefs.cb_z, 0.0),
+        )
+    return st
 
 
 def to_full(p: Params, st: StrippedState) -> FieldState:
@@ -276,13 +310,20 @@ def _h_kernel2(p: Params, f_h, patch, Ib, W,
     ohz[:] = jnp.where(m_hz, hzw + f_h * inc_hz, hzw).astype(st)
 
 
-def _e_kernel2(p: Params, f_e, Ib,
+def _e_kernel2(p: Params, f_e, Ib, lossy,
                hx_ref, hy_ref, hz_ref, ex_ref, ey_ref, ez_ref,
-               oex, oey, oez):
+               *rest):
     """E half-step on slab g+1; H windows carry one halo row down.
 
     Alias-safe: writes only E; the H halo rows were finalized by the H pass.
+    With ``lossy``, six extra blocked inputs carry the per-component ca/cb
+    coefficient slabs and the update is E' = ca*E + cb*curl(H) (vacuum:
+    ca == 1, cb == f_e, no extra inputs).
     """
+    if lossy:
+        cax_r, cay_r, caz_r, cbx_r, cby_r, cbz_r, oex, oey, oez = rest
+    else:
+        oex, oey, oez = rest
     g = pl.program_id(0)
     K, J = p.maxk, p.maxj
     L = g * TK
@@ -309,9 +350,20 @@ def _e_kernel2(p: Params, f_e, Ib,
     m_ex = (gk >= 1) & (gk < K) & (jj >= 1) & (jj < J)
     m_ey = (gk >= 1) & (gk < K) & (jj < J) & (ii >= 1)
     m_ez = (gk < K) & (jj >= 1) & (jj < J) & (ii >= 1)
-    oex[:] = jnp.where(m_ex, exb + f_e * ((hz0 - hz_my) - (hy0 - hy_m1)), exb).astype(st)
-    oey[:] = jnp.where(m_ey, eyb + f_e * ((hx0 - hx_m1) - (hz0 - hz_mx)), eyb).astype(st)
-    oez[:] = jnp.where(m_ez, ezb + f_e * ((hy0 - hy_mx) - (hx0 - hx_my)), ezb).astype(st)
+    curl_x = (hz0 - hz_my) - (hy0 - hy_m1)
+    curl_y = (hx0 - hx_m1) - (hz0 - hz_mx)
+    curl_z = (hy0 - hy_mx) - (hx0 - hx_my)
+    if lossy:
+        new_x = cax_r[:].astype(cd) * exb + cbx_r[:].astype(cd) * curl_x
+        new_y = cay_r[:].astype(cd) * eyb + cby_r[:].astype(cd) * curl_y
+        new_z = caz_r[:].astype(cd) * ezb + cbz_r[:].astype(cd) * curl_z
+    else:
+        new_x = exb + f_e * curl_x
+        new_y = eyb + f_e * curl_y
+        new_z = ezb + f_e * curl_z
+    oex[:] = jnp.where(m_ex, new_x, exb).astype(st)
+    oey[:] = jnp.where(m_ey, new_y, eyb).astype(st)
+    oez[:] = jnp.where(m_ez, new_z, ezb).astype(st)
 
 
 def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None,
@@ -324,8 +376,11 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
     ping-pong buffers because the one-row-down halo recompute would race
     with in-place writes).
     """
-    if not isinstance(coefs.ca_x, (int, float)) or coefs.ca_x != 1.0:
-        raise NotImplementedError("pallas_fused supports vacuum only")
+    lossy = not isinstance(coefs.ca_x, (int, float))
+    if not lossy and coefs.ca_x != 1.0:
+        raise NotImplementedError("scalar non-vacuum ca is not expected")
+    if lossy and not two_pass:
+        raise NotImplementedError("materials require the two_pass fast path")
     if interpret is None:
         dd = jax.config.jax_default_device
         interpret = (dd.platform != "tpu") if dd is not None else (jax.default_backend() != "tpu")
@@ -335,8 +390,10 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
     nk = (S - TK) // TK
     dtype = jnp.dtype(p.dtype)
     compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
-    f_h = compute_dtype.type(coefs.h_factor)
-    f_e = compute_dtype.type(coefs.cb_x)
+    f_h = compute_dtype.type(coefs.h_factor if not hasattr(coefs.h_factor, "shape") else 0.0)
+    f_e = compute_dtype.type(coefs.cb_x) if not lossy else compute_dtype.type(0.0)
+    if lossy:
+        f_h = compute_dtype.type(float(np.asarray(coefs.h_factor)))
     inject = p.mode == Mode.COMPUTATION
     plan = make_source_plan(p) if inject else None
     patch = (plan.j0, plan.j1, plan.i0, plan.i1) if inject else None
@@ -404,9 +461,9 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
             interpret=interpret,
         )
         e_call = pl.pallas_call(
-            functools.partial(_e_kernel2, p, f_e, Ib),
+            functools.partial(_e_kernel2, p, f_e, Ib, lossy),
             grid=(nk,),
-            in_specs=[h_dn] * 3 + [blk] * 3,
+            in_specs=[h_dn] * 3 + [blk] * 3 + ([blk] * 6 if lossy else []),
             out_specs=[blk] * 3,
             out_shape=(bulk_shape,) * 3,
             input_output_aliases=aliases,
@@ -414,9 +471,10 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
             interpret=interpret,
         )
 
-        def call(ex, ey, ez, hx, hy, hz, chy, chz):
+        def call(st, ex, ey, ez, hx, hy, hz, chy, chz):
             hx, hy, hz = h_call(ex, ey, ez, hx, hy, hz, chy, chz)
-            ex, ey, ez = e_call(hx, hy, hz, ex, ey, ez)
+            extra = (st.ca_x, st.ca_y, st.ca_z, st.cb_x, st.cb_y, st.cb_z) if lossy else ()
+            ex, ey, ez = e_call(hx, hy, hz, ex, ey, ez, *extra)
             return ex, ey, ez, hx, hy, hz
 
     else:
@@ -425,7 +483,7 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
         # iteration g already wrote — aliased buffers would observe the NEW
         # value.  Outputs ping-pong to fresh buffers; the dead slab of a
         # fresh output is uninitialized but provably never read.
-        call = pl.pallas_call(
+        _call1 = pl.pallas_call(
             functools.partial(_kernel, p, f_h, f_e, patch, Ib, W),
             grid=(nk,),
             in_specs=[e_win] * 3 + [h_win] * 3 + [c_win] * 2,
@@ -435,6 +493,9 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
             interpret=interpret,
         )
 
+        def call(st, ex, ey, ez, hx, hy, hz, chy, chz):
+            return _call1(ex, ey, ez, hx, hy, hz, chy, chz)
+
     K, J = p.maxk, p.maxj
 
     def step(st: StrippedState, x) -> StrippedState:
@@ -442,7 +503,7 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
         if inject:
             st = inject_source(st, amp)
         ex, ey, ez, hx, hy, hz = call(
-            st.ex, st.ey, st.ez, st.hx, st.hy, st.hz,
+            st, st.ex, st.ey, st.ez, st.hx, st.hy, st.hz,
             st.corr_hy, st.corr_hz,
         )
         # Hx strip update (write-only boundary column; reference Hx bounds
@@ -454,8 +515,8 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
             ez_s2[TK : TK + K, 1 : J + 1] - ez_s2[sl]
         )
         hx_s = st.hx_s.at[sl[0], sl[1], 0].add((f_h * curl).astype(st.hx_s.dtype))
-        return StrippedState(
-            ex, ey, ez, hx, hy, hz, st.ey_s, st.ez_s, hx_s, st.corr_hy, st.corr_hz
+        return dataclasses.replace(
+            st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s
         )
 
     return step

@@ -74,7 +74,7 @@ def run_simulation(
             log(f"Resuming from {ck} (after step {it_done})")
 
     # hot-path layout conversion (identity for the xla backend)
-    prep, restore = backend_adapters(p, backend)
+    prep, restore = backend_adapters(p, backend, materials)
     state = prep(state)
 
     if checkpoint_every:

@@ -114,14 +114,17 @@ def make_chunk_runner(
     step = make_step(p, materials, backend, coefs=coefs)
     sigma = coefs.sigma_cells
     dt_step = p.time_step
+    _, restore = backend_adapters(p, backend)  # restore is materials-agnostic
 
     @jax.jit
-    def run(s: FieldState, xs, power_acc=None):
+    def run(s, xs, power_acc=None):
         def body(carry, x):
             s, acc = carry
             s = step(s, x)
             if accumulate_power:
-                acc = acc + diagnostics.power_deposition(p, s, sigma) * dt_step
+                # power needs the canonical layout; on fast-layout backends
+                # this costs one state conversion per step
+                acc = acc + diagnostics.power_deposition(p, restore(s), sigma) * dt_step
             return (s, acc), None
 
         (s, acc), _ = jax.lax.scan(body, (s, power_acc), xs)
@@ -134,9 +137,12 @@ def zero_power_acc(p: Params):
     return jnp.zeros((p.maxk, p.maxj, p.maxi), dtype=jnp.float32)
 
 
-def backend_adapters(p: Params, backend: str):
+def backend_adapters(p: Params, backend: str, materials: Materials | None = None):
     """(prepare, restore) between the canonical FieldState layout and the
-    backend's hot-path layout."""
+    backend's hot-path layout.
+
+    For lossy media on the fast path, the embedded coefficient arrays ride
+    in the prepared state (pass ``materials`` so prepare can build them)."""
     if backend == "pallas":
         from .ops.pallas_step import k_padding, pad_state_k
 
@@ -147,5 +153,6 @@ def backend_adapters(p: Params, backend: str):
     if backend == "pallas_fused":
         from .ops.pallas_fused import to_full, to_stripped
 
-        return (lambda s: to_stripped(p, s)), (lambda s: to_full(p, s))
+        coefs = update_coefs(p, materials) if materials is not None else None
+        return (lambda s: to_stripped(p, s, coefs=coefs)), (lambda s: to_full(p, s))
     return (lambda s: s), (lambda s: s)

@@ -139,3 +139,29 @@ def test_bf16_storage_fp32_compute_accuracy():
         den += float((np.asarray(getattr(s32, c), np.float64) ** 2).sum())
     rel = (num / den) ** 0.5
     assert rel < 0.05, rel
+
+
+def test_fused_materials_match_xla():
+    """Lossy (ca/cb) E-update on the fast path vs the xla ground truth."""
+    from fdtd_tpu.state import water_block
+
+    p = _params(16, Mode.VALIDATION)
+    mats = water_block(p, lo=(0.2, 0.2, 0.2), hi=(0.8, 0.8, 0.8), eps_r=10.0, sigma=1.0)
+    s_ref = init_validation(p)
+    prep, rest = backend_adapters(p, "pallas_fused", materials=mats)
+    s_f = prep(s_ref)
+    step_ref = jax.jit(make_step(p, materials=mats))
+    step_f = jax.jit(make_step(p, materials=mats, backend="pallas_fused"))
+    ts, amps = scan_inputs(p, time_values(p)[:10])
+    for t, a in zip(ts, amps):
+        s_ref = step_ref(s_ref, (t, a))
+        s_f = step_f(s_f, (t, a))
+    back = rest(s_f)
+    for c in COMPONENTS:
+        np.testing.assert_allclose(
+            np.asarray(getattr(back, c)),
+            np.asarray(getattr(s_ref, c)),
+            atol=2e-6,
+            rtol=1e-5,
+            err_msg=c,
+        )
