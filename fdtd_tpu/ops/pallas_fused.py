@@ -43,14 +43,31 @@ from ..params import Mode, Params
 from ..source import make_source_plan
 from ..state import FieldState, UpdateCoefs
 
-TK = 8
+TK = 8  # layout dead-slab rows (fixed); also the default tile size
+D = 8   # dead slab rows — layout constant, independent of the tile size
 
 
 def dims(p: Params):
     """(S, J1, Ib): storage rows, j extent, bulk i extent."""
     K1, J1, I1 = p.padded_shape
-    Kp = ((K1 + TK - 1) // TK) * TK
-    return Kp + TK, J1, p.maxi
+    Kp = ((K1 + D - 1) // D) * D
+    return Kp + D, J1, p.maxi
+
+
+def tile_k(p: Params, lossy: bool = False) -> int:
+    """Largest k-tile (divisor of D) whose VMEM footprint fits the budget.
+
+    Estimate: double-buffered in+out windows of both passes; the lossy E
+    pass additionally streams six coefficient slabs."""
+    _, J1, Ib = dims(p)
+    itemsize = jnp.dtype(p.dtype).itemsize
+    plane = ((J1 + 7) // 8 * 8) * ((Ib + 127) // 128 * 128) * itemsize
+    budget = 100 * 1024 * 1024
+    for tk in (8, 4, 2, 1):
+        per_pass = 3 * (tk + 1) + (9 * tk if lossy else 3 * tk) + 3 * tk + 2 * tk
+        if 2 * per_pass * plane <= budget:
+            return tk
+    return 1
 
 
 def corr_width(Ib: int) -> int:
@@ -101,7 +118,7 @@ def embed_coef(p: Params, a, fill):
     K1 = p.padded_shape[0]
     dtype = jnp.dtype(p.dtype)
     out = jnp.full((S, J1, Ib), fill, dtype)
-    return out.at[TK : TK + K1].set(jnp.asarray(a, dtype)[:, :, :Ib])
+    return out.at[D : D + K1].set(jnp.asarray(a, dtype)[:, :, :Ib])
 
 
 def to_stripped(p: Params, s: FieldState, coefs: UpdateCoefs | None = None) -> StrippedState:
@@ -111,11 +128,11 @@ def to_stripped(p: Params, s: FieldState, coefs: UpdateCoefs | None = None) -> S
 
     def emb(a):  # (K1, J1, I1) -> (S, J1, Ib)
         out = jnp.zeros((S, J1, Ib), a.dtype)
-        return out.at[TK : TK + K1].set(a[:, :, :Ib])
+        return out.at[D : D + K1].set(a[:, :, :Ib])
 
     def strip(a):
         out = jnp.zeros((S, J1, 1), a.dtype)
-        return out.at[TK : TK + K1].set(a[:, :, Ib : Ib + 1])
+        return out.at[D : D + K1].set(a[:, :, Ib : Ib + 1])
 
     ey_s = strip(s.ey)
     ez_s = strip(s.ez)
@@ -144,19 +161,19 @@ def to_full(p: Params, st: StrippedState) -> FieldState:
     z = lambda b: jnp.zeros((K1, st.ex.shape[1], 1), b.dtype)
 
     def comb(bulk, strip_col):
-        return jnp.concatenate([bulk[TK : TK + K1], strip_col], axis=2)
+        return jnp.concatenate([bulk[D : D + K1], strip_col], axis=2)
 
     return FieldState(
         ex=comb(st.ex, z(st.ex)),
-        ey=comb(st.ey, st.ey_s[TK : TK + K1]),
-        ez=comb(st.ez, st.ez_s[TK : TK + K1]),
-        hx=comb(st.hx, st.hx_s[TK : TK + K1]),
+        ey=comb(st.ey, st.ey_s[D : D + K1]),
+        ez=comb(st.ez, st.ez_s[D : D + K1]),
+        hx=comb(st.hx, st.hx_s[D : D + K1]),
         hy=comb(st.hy, z(st.hy)),
         hz=comb(st.hz, z(st.hz)),
     )
 
 
-def _kernel(p: Params, f_h, f_e, patch, Ib, W,
+def _kernel(p: Params, f_h, f_e, patch, Ib, W, tk,
             ex_ref, ey_ref, ez_ref, hx_ref, hy_ref, hz_ref,
             chy_ref, chz_ref,
             oex, oey, oez, ohx, ohy, ohz):
@@ -172,9 +189,9 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W,
     """
     g = pl.program_id(0)
     K, J = p.maxk, p.maxj
-    L = g * TK  # first output k row
+    L = g * tk  # first output k row
 
-    # E window: k rows L-1 .. L+TK+1 (TK+3 rows); H window: L-1 .. H (TK+1)
+    # E window: k rows L-1 .. L+tk+1 (tk+3 rows); H window: L-1 .. H (tk+1)
     exw, eyw, ezw = ex_ref[:], ey_ref[:], ez_ref[:]
     hxw, hyw, hzw = hx_ref[:], hy_ref[:], hz_ref[:]
 
@@ -183,9 +200,9 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W,
     jj_h = jax.lax.broadcasted_iota(jnp.int32, hxw.shape, 1)
 
     # --- H half-step on k rows L-1 .. H ---
-    ex0, ex1 = exw[: TK + 1], exw[1 : TK + 2]
-    ey0, ey1 = eyw[: TK + 1], eyw[1 : TK + 2]
-    ez0 = ezw[: TK + 1]
+    ex0, ex1 = exw[: tk + 1], exw[1 : tk + 2]
+    ey0, ey1 = eyw[: tk + 1], eyw[1 : tk + 2]
+    ez0 = ezw[: tk + 1]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, ex0.shape, 2)
     zf = jnp.zeros((), dt)
@@ -228,9 +245,9 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W,
     hx0, hx_m1 = hxp[1:], hxp[:-1]
     hy0, hy_m1 = hyp[1:], hyp[:-1]
     hz0 = hzp[1:]
-    exb = exw[1 : TK + 1]
-    eyb = eyw[1 : TK + 1]
-    ezb = ezw[1 : TK + 1]
+    exb = exw[1 : tk + 1]
+    eyb = eyw[1 : tk + 1]
+    ezb = ezw[1 : tk + 1]
 
     # fresh iotas (slicing a broadcast iota crashes Mosaic's layout pass)
     eshape = hx0.shape
@@ -253,7 +270,7 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W,
     ohz[:] = hzp[1:]
 
 
-def _h_kernel2(p: Params, f_h, patch, Ib, W,
+def _h_kernel2(p: Params, f_h, patch, Ib, W, tk,
                ex_ref, ey_ref, ez_ref, hx_ref, hy_ref, hz_ref, chy_ref, chz_ref,
                ohx, ohy, ohz):
     """H half-step on slab g+1 (k rows L..H); E windows carry one halo row up.
@@ -263,7 +280,7 @@ def _h_kernel2(p: Params, f_h, patch, Ib, W,
     """
     g = pl.program_id(0)
     K, J = p.maxk, p.maxj
-    L = g * TK
+    L = g * tk
 
     st = ex_ref.dtype
     cd = jnp.float32 if st == jnp.bfloat16 else st  # fp32 compute on bf16 storage
@@ -271,9 +288,9 @@ def _h_kernel2(p: Params, f_h, patch, Ib, W,
     hxw, hyw, hzw = hx_ref[:].astype(cd), hy_ref[:].astype(cd), hz_ref[:].astype(cd)
     dt = cd
 
-    ex0, ex1 = exw[:TK], exw[1:]
-    ey0, ey1 = eyw[:TK], eyw[1:]
-    ez0 = ezw[:TK]
+    ex0, ex1 = exw[:tk], exw[1:]
+    ey0, ey1 = eyw[:tk], eyw[1:]
+    ez0 = ezw[:tk]
 
     shape = ex0.shape
     gk = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + L
@@ -310,7 +327,7 @@ def _h_kernel2(p: Params, f_h, patch, Ib, W,
     ohz[:] = jnp.where(m_hz, hzw + f_h * inc_hz, hzw).astype(st)
 
 
-def _e_kernel2(p: Params, f_e, Ib, lossy,
+def _e_kernel2(p: Params, f_e, Ib, lossy, tk,
                hx_ref, hy_ref, hz_ref, ex_ref, ey_ref, ez_ref,
                *rest):
     """E half-step on slab g+1; H windows carry one halo row down.
@@ -326,15 +343,15 @@ def _e_kernel2(p: Params, f_e, Ib, lossy,
         oex, oey, oez = rest
     g = pl.program_id(0)
     K, J = p.maxk, p.maxj
-    L = g * TK
+    L = g * tk
 
     st = ex_ref.dtype
     cd = jnp.float32 if st == jnp.bfloat16 else st
     hxw, hyw, hzw = hx_ref[:].astype(cd), hy_ref[:].astype(cd), hz_ref[:].astype(cd)  # rows L-1..H
     exb, eyb, ezb = ex_ref[:].astype(cd), ey_ref[:].astype(cd), ez_ref[:].astype(cd)  # rows L..H
 
-    hx0, hx_m1 = hxw[1:], hxw[:TK]
-    hy0, hy_m1 = hyw[1:], hyw[:TK]
+    hx0, hx_m1 = hxw[1:], hxw[:tk]
+    hy0, hy_m1 = hyw[1:], hyw[:tk]
     hz0 = hzw[1:]
 
     shape = exb.shape
@@ -387,7 +404,9 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
 
     S, J1, Ib = dims(p)
     W = corr_width(Ib)
-    nk = (S - TK) // TK
+    tk = tile_k(p, lossy)
+    ofs = D // tk  # output block offset: dead slab = ofs tiles
+    nk = (S - D) // tk
     dtype = jnp.dtype(p.dtype)
     compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
     f_h = compute_dtype.type(coefs.h_factor if not hasattr(coefs.h_factor, "shape") else 0.0)
@@ -407,7 +426,7 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
         nj, ni = plan.j1 - plan.j0, len(plan.profile)
         pv = jnp.broadcast_to(row[None, :], (nj, ni))
         zero = jnp.zeros((nj, ni), dtype)
-        sl = (TK, slice(plan.j0, plan.j1), slice(plan.i0, plan.i1))
+        sl = (D, slice(plan.j0, plan.j1), slice(plan.i0, plan.i1))
         return dataclasses.replace(
             st,
             ez=st.ez.at[sl].set(pv.astype(dtype)),
@@ -419,39 +438,39 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
     bulk_shape = jax.ShapeDtypeStruct((S, J1, Ib), dtype)
 
     e_win = pl.BlockSpec(
-        (pl.Element(TK + 3, (0, 2)), pl.Element(J1), pl.Element(Ib)),
-        lambda g: ((g + 1) * TK - 1, 0, 0),
+        (pl.Element(tk + 3, (0, 2)), pl.Element(J1), pl.Element(Ib)),
+        lambda g: ((g + ofs) * tk - 1, 0, 0),
         memory_space=pltpu.VMEM,
     )
     h_win = pl.BlockSpec(
-        (pl.Element(TK + 1, (0, 0)), pl.Element(J1), pl.Element(Ib)),
-        lambda g: ((g + 1) * TK - 1, 0, 0),
+        (pl.Element(tk + 1, (0, 0)), pl.Element(J1), pl.Element(Ib)),
+        lambda g: ((g + ofs) * tk - 1, 0, 0),
         memory_space=pltpu.VMEM,
     )
     c_win = pl.BlockSpec(
-        (pl.Element(TK + 1, (0, 0)), pl.Element(J1), pl.Element(W)),
-        lambda g: ((g + 1) * TK - 1, 0, 0),
+        (pl.Element(tk + 1, (0, 0)), pl.Element(J1), pl.Element(W)),
+        lambda g: ((g + ofs) * tk - 1, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    out_spec = pl.BlockSpec((TK, J1, Ib), lambda g: (g + 1, 0, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tk, J1, Ib), lambda g: (g + ofs, 0, 0), memory_space=pltpu.VMEM)
     cp = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
 
     if two_pass:
-        blk = pl.BlockSpec((TK, J1, Ib), lambda g: (g + 1, 0, 0), memory_space=pltpu.VMEM)
-        cblk = pl.BlockSpec((TK, J1, W), lambda g: (g + 1, 0, 0), memory_space=pltpu.VMEM)
+        blk = pl.BlockSpec((tk, J1, Ib), lambda g: (g + ofs, 0, 0), memory_space=pltpu.VMEM)
+        cblk = pl.BlockSpec((tk, J1, W), lambda g: (g + ofs, 0, 0), memory_space=pltpu.VMEM)
         e_up = pl.BlockSpec(  # E rows L..H+1
-            (pl.Element(TK + 1, (0, 1)), pl.Element(J1), pl.Element(Ib)),
-            lambda g: ((g + 1) * TK, 0, 0),
+            (pl.Element(tk + 1, (0, 1)), pl.Element(J1), pl.Element(Ib)),
+            lambda g: ((g + ofs) * tk, 0, 0),
             memory_space=pltpu.VMEM,
         )
         h_dn = pl.BlockSpec(  # H rows L-1..H
-            (pl.Element(TK + 1, (0, 0)), pl.Element(J1), pl.Element(Ib)),
-            lambda g: ((g + 1) * TK - 1, 0, 0),
+            (pl.Element(tk + 1, (0, 0)), pl.Element(J1), pl.Element(Ib)),
+            lambda g: ((g + ofs) * tk - 1, 0, 0),
             memory_space=pltpu.VMEM,
         )
         aliases = {} if interpret else {3: 0, 4: 1, 5: 2}
         h_call = pl.pallas_call(
-            functools.partial(_h_kernel2, p, f_h, patch, Ib, W),
+            functools.partial(_h_kernel2, p, f_h, patch, Ib, W, tk),
             grid=(nk,),
             in_specs=[e_up] * 3 + [blk] * 3 + [cblk] * 2,
             out_specs=[blk] * 3,
@@ -461,7 +480,7 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
             interpret=interpret,
         )
         e_call = pl.pallas_call(
-            functools.partial(_e_kernel2, p, f_e, Ib, lossy),
+            functools.partial(_e_kernel2, p, f_e, Ib, lossy, tk),
             grid=(nk,),
             in_specs=[h_dn] * 3 + [blk] * 3 + ([blk] * 6 if lossy else []),
             out_specs=[blk] * 3,
@@ -484,7 +503,7 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
         # value.  Outputs ping-pong to fresh buffers; the dead slab of a
         # fresh output is uninitialized but provably never read.
         _call1 = pl.pallas_call(
-            functools.partial(_kernel, p, f_h, f_e, patch, Ib, W),
+            functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, tk),
             grid=(nk,),
             in_specs=[e_win] * 3 + [h_win] * 3 + [c_win] * 2,
             out_specs=[out_spec] * 6,
@@ -510,9 +529,9 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
         # i < maxi+1, main.c:445-449); 2-D jnp, ~K1*J1 cells.
         ey_s2 = st.ey_s[:, :, 0]
         ez_s2 = st.ez_s[:, :, 0]
-        sl = (slice(TK, TK + K), slice(0, J))
-        curl = (ey_s2[TK + 1 : TK + K + 1, :J] - ey_s2[sl]) - (
-            ez_s2[TK : TK + K, 1 : J + 1] - ez_s2[sl]
+        sl = (slice(D, D + K), slice(0, J))
+        curl = (ey_s2[D + 1 : D + K + 1, :J] - ey_s2[sl]) - (
+            ez_s2[D : D + K, 1 : J + 1] - ez_s2[sl]
         )
         hx_s = st.hx_s.at[sl[0], sl[1], 0].add((f_h * curl).astype(st.hx_s.dtype))
         return dataclasses.replace(
