@@ -48,10 +48,16 @@ D = 8   # dead slab rows — layout constant, independent of the tile size
 
 
 def dims(p: Params):
-    """(S, J1, Ib): storage rows, j extent, bulk i extent."""
+    """(S, J1p, Ib): storage rows, 8-aligned j extent, bulk i extent.
+
+    j is padded to a sublane multiple: Mosaic scratch slicing requires
+    8-aligned sublane extents at some sizes, and the padding rows are inert
+    (zero-initialized; every update that could touch them is masked or reads
+    only zeros)."""
     K1, J1, I1 = p.padded_shape
     Kp = ((K1 + D - 1) // D) * D
-    return Kp + D, J1, p.maxi
+    J1p = ((J1 + 7) // 8) * 8
+    return Kp + D, J1p, p.maxi
 
 
 def tile_k(p: Params, lossy: bool = False) -> int:
@@ -114,30 +120,30 @@ class StrippedState:
 
 def embed_coef(p: Params, a, fill):
     """Embed a (K1, J1, I1) coefficient array into the stripped bulk box."""
-    S, J1, Ib = dims(p)
-    K1 = p.padded_shape[0]
+    S, J1p, Ib = dims(p)
+    K1, J1, _ = p.padded_shape
     dtype = jnp.dtype(p.dtype)
-    out = jnp.full((S, J1, Ib), fill, dtype)
-    return out.at[D : D + K1].set(jnp.asarray(a, dtype)[:, :, :Ib])
+    out = jnp.full((S, J1p, Ib), fill, dtype)
+    return out.at[D : D + K1, :J1].set(jnp.asarray(a, dtype)[:, :, :Ib])
 
 
 def to_stripped(p: Params, s: FieldState, coefs: UpdateCoefs | None = None) -> StrippedState:
-    S, J1, Ib = dims(p)
-    K1 = p.padded_shape[0]
+    S, J1p, Ib = dims(p)
+    K1, J1, _ = p.padded_shape
     W = corr_width(Ib)
 
-    def emb(a):  # (K1, J1, I1) -> (S, J1, Ib)
-        out = jnp.zeros((S, J1, Ib), a.dtype)
-        return out.at[D : D + K1].set(a[:, :, :Ib])
+    def emb(a):  # (K1, J1, I1) -> (S, J1p, Ib)
+        out = jnp.zeros((S, J1p, Ib), a.dtype)
+        return out.at[D : D + K1, :J1].set(a[:, :, :Ib])
 
     def strip(a):
-        out = jnp.zeros((S, J1, 1), a.dtype)
-        return out.at[D : D + K1].set(a[:, :, Ib : Ib + 1])
+        out = jnp.zeros((S, J1p, 1), a.dtype)
+        return out.at[D : D + K1, :J1].set(a[:, :, Ib : Ib + 1])
 
     ey_s = strip(s.ey)
     ez_s = strip(s.ez)
-    corr_hy = jnp.zeros((S, J1, W), s.ey.dtype).at[:, :, W - 1 :].set(ez_s)
-    corr_hz = jnp.zeros((S, J1, W), s.ey.dtype).at[:, :, W - 1 :].set(-ey_s)
+    corr_hy = jnp.zeros((S, J1p, W), s.ey.dtype).at[:, :, W - 1 :].set(ez_s)
+    corr_hz = jnp.zeros((S, J1p, W), s.ey.dtype).at[:, :, W - 1 :].set(-ey_s)
 
     st = StrippedState(
         emb(s.ex), emb(s.ey), emb(s.ez), emb(s.hx), emb(s.hy), emb(s.hz),
@@ -157,17 +163,17 @@ def to_stripped(p: Params, s: FieldState, coefs: UpdateCoefs | None = None) -> S
 
 
 def to_full(p: Params, st: StrippedState) -> FieldState:
-    K1 = p.padded_shape[0]
-    z = lambda b: jnp.zeros((K1, st.ex.shape[1], 1), b.dtype)
+    K1, J1, _ = p.padded_shape
+    z = lambda b: jnp.zeros((K1, J1, 1), b.dtype)
 
     def comb(bulk, strip_col):
-        return jnp.concatenate([bulk[D : D + K1], strip_col], axis=2)
+        return jnp.concatenate([bulk[D : D + K1, :J1], strip_col], axis=2)
 
     return FieldState(
         ex=comb(st.ex, z(st.ex)),
-        ey=comb(st.ey, st.ey_s[D : D + K1]),
-        ez=comb(st.ez, st.ez_s[D : D + K1]),
-        hx=comb(st.hx, st.hx_s[D : D + K1]),
+        ey=comb(st.ey, st.ey_s[D : D + K1, :J1]),
+        ez=comb(st.ez, st.ez_s[D : D + K1, :J1]),
+        hx=comb(st.hx, st.hx_s[D : D + K1, :J1]),
         hy=comb(st.hy, z(st.hy)),
         hz=comb(st.hz, z(st.hz)),
     )

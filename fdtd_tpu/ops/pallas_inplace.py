@@ -1,0 +1,308 @@
+"""v3 hot path: manual-DMA, in-place, single-sweep leapfrog kernel.
+
+One grid pass per step, everything hand-scheduled:
+
+- the six field arrays stay in HBM (``memory_space=ANY``) and are updated
+  **in place** (aliased outputs) — legal because writes trail reads: the
+  deepest prefetch reads rows >= (g+2)*tk while writes cover rows < (g+1)*tk;
+- a software pipeline with prefetch depth 2 streams tk-row blocks of all six
+  fields into VMEM ring buffers (3 slots), computes H' then E' for one block
+  entirely in VMEM, and DMAs the results back from ring-buffered staging;
+- the one-row halos that the block-pipelined kernels re-read from HBM are
+  carried in VMEM instead: H' row L-1 is saved from the previous iteration,
+  and E row H+1 is taken from the next block's resident buffer — so per step
+  each field is read once and written once: **48 B/cell fp32, the stencil's
+  information-theoretic minimum** (vs 75 B/cell for the two-pass
+  Element-window version).
+
+Mosaic cannot lower dynamic-slice *reads* of VMEM scratch, so the compute
+is unrolled into three static-slot variants selected by ``pl.when(g%3==r)``
+(DMA descriptors accept traced ``.at[]`` indices, so loads/flushes stay
+generic).
+
+Same stripped layout and semantics as :mod:`fdtd_tpu.ops.pallas_fused`
+(bulk + frozen strips + corr arrays + dead slab + outside source injection
+with static patch exclusion); vacuum only.
+"""
+
+from __future__ import annotations
+
+import dataclasses as _dc
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import Mode, Params
+from ..state import UpdateCoefs
+from .pallas_fused import D, StrippedState, corr_width, dims
+
+N_RING = 3
+
+
+def tile_k_inplace(p: Params) -> int:
+    """Largest k-tile (divisor of D) fitting the ring+staging VMEM budget."""
+    _, J1, Ib = dims(p)
+    itemsize = jnp.dtype(p.dtype).itemsize
+    plane = ((J1 + 7) // 8 * 8) * ((Ib + 127) // 128 * 128) * itemsize
+    budget = 100 * 1024 * 1024
+    for tk in (8, 4, 2, 1):
+        planes = N_RING * (6 + 6 + 2) * tk + 2  # in rings + staging + hprev
+        if planes * plane <= budget:
+            return tk
+    return 1
+
+
+def _body(p: Params, f_h, f_e, patch, Ib, W, tk, nb,
+          ex_hbm, ey_hbm, ez_hbm, hx_hbm, hy_hbm, hz_hbm, chy_hbm, chz_hbm,
+          oex, oey, oez, ohx, ohy, ohz,
+          ebuf, hbuf, cbuf, stage, hprev, in_sem, csem, out_sem):
+    """Grid body for output block g (k rows L = g*tk .. H)."""
+    g = pl.program_id(0)
+    K, J = p.maxk, p.maxj
+    L = g * tk
+
+    HB = (ex_hbm, ey_hbm, ez_hbm, hx_hbm, hy_hbm, hz_hbm)
+    OUT = (oex, oey, oez, ohx, ohy, ohz)
+
+    def _loads(slot: int, blk):
+        """DMA descriptors loading block ``blk`` into static ring slot."""
+        row0 = blk * tk + D
+        ds = [
+            pltpu.make_async_copy(
+                HB[f].at[pl.ds(row0, tk)],
+                ebuf.at[slot, f] if f < 3 else hbuf.at[slot, f - 3],
+                in_sem.at[slot, f],
+            )
+            for f in range(6)
+        ]
+        ds.append(pltpu.make_async_copy(chy_hbm.at[pl.ds(row0, tk)], cbuf.at[slot, 0], csem.at[slot, 0]))
+        ds.append(pltpu.make_async_copy(chz_hbm.at[pl.ds(row0, tk)], cbuf.at[slot, 1], csem.at[slot, 1]))
+        return ds
+
+    def start_load(slot, blk):
+        for d in _loads(slot, blk):
+            d.start()
+
+    def wait_load(slot, blk):
+        for d in _loads(slot, blk):
+            d.wait()
+
+    def _flush(so: int, blk):
+        """Out DMA descriptors for staging slot ``so`` flushing block ``blk``."""
+        return [
+            pltpu.make_async_copy(
+                stage.at[so, f], OUT[f].at[pl.ds(blk * tk + D, tk)], out_sem.at[so, f]
+            )
+            for f in range(6)
+        ]
+
+    # warm-up (g==0): start loads for blocks 0 and 1, await block 0 only —
+    # block g+1 is awaited in the unrolled branch below.
+    @pl.when(g == 0)
+    def _():
+        start_load(0, 0)
+        start_load(1, 1)
+        wait_load(0, 0)
+        hprev[...] = jnp.zeros_like(hprev)  # "k=-1" H' rows (reads masked)
+
+    st = ex_hbm.dtype
+    cd = jnp.float32 if st == jnp.bfloat16 else st
+
+    def compute_and_stage(sc: int, sn: int):
+        """Compute block g from ring slot ``sc`` (+ first E row of ``sn``),
+        stage into slot ``sc``, and start the flush.  Static slot indices —
+        Mosaic cannot dynamically slice VMEM reads."""
+        exb = ebuf[sc, 0].astype(cd)
+        eyb = ebuf[sc, 1].astype(cd)
+        ezb = ebuf[sc, 2].astype(cd)
+        hxb = hbuf[sc, 0].astype(cd)
+        hyb = hbuf[sc, 1].astype(cd)
+        hzb = hbuf[sc, 2].astype(cd)
+        exn = ebuf[sn, 0, 0:1].astype(cd)  # first row of next block
+        eyn = ebuf[sn, 1, 0:1].astype(cd)
+
+        shape = exb.shape
+        gk = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + L
+        jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+        zf = jnp.zeros((), cd)
+
+        # --- H half-step on rows L..H ---
+        ex1 = jnp.concatenate([exb[1:], exn], axis=0)  # Ex[k+1]
+        ey1 = jnp.concatenate([eyb[1:], eyn], axis=0)
+        ey_px = jnp.where(lane == Ib - 1, zf, jnp.roll(eyb, -1, axis=2))
+        ez_px = jnp.where(lane == Ib - 1, zf, jnp.roll(ezb, -1, axis=2))
+        ez_py = jnp.roll(ezb, -1, axis=1)
+        ex_py = jnp.roll(exb, -1, axis=1)
+
+        inc_hy = (ez_px - ezb) - (ex1 - exb)
+        inc_hz = (ex_py - exb) - (ey_px - eyb)
+        chy = cbuf[sc, 0].astype(cd)
+        chz = cbuf[sc, 1].astype(cd)
+        if W == Ib:
+            inc_hy = inc_hy + chy
+            inc_hz = inc_hz + chz
+        else:
+            inc_hy = jnp.concatenate([inc_hy[:, :, : Ib - W], inc_hy[:, :, Ib - W :] + chy], axis=2)
+            inc_hz = jnp.concatenate([inc_hz[:, :, : Ib - W], inc_hz[:, :, Ib - W :] + chz], axis=2)
+
+        m_hx = (gk < K) & (jj < J)
+        m_hy = gk < K
+        m_hz = (gk < K + 1) & (jj < J)
+        if patch is not None:
+            j0, j1, i0, i1 = patch
+            m_p = (gk == 0) & (jj >= j0) & (jj < j1) & (lane >= i0) & (lane < i1)
+            m_hx = m_hx & ~m_p
+            m_hz = m_hz & ~m_p
+        hxp = jnp.where(m_hx, hxb + f_h * ((ey1 - eyb) - (ez_py - ezb)), hxb)
+        hyp = jnp.where(m_hy, hyb + f_h * inc_hy, hyb)
+        hzp = jnp.where(m_hz, hzb + f_h * inc_hz, hzb)
+
+        # --- E half-step on rows L..H (H' rows L-1..H) ---
+        hx_m1 = jnp.concatenate([hprev[0:1, 0].astype(cd), hxp[:-1]], axis=0)
+        hy_m1 = jnp.concatenate([hprev[0:1, 1].astype(cd), hyp[:-1]], axis=0)
+        hz_my = jnp.roll(hzp, 1, axis=1)
+        hz_mx = jnp.roll(hzp, 1, axis=2)
+        hy_mx = jnp.roll(hyp, 1, axis=2)
+        hx_my = jnp.roll(hxp, 1, axis=1)
+
+        m_ex = (gk >= 1) & (gk < K) & (jj >= 1) & (jj < J)
+        m_ey = (gk >= 1) & (gk < K) & (jj < J) & (lane >= 1)
+        m_ez = (gk < K) & (jj >= 1) & (jj < J) & (lane >= 1)
+        exo = jnp.where(m_ex, exb + f_e * ((hzp - hz_my) - (hyp - hy_m1)), exb)
+        eyo = jnp.where(m_ey, eyb + f_e * ((hxp - hx_m1) - (hzp - hz_mx)), eyb)
+        ezo = jnp.where(m_ez, ezb + f_e * ((hyp - hy_mx) - (hxp - hx_my)), ezb)
+
+        # save H' last row for the next block (static index: negative jnp
+        # indexing lowers to dynamic_slice, which Mosaic can't)
+        hprev[0, 0] = hxp[tk - 1].astype(st)
+        hprev[0, 1] = hyp[tk - 1].astype(st)
+
+        # stage slot sc: its previous flush (iteration g - N_RING) must land
+        @pl.when(g >= N_RING)
+        def _():
+            for d in _flush(sc, g - N_RING):
+                d.wait()
+
+        results = (exo, eyo, ezo, hxp, hyp, hzp)
+        for f in range(6):
+            stage[sc, f] = results[f].astype(st)
+        for d in _flush(sc, g):
+            d.start()
+
+    for r in range(N_RING):
+        @pl.when(g % N_RING == r)
+        def _(r=r):
+            @pl.when(g + 2 < nb)
+            def _():
+                start_load((r + 2) % N_RING, g + 2)
+
+            @pl.when(g + 1 < nb)
+            def _():
+                wait_load((r + 1) % N_RING, g + 1)
+
+            compute_and_stage(r, (r + 1) % N_RING)
+
+            # drain: on the last iteration, wait for every in-flight flush
+            @pl.when(g == nb - 1)
+            def _():
+                for back in range(min(N_RING, nb)):
+                    so = (r - back) % N_RING
+                    for d in _flush(so, g - back):
+                        d.wait()
+
+
+def make_inplace_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None):
+    """Build ``step(state: StrippedState, (t, amp)) -> StrippedState``."""
+    if not isinstance(coefs.ca_x, (int, float)) or coefs.ca_x != 1.0:
+        raise NotImplementedError("pallas_inplace supports vacuum only")
+    if interpret is None:
+        dd = jax.config.jax_default_device
+        interpret = (dd.platform != "tpu") if dd is not None else (jax.default_backend() != "tpu")
+
+    S, J1, Ib = dims(p)
+    W = corr_width(Ib)
+    tk = tile_k_inplace(p)
+    nb = (S - D) // tk
+    if nb < 2:
+        raise NotImplementedError("grid too small for the pipelined kernel; use pallas_fused")
+    if Ib % 128 and not interpret:
+        # manual DMA slices must be lane-aligned on hardware
+        raise NotImplementedError(
+            "pallas_inplace requires maxi to be a multiple of 128 on TPU; "
+            "use pallas_fused for other grid sizes"
+        )
+    dtype = jnp.dtype(p.dtype)
+    compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
+    f_h = compute_dtype.type(coefs.h_factor)
+    f_e = compute_dtype.type(coefs.cb_x)
+    inject = p.mode == Mode.COMPUTATION
+    plan_patch = None
+    if inject:
+        from ..source import make_source_plan
+
+        plan = make_source_plan(p)
+        plan_patch = (plan.j0, plan.j1, plan.i0, plan.i1)
+
+    bulk_shape = jax.ShapeDtypeStruct((S, J1, Ib), dtype)
+    any_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+    call = pl.pallas_call(
+        functools.partial(_body, p, f_h, f_e, plan_patch, Ib, W, tk, nb),
+        grid=(nb,),
+        in_specs=[any_spec] * 8,
+        out_specs=[any_spec] * 6,
+        out_shape=(bulk_shape,) * 6,
+        input_output_aliases={0: 0, 1: 1, 2: 2, 3: 3, 4: 4, 5: 5},
+        scratch_shapes=[
+            pltpu.VMEM((N_RING, 3, tk, J1, Ib), dtype),  # E ring
+            pltpu.VMEM((N_RING, 3, tk, J1, Ib), dtype),  # H ring
+            pltpu.VMEM((N_RING, 2, tk, J1, W), dtype),   # corr ring
+            pltpu.VMEM((N_RING, 6, tk, J1, Ib), dtype),  # out staging ring
+            pltpu.VMEM((1, 2, J1, Ib), dtype),           # H' prev row (hx, hy)
+            pltpu.SemaphoreType.DMA((N_RING, 6)),
+            pltpu.SemaphoreType.DMA((N_RING, 2)),
+            pltpu.SemaphoreType.DMA((N_RING, 6)),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    K, J = p.maxk, p.maxj
+
+    def _inject(st: StrippedState, amp) -> StrippedState:
+        amp_j = jnp.asarray(amp)
+        prof_row = jnp.asarray(plan.profile, dtype=jnp.result_type(amp_j))
+        row = amp_j * prof_row
+        nj, ni = plan.j1 - plan.j0, len(plan.profile)
+        pv = jnp.broadcast_to(row[None, :], (nj, ni))
+        zero = jnp.zeros((nj, ni), dtype)
+        sl = (D, slice(plan.j0, plan.j1), slice(plan.i0, plan.i1))
+        return _dc.replace(
+            st,
+            ez=st.ez.at[sl].set(pv.astype(dtype)),
+            ex=st.ex.at[sl].set(zero),
+            hz=st.hz.at[sl].set(zero),
+            hx=st.hx.at[sl].set((-plan.inv_z_te * pv).astype(dtype)),
+        )
+
+    def step(st: StrippedState, x) -> StrippedState:
+        _t, amp = x
+        if inject:
+            st = _inject(st, amp)
+        ex, ey, ez, hx, hy, hz = call(
+            st.ex, st.ey, st.ez, st.hx, st.hy, st.hz, st.corr_hy, st.corr_hz
+        )
+        ey_s2 = st.ey_s[:, :, 0]
+        ez_s2 = st.ez_s[:, :, 0]
+        sl = (slice(D, D + K), slice(0, J))
+        curl = (ey_s2[D + 1 : D + K + 1, :J] - ey_s2[sl]) - (
+            ez_s2[D : D + K, 1 : J + 1] - ez_s2[sl]
+        )
+        hx_s = st.hx_s.at[sl[0], sl[1], 0].add((f_h * curl).astype(st.hx_s.dtype))
+        return _dc.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
+
+    return step

@@ -45,11 +45,15 @@ def make_step(
     del materials  # folded into coefs
 
     if backend == "pallas_fused":
-        # whole-step fused kernel (source injection included in-kernel);
-        # operates on the StrippedState fast layout.
+        # stripped-layout two-pass kernels (see ops/pallas_fused.py)
         from .ops import pallas_fused as pf
 
         return pf.make_fused_step(p, coefs)
+    if backend == "pallas_inplace":
+        # manual-DMA in-place single-sweep kernel (48 B/cell)
+        from .ops import pallas_inplace as pi
+
+        return pi.make_inplace_step(p, coefs)
     if backend == "pallas":
         from .ops import pallas_step as ps
 
@@ -150,7 +154,7 @@ def backend_adapters(p: Params, backend: str, materials: Materials | None = None
         return (lambda s: pad_state_k(p, s)), (
             lambda s: jax.tree.map(lambda a: a[:K1], s)
         )
-    if backend == "pallas_fused":
+    if backend in ("pallas_fused", "pallas_inplace"):
         from .ops.pallas_fused import to_full, to_stripped
 
         coefs = update_coefs(p, materials) if materials is not None else None

@@ -165,3 +165,23 @@ def test_fused_materials_match_xla():
             rtol=1e-5,
             err_msg=c,
         )
+
+
+@pytest.mark.parametrize("mode", [Mode.VALIDATION, Mode.COMPUTATION])
+def test_inplace_backend_matches_jnp(mode):
+    """Manual-DMA pipelined kernel (interpret mode)."""
+    p = _params(16, mode)
+    s_ref = init_validation(p) if mode == Mode.VALIDATION else zeros(p)
+    prep, rest = backend_adapters(p, "pallas_inplace")
+    s_b = prep(s_ref)
+    step_ref = jax.jit(make_step(p))
+    step_b = jax.jit(make_step(p, backend="pallas_inplace"))
+    ts, amps = scan_inputs(p, time_values(p)[:8])
+    for t, a in zip(ts, amps):
+        s_ref = step_ref(s_ref, (t, a))
+        s_b = step_b(s_b, (t, a))
+    back = rest(s_b)
+    for c in COMPONENTS:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(back, c)), np.asarray(getattr(s_ref, c)), err_msg=c
+        )
