@@ -42,9 +42,13 @@ def main(argv=None) -> int:
     args = build_arg_parser().parse_args(argv)
 
     print("Loading the parameters...")
-    p = load_parameters(args.params, dtype=args.dtype)
     try:
+        p = load_parameters(args.params, dtype=args.dtype)
         p.validate()
+    except FileNotFoundError:
+        # same UX as the reference's fail() (main.c:221-223)
+        print("Unable to open parameters file!", file=sys.stderr)
+        return 1
     except ValueError as e:
         print(str(e), file=sys.stderr)
         return 1
