@@ -34,6 +34,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--diag-log", default=None, help="JSONL per-sample energy log path")
     ap.add_argument("--physics-correct", action="store_true",
                     help="disable reference-quirk compatibility in exported validation vars")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the run to DIR")
     return ap
 
 
@@ -68,6 +70,10 @@ def main(argv=None) -> int:
     print("Setting initial conditions")
     print("Launching simulation")
 
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
     result = run_simulation(
         p,
         out_dir=args.out,
@@ -80,6 +86,11 @@ def main(argv=None) -> int:
         quirk_compat=not args.physics_correct,
         diagnostics_log=args.diag_log,
     )
+    if args.profile:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"profiler trace written to {args.profile}")
     print(
         f"{result.iterations} iterations in {result.wall_seconds:.3f}s "
         f"({result.mcells_per_s:.1f} Mcells/s)"

@@ -1,0 +1,31 @@
+"""Stability-map utility and runner-level backend parity."""
+
+import dataclasses
+
+import numpy as np
+
+from fdtd_tpu.params import Mode
+from fdtd_tpu.runner import run_simulation
+from fdtd_tpu.utils.stability import stability_map
+
+
+def test_stability_map_matches_cfl_prediction(tiny_params):
+    p = dataclasses.replace(tiny_params, dtype="float32")
+    limit = p.cfl_limit()  # ~1.92e-12 for dx=1mm
+    pts = stability_map(p, [0.5 * limit, 0.95 * limit, 1.6 * limit, 3.0 * limit])
+    for pt in pts:
+        assert pt.stable_observed == pt.stable_predicted, vars(pt)
+
+
+def test_runner_backend_parity(tiny_params, tmp_path):
+    """run_simulation must produce identical .vtr snapshots on the fast
+    backend (interpret mode on CPU) and the xla path."""
+    p = dataclasses.replace(tiny_params, dtype="float32", sampling_rate=10)
+    ra = run_simulation(p, out_dir=str(tmp_path / "a"))
+    rb = run_simulation(p, out_dir=str(tmp_path / "b"), backend="pallas_fused")
+    from fdtd_tpu.io.vtr import read_vtr_cell_arrays
+
+    a = read_vtr_cell_arrays(str(tmp_path / "a" / "result0020.vtr"))
+    b = read_vtr_cell_arrays(str(tmp_path / "b" / "result0020.vtr"))
+    for k in ["ex", "ey", "ez", "hx", "hy", "hz", "aEy", "aHx", "aHz"]:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=k)
