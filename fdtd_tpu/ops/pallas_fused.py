@@ -277,16 +277,18 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, tk,
 
 
 def _h_kernel2(p: Params, f_h, patch, Ib, W, tk,
-               ex_ref, ey_ref, ez_ref, hx_ref, hy_ref, hz_ref, chy_ref, chz_ref,
+               koff_ref, ex_ref, ey_ref, ez_ref, hx_ref, hy_ref, hz_ref, chy_ref, chz_ref,
                ohx, ohy, ohz):
     """H half-step on slab g+1 (k rows L..H); E windows carry one halo row up.
 
     Alias-safe: writes only H, whose blocks are read without cross-block
-    halos in this pass.
+    halos in this pass.  ``koff_ref`` holds the shard's global-k offset
+    (0 single-device) so the staggered/PEC masks and the source-patch
+    exclusion see *global* k indices under spatial sharding.
     """
     g = pl.program_id(0)
     K, J = p.maxk, p.maxj
-    L = g * tk
+    L = g * tk + koff_ref[0, 0]
 
     st = ex_ref.dtype
     cd = jnp.float32 if st == jnp.bfloat16 else st  # fp32 compute on bf16 storage
@@ -334,7 +336,7 @@ def _h_kernel2(p: Params, f_h, patch, Ib, W, tk,
 
 
 def _e_kernel2(p: Params, f_e, Ib, lossy, tk,
-               hx_ref, hy_ref, hz_ref, ex_ref, ey_ref, ez_ref,
+               koff_ref, hx_ref, hy_ref, hz_ref, ex_ref, ey_ref, ez_ref,
                *rest):
     """E half-step on slab g+1; H windows carry one halo row down.
 
@@ -349,7 +351,7 @@ def _e_kernel2(p: Params, f_e, Ib, lossy, tk,
         oex, oey, oez = rest
     g = pl.program_id(0)
     K, J = p.maxk, p.maxj
-    L = g * tk
+    L = g * tk + koff_ref[0, 0]
 
     st = ex_ref.dtype
     cd = jnp.float32 if st == jnp.bfloat16 else st
@@ -474,11 +476,13 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
             lambda g: ((g + ofs) * tk - 1, 0, 0),
             memory_space=pltpu.VMEM,
         )
-        aliases = {} if interpret else {3: 0, 4: 1, 5: 2}
+        smem = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
+        # aliases shift by one for the leading koff scalar input
+        aliases = {} if interpret else {4: 0, 5: 1, 6: 2}
         h_call = pl.pallas_call(
             functools.partial(_h_kernel2, p, f_h, patch, Ib, W, tk),
             grid=(nk,),
-            in_specs=[e_up] * 3 + [blk] * 3 + [cblk] * 2,
+            in_specs=[smem] + [e_up] * 3 + [blk] * 3 + [cblk] * 2,
             out_specs=[blk] * 3,
             out_shape=(bulk_shape,) * 3,
             input_output_aliases=aliases,
@@ -488,19 +492,24 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
         e_call = pl.pallas_call(
             functools.partial(_e_kernel2, p, f_e, Ib, lossy, tk),
             grid=(nk,),
-            in_specs=[h_dn] * 3 + [blk] * 3 + ([blk] * 6 if lossy else []),
+            in_specs=[smem] + [h_dn] * 3 + [blk] * 3 + ([blk] * 6 if lossy else []),
             out_specs=[blk] * 3,
             out_shape=(bulk_shape,) * 3,
             input_output_aliases=aliases,
             compiler_params=cp,
             interpret=interpret,
         )
+        zoff = jnp.zeros((1, 1), jnp.int32)
 
         def call(st, ex, ey, ez, hx, hy, hz, chy, chz):
-            hx, hy, hz = h_call(ex, ey, ez, hx, hy, hz, chy, chz)
+            hx, hy, hz = h_call(zoff, ex, ey, ez, hx, hy, hz, chy, chz)
             extra = (st.ca_x, st.ca_y, st.ca_z, st.cb_x, st.cb_y, st.cb_z) if lossy else ()
-            ex, ey, ez = e_call(hx, hy, hz, ex, ey, ez, *extra)
+            ex, ey, ez = e_call(zoff, hx, hy, hz, ex, ey, ez, *extra)
             return ex, ey, ez, hx, hy, hz
+
+        # exported for the sharded fast path (parallel/sharded_fast.py)
+        call.h_call = h_call
+        call.e_call = e_call
 
     else:
         # Single fused whole-step kernel.  NO aliasing: iteration g+1
@@ -545,3 +554,68 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
         )
 
     return step
+
+
+def build_twopass_calls(p: Params, coefs: UpdateCoefs, S: int, nk: int,
+                        interpret: bool, tk: int | None = None):
+    """Two-pass (h_call, e_call, tk) for an arbitrary storage layout.
+
+    Used by the sharded fast path (fdtd_tpu.parallel.sharded_fast), whose
+    per-shard arrays have ``S`` storage rows (dead slab + local physical
+    rows + top halo/pad) and ``nk`` output tiles.  Calls take a leading
+    (1, 1) int32 global-k offset.  Vacuum only.
+    """
+    if not isinstance(coefs.ca_x, (int, float)) or coefs.ca_x != 1.0:
+        raise NotImplementedError("sharded fast path supports vacuum only")
+    _, J1, Ib = dims(p)
+    W = corr_width(Ib)
+    if tk is None:
+        tk = tile_k(p)
+    ofs = D // tk
+    dtype = jnp.dtype(p.dtype)
+    compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
+    f_h = compute_dtype.type(coefs.h_factor)
+    f_e = compute_dtype.type(coefs.cb_x)
+    inject = p.mode == Mode.COMPUTATION
+    patch = None
+    if inject:
+        plan = make_source_plan(p)
+        patch = (plan.j0, plan.j1, plan.i0, plan.i1)
+
+    bulk_shape = jax.ShapeDtypeStruct((S, J1, Ib), dtype)
+    blk = pl.BlockSpec((tk, J1, Ib), lambda g: (g + ofs, 0, 0), memory_space=pltpu.VMEM)
+    cblk = pl.BlockSpec((tk, J1, W), lambda g: (g + ofs, 0, 0), memory_space=pltpu.VMEM)
+    e_up = pl.BlockSpec(
+        (pl.Element(tk + 1, (0, 1)), pl.Element(J1), pl.Element(Ib)),
+        lambda g: ((g + ofs) * tk, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    h_dn = pl.BlockSpec(
+        (pl.Element(tk + 1, (0, 0)), pl.Element(J1), pl.Element(Ib)),
+        lambda g: ((g + ofs) * tk - 1, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    smem = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
+    cp = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+    aliases = {} if interpret else {4: 0, 5: 1, 6: 2}
+    h_call = pl.pallas_call(
+        functools.partial(_h_kernel2, p, f_h, patch, Ib, W, tk),
+        grid=(nk,),
+        in_specs=[smem] + [e_up] * 3 + [blk] * 3 + [cblk] * 2,
+        out_specs=[blk] * 3,
+        out_shape=(bulk_shape,) * 3,
+        input_output_aliases=aliases,
+        compiler_params=cp,
+        interpret=interpret,
+    )
+    e_call = pl.pallas_call(
+        functools.partial(_e_kernel2, p, f_e, Ib, False, tk),
+        grid=(nk,),
+        in_specs=[smem] + [h_dn] * 3 + [blk] * 3,
+        out_specs=[blk] * 3,
+        out_shape=(bulk_shape,) * 3,
+        input_output_aliases=aliases,
+        compiler_params=cp,
+        interpret=interpret,
+    )
+    return h_call, e_call, tk

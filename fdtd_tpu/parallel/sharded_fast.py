@@ -1,0 +1,244 @@
+"""Multi-chip fast path: the Pallas two-pass kernels inside shard_map.
+
+Combines the single-chip stripped-layout kernels (fdtd_tpu.ops.pallas_fused)
+with 1-D spatial decomposition along k over a ``Mesh`` 'z' axis — the
+production analogue of the reference's MPI slab branch, but with the hot
+loop still running as hand-built TPU kernels on every shard:
+
+- each shard owns ``Klp`` physical k rows stored with its own dead slab
+  below (D rows, so the kernels' window math is unchanged) and a D-row pad
+  above whose first row is the *top E halo slot*;
+- per step, exactly four one-row planes cross shard boundaries over ICI as
+  ``lax.ppermute`` shifts: Ex/Ey move toward -z before the H pass (the H
+  update reads E at k+1) and Hx'/Hy' move toward +z before the E pass (the
+  E update reads H at k-1) — precisely the reference MPI branch's exchange
+  pattern (description.pdf section 2.2, Figs. 2-3);
+- the staggered/PEC masks see *global* k via a per-shard scalar offset fed
+  to the kernels through SMEM, so boundary handling and the source-patch
+  exclusion stay exact under any shard count.
+
+Strips (the i=maxi boundary columns) stay replicated in the canonical
+stripped layout: they are tiny, frozen (Ey/Ez) or write-only (Hx), and
+their update is a 2-D jnp op outside shard_map.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..params import Mode, Params
+from ..state import FieldState, Materials, UpdateCoefs, update_coefs
+from ..ops.pallas_fused import (
+    D,
+    StrippedState,
+    build_twopass_calls,
+    corr_width,
+    dims,
+    tile_k,
+    to_full,
+    to_stripped,
+)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["ex", "ey", "ez", "hx", "hy", "hz", "corr_hy", "corr_hz", "ey_s", "ez_s", "hx_s"],
+    meta_fields=[],
+)
+@dataclasses.dataclass
+class ShardedFastState:
+    """Bulks/corr in the per-shard layout (n*S_sh rows, sharded over 'z');
+    strips in the canonical stripped layout, replicated."""
+
+    ex: jax.Array
+    ey: jax.Array
+    ez: jax.Array
+    hx: jax.Array
+    hy: jax.Array
+    hz: jax.Array
+    corr_hy: jax.Array
+    corr_hz: jax.Array
+    ey_s: jax.Array
+    ez_s: jax.Array
+    hx_s: jax.Array
+
+
+def _geometry(p: Params, n: int):
+    S_c, J1p, Ib = dims(p)
+    K1 = p.padded_shape[0]
+    Klp = -(-K1 // n)  # ceil
+    Klp = ((Klp + D - 1) // D) * D  # tile-aligned local rows
+    S_sh = D + Klp + D
+    return S_c, J1p, Ib, K1, Klp, S_sh
+
+
+def _reshard(a, n, src_rows, Klp, S_sh, lead_pad=D):
+    """(src_rows, J, X) canonical-physical -> (n*S_sh, J, X) per-shard."""
+    total = n * Klp
+    a = jnp.pad(a, ((0, total - a.shape[0]), (0, 0), (0, 0)))
+    a = a.reshape(n, Klp, *a.shape[1:])
+    a = jnp.pad(a, ((0, 0), (lead_pad, S_sh - Klp - lead_pad), (0, 0), (0, 0)))
+    return a.reshape(n * S_sh, *a.shape[2:])
+
+
+def to_sharded_fast(p: Params, s: FieldState, mesh: Mesh) -> ShardedFastState:
+    n = mesh.shape["z"]
+    S_c, J1p, Ib, K1, Klp, S_sh = _geometry(p, n)
+    st = to_stripped(p, s)
+
+    def phys(a):  # canonical stripped -> physical rows only
+        return a[D : D + K1]
+
+    bulk_sh = NamedSharding(mesh, P("z", None, None))
+    rep = NamedSharding(mesh, P(None, None, None))
+
+    def emb(a):
+        return jax.device_put(_reshard(phys(a), n, K1, Klp, S_sh), bulk_sh)
+
+    return ShardedFastState(
+        ex=emb(st.ex), ey=emb(st.ey), ez=emb(st.ez),
+        hx=emb(st.hx), hy=emb(st.hy), hz=emb(st.hz),
+        corr_hy=emb(st.corr_hy), corr_hz=emb(st.corr_hz),
+        ey_s=jax.device_put(st.ey_s, rep),
+        ez_s=jax.device_put(st.ez_s, rep),
+        hx_s=jax.device_put(st.hx_s, rep),
+    )
+
+
+def from_sharded_fast(p: Params, st: ShardedFastState, mesh: Mesh) -> FieldState:
+    n = mesh.shape["z"]
+    S_c, J1p, Ib, K1, Klp, S_sh = _geometry(p, n)
+
+    def unshard(a):
+        a = a.reshape(n, S_sh, *a.shape[1:])[:, D : D + Klp]
+        return a.reshape(n * Klp, *a.shape[2:])[:K1]
+
+    canon = StrippedState(
+        ex=jnp.zeros((S_c, J1p, Ib), st.ex.dtype).at[D : D + K1].set(unshard(st.ex)),
+        ey=jnp.zeros((S_c, J1p, Ib), st.ex.dtype).at[D : D + K1].set(unshard(st.ey)),
+        ez=jnp.zeros((S_c, J1p, Ib), st.ex.dtype).at[D : D + K1].set(unshard(st.ez)),
+        hx=jnp.zeros((S_c, J1p, Ib), st.ex.dtype).at[D : D + K1].set(unshard(st.hx)),
+        hy=jnp.zeros((S_c, J1p, Ib), st.ex.dtype).at[D : D + K1].set(unshard(st.hy)),
+        hz=jnp.zeros((S_c, J1p, Ib), st.ex.dtype).at[D : D + K1].set(unshard(st.hz)),
+        ey_s=st.ey_s, ez_s=st.ez_s, hx_s=st.hx_s,
+        corr_hy=jnp.zeros((S_c, J1p, corr_width(Ib)), st.ex.dtype),
+        corr_hz=jnp.zeros((S_c, J1p, corr_width(Ib)), st.ex.dtype),
+    )
+    return to_full(p, canon)
+
+
+def make_sharded_fast_step(p: Params, mesh: Mesh, interpret: bool | None = None):
+    """``step(state: ShardedFastState, (t, amp)) -> ShardedFastState``."""
+    if interpret is None:
+        dd = jax.config.jax_default_device
+        interpret = (dd.platform != "tpu") if dd is not None else (jax.default_backend() != "tpu")
+    n = mesh.shape["z"]
+    coefs = update_coefs(p, None)
+    S_c, J1p, Ib, K1, Klp, S_sh = _geometry(p, n)
+    tk = tile_k(p)
+    nk_local = Klp // tk
+    h_call, e_call, tk = build_twopass_calls(p, coefs, S_sh, nk_local, interpret, tk=tk)
+
+    dtype = jnp.dtype(p.dtype)
+    compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
+    f_h = compute_dtype.type(coefs.h_factor)
+    inject = p.mode == Mode.COMPUTATION
+    if inject:
+        from ..source import make_source_plan
+
+        plan = make_source_plan(p)
+
+    up = [(i, i - 1) for i in range(1, n)]    # receive next shard's plane
+    down = [(i, i + 1) for i in range(n - 1)]  # receive previous shard's plane
+
+    def local_step(koff2, ex, ey, ez, hx, hy, hz, chy, chz):
+        # top E halo: next shard's first physical Ex/Ey rows -> slot D+Klp
+        ex_first = lax.slice_in_dim(ex, D, D + 1, axis=0)
+        ey_first = lax.slice_in_dim(ey, D, D + 1, axis=0)
+        ex_h = lax.ppermute(ex_first, "z", up) if n > 1 else jnp.zeros_like(ex_first)
+        ey_h = lax.ppermute(ey_first, "z", up) if n > 1 else jnp.zeros_like(ey_first)
+        ex = lax.dynamic_update_slice_in_dim(ex, ex_h, D + Klp, axis=0)
+        ey = lax.dynamic_update_slice_in_dim(ey, ey_h, D + Klp, axis=0)
+
+        hx, hy, hz = h_call(koff2, ex, ey, ez, hx, hy, hz, chy, chz)
+
+        # bottom H halo: previous shard's last physical Hx/Hy rows -> row D-1
+        hx_last = lax.slice_in_dim(hx, D + Klp - 1, D + Klp, axis=0)
+        hy_last = lax.slice_in_dim(hy, D + Klp - 1, D + Klp, axis=0)
+        hx_h = lax.ppermute(hx_last, "z", down) if n > 1 else jnp.zeros_like(hx_last)
+        hy_h = lax.ppermute(hy_last, "z", down) if n > 1 else jnp.zeros_like(hy_last)
+        hx = lax.dynamic_update_slice_in_dim(hx, hx_h, D - 1, axis=0)
+        hy = lax.dynamic_update_slice_in_dim(hy, hy_h, D - 1, axis=0)
+
+        ex, ey, ez = e_call(koff2, hx, hy, hz, ex, ey, ez)
+        return ex, ey, ez, hx, hy, hz
+
+    def shard_body(ex, ey, ez, hx, hy, hz, chy, chz):
+        r = lax.axis_index("z")
+        koff2 = (r * Klp).astype(jnp.int32).reshape(1, 1)
+        return local_step(koff2, ex, ey, ez, hx, hy, hz, chy, chz)
+
+    bspec = P("z", None, None)
+    smap = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(bspec,) * 8,
+        out_specs=(bspec,) * 6,
+        check_vma=False,  # pallas_call outputs don't carry vma metadata
+    )
+
+    K, J = p.maxk, p.maxj
+
+    def step(st: ShardedFastState, x) -> ShardedFastState:
+        _t, amp = x
+        if inject:
+            amp_j = jnp.asarray(amp)
+            prof_row = jnp.asarray(plan.profile, dtype=jnp.result_type(amp_j))
+            row = amp_j * prof_row
+            nj, ni = plan.j1 - plan.j0, len(plan.profile)
+            pv = jnp.broadcast_to(row[None, :], (nj, ni))
+            zero = jnp.zeros((nj, ni), dtype)
+            sl = (D, slice(plan.j0, plan.j1), slice(plan.i0, plan.i1))
+            st = dataclasses.replace(
+                st,
+                ez=st.ez.at[sl].set(pv.astype(dtype)),
+                ex=st.ex.at[sl].set(zero),
+                hz=st.hz.at[sl].set(zero),
+                hx=st.hx.at[sl].set((-plan.inv_z_te * pv).astype(dtype)),
+            )
+        ex, ey, ez, hx, hy, hz = smap(
+            st.ex, st.ey, st.ez, st.hx, st.hy, st.hz, st.corr_hy, st.corr_hz
+        )
+        # Hx strip update on the replicated canonical strips
+        ey_s2 = st.ey_s[:, :, 0]
+        ez_s2 = st.ez_s[:, :, 0]
+        sl = (slice(D, D + K), slice(0, J))
+        curl = (ey_s2[D + 1 : D + K + 1, :J] - ey_s2[sl]) - (
+            ez_s2[D : D + K, 1 : J + 1] - ez_s2[sl]
+        )
+        hx_s = st.hx_s.at[sl[0], sl[1], 0].add((f_h * curl).astype(st.hx_s.dtype))
+        return dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
+
+    return step
+
+
+def make_sharded_fast_runner(p: Params, mesh: Mesh, interpret: bool | None = None):
+    """Jitted ``run(state, xs) -> state`` scanning the sharded fast step."""
+    step = make_sharded_fast_step(p, mesh, interpret)
+
+    @jax.jit
+    def run(st, xs):
+        def body(st, x):
+            return step(st, x), None
+
+        st, _ = lax.scan(body, st, xs)
+        return st
+
+    return run

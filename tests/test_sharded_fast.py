@@ -1,0 +1,53 @@
+"""Multi-chip fast path: pallas kernels inside shard_map (CPU interpret)."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from fdtd_tpu.params import Mode, time_values
+from fdtd_tpu.parallel.mesh import make_mesh
+from fdtd_tpu.parallel.sharded_fast import (
+    from_sharded_fast,
+    make_sharded_fast_runner,
+    to_sharded_fast,
+)
+from fdtd_tpu.state import init_validation, zeros
+from fdtd_tpu.step import make_chunk_runner, scan_inputs
+
+COMPONENTS = ["ex", "ey", "ez", "hx", "hy", "hz"]
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices("cpu")) < 8, reason="needs 8 virtual devices"
+)
+
+
+@pytest.mark.parametrize("nz", [2, 8])
+@pytest.mark.parametrize("mode", [Mode.VALIDATION, Mode.COMPUTATION])
+def test_sharded_fast_matches_single_device(tiny_params, mode, nz):
+    p = dataclasses.replace(tiny_params, dtype="float32")
+    p = dataclasses.replace(p, mode=mode)
+    n_steps = 10
+
+    s0 = init_validation(p) if mode == Mode.VALIDATION else zeros(p)
+    run_ref = make_chunk_runner(p)
+    xs = scan_inputs(p, time_values(p)[:n_steps])
+    want, _ = run_ref(s0, xs, None)
+
+    mesh = make_mesh(nz, (nz, 1, 1), devices=jax.devices("cpu"))
+    st = to_sharded_fast(p, s0, mesh)
+    run = make_sharded_fast_runner(p, mesh, interpret=True)
+    st = run(st, xs)
+    got = from_sharded_fast(p, st, mesh)
+    for c in COMPONENTS:
+        g = np.asarray(getattr(got, c))
+        w = np.asarray(getattr(want, c))
+        if c == "hx":
+            # the i=maxi strip column holds ~1e-19 values fed by the frozen
+            # sin(pi)~1e-16 Ey boundary; XLA may fuse its update with an FMA,
+            # giving ulp-of-nothing differences there. Bulk must be exact.
+            np.testing.assert_array_equal(g[:, :, : p.maxi], w[:, :, : p.maxi], err_msg=c)
+            np.testing.assert_allclose(g[:, :, p.maxi], w[:, :, p.maxi], atol=1e-22, err_msg=c)
+        else:
+            np.testing.assert_array_equal(g, w, err_msg=c)
