@@ -19,6 +19,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np
 
 from fdtd_tpu.params import Mode, Params, SourceConfig
@@ -30,7 +34,7 @@ BASELINE_MCELLS = 74.0
 
 def bench(n=256, steps=1000, dtype="float32", backend=None, warmup_steps=50):
     if backend is None:
-        backend = os.environ.get("FDTD_BENCH_BACKEND", "pallas_fused")
+        backend = os.environ.get("FDTD_BENCH_BACKEND", "pallas_temporal")
     dx = 0.001
     p = Params(
         length=n * dx,
@@ -46,11 +50,14 @@ def bench(n=256, steps=1000, dtype="float32", backend=None, warmup_steps=50):
     )
     assert p.maxi == n, p.maxi
 
-    try:
-        run = make_chunk_runner(p, backend=backend)
-    except Exception:
-        backend = "xla"
-        run = make_chunk_runner(p, backend=backend)
+    run = None
+    for cand in (backend, "pallas_fused", "xla"):
+        try:
+            run = make_chunk_runner(p, backend=cand)
+            backend = cand
+            break
+        except Exception:
+            continue
 
     from fdtd_tpu.step import backend_adapters
 

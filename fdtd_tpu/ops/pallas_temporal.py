@@ -1,0 +1,322 @@
+"""Temporally-blocked kernel: TWO leapfrog steps per HBM sweep.
+
+The two-pass kernels are HBM-bound at ~75 B/cell/step; the information
+floor for one step is 48 B/cell (read+write all six fields once).  Temporal
+blocking goes *below* that floor per step: each sweep reads E/H once (with
+a deeper halo), advances the block TWO steps entirely in VMEM —
+
+    H1 = H0 + curl(E0)   on rows L-2 .. H+1
+    E1 = E0 + curl(H1)   on rows L-1 .. H+1
+    [source at t+dt injected into E1/H1's k=0 rows]
+    H2 = H1 + curl(E1)   on rows L-1 .. H
+    E2 = E1 + curl(H2)   on rows L   .. H
+
+— and writes only the step-2 results: ~35 B/cell/step at tk=8 (halo rows
+are recomputed redundantly; compute is free, the stencil is memory-bound).
+This is the classic wavefront/temporal-blocking optimization (cf. the
+multicore wavefront-diamond literature), shaped for Mosaic's block
+pipeline.
+
+No aliasing: the deep halo reads rows two blocks below the write frontier,
+which an in-place update would have already overwritten.  Outputs ping-pong
+(2x HBM for the state; race-free by construction).
+
+Source semantics are exact: the state arrives with the step-1 injection
+already applied (outside, as in pallas_fused); the step-2 injection uses
+drive planes computed outside exactly like fdtd_tpu.source.apply_source and
+surgically applied to the k=0 row of the E1/H1 intermediates, plus the
+static patch exclusion on both H updates (QUIRKS #4 semantics twice).
+
+Only profitable at tile_k == 8 (the deep halos dominate at small tiles);
+``supported(p)`` gates usage, callers fall back to pallas_fused.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import Mode, Params
+from ..source import make_source_plan
+from ..state import UpdateCoefs
+from .pallas_fused import D, StrippedState, corr_width, dims, tile_k
+
+TKT = 8  # temporal blocking only pays at the full tile
+
+
+def supported(p: Params, coefs: UpdateCoefs) -> bool:
+    # fp32 only: the bf16 variant compiles but hits a Mosaic runtime fault
+    # (TPU worker crash) at 256^3 window sizes; bf16 runs use pallas_fused.
+    return (
+        isinstance(coefs.ca_x, (int, float))
+        and coefs.ca_x == 1.0
+        and jnp.dtype(p.dtype) == jnp.float32
+        and tile_k(p) == TKT
+        and (dims(p)[0] - D) // TKT >= 2
+    )
+
+
+def _curl_h(tk_rows, f_h, Ib, W, lane, gk, jj, K, J, patch,
+            ex, ex1, ey, ey1, ez, chy, chz):
+    """H update on ``tk_rows`` rows given same-row E and E at k+1."""
+    zf = jnp.zeros((), ex.dtype)
+    ey_px = jnp.where(lane == Ib - 1, zf, jnp.roll(ey, -1, axis=2))
+    ez_px = jnp.where(lane == Ib - 1, zf, jnp.roll(ez, -1, axis=2))
+    ez_py = jnp.roll(ez, -1, axis=1)
+    ex_py = jnp.roll(ex, -1, axis=1)
+
+    inc_hx = (ey1 - ey) - (ez_py - ez)
+    inc_hy = (ez_px - ez) - (ex1 - ex)
+    inc_hz = (ex_py - ex) - (ey_px - ey)
+    if W == Ib:
+        inc_hy = inc_hy + chy
+        inc_hz = inc_hz + chz
+    else:
+        inc_hy = jnp.concatenate([inc_hy[:, :, : Ib - W], inc_hy[:, :, Ib - W :] + chy], axis=2)
+        inc_hz = jnp.concatenate([inc_hz[:, :, : Ib - W], inc_hz[:, :, Ib - W :] + chz], axis=2)
+
+    m_hx = (gk < K) & (jj < J)
+    m_hy = gk < K
+    m_hz = (gk < K + 1) & (jj < J)
+    if patch is not None:
+        j0, j1, i0, i1 = patch
+        m_p = (gk == 0) & (jj >= j0) & (jj < j1) & (lane >= i0) & (lane < i1)
+        m_hx = m_hx & ~m_p
+        m_hz = m_hz & ~m_p
+    return m_hx, m_hy, m_hz, f_h * inc_hx, f_h * inc_hy, f_h * inc_hz
+
+
+def _curl_e(f_e, gk, jj, lane, K, J,
+            hx, hx_m1, hy, hy_m1, hz):
+    hz_my = jnp.roll(hz, 1, axis=1)
+    hz_mx = jnp.roll(hz, 1, axis=2)
+    hy_mx = jnp.roll(hy, 1, axis=2)
+    hx_my = jnp.roll(hx, 1, axis=1)
+    m_ex = (gk >= 1) & (gk < K) & (jj >= 1) & (jj < J)
+    m_ey = (gk >= 1) & (gk < K) & (jj < J) & (lane >= 1)
+    m_ez = (gk < K) & (jj >= 1) & (jj < J) & (lane >= 1)
+    inc_x = f_e * ((hz - hz_my) - (hy - hy_m1))
+    inc_y = f_e * ((hx - hx_m1) - (hz - hz_mx))
+    inc_z = f_e * ((hy - hy_mx) - (hx - hx_my))
+    return m_ex, m_ey, m_ez, inc_x, inc_y, inc_z
+
+
+def _iotas(shape, L0):
+    gk = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + L0
+    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
+    return gk, jj, lane
+
+
+def _kernel(p: Params, f_h, f_e, patch, Ib, W, tk, s,
+            koff_ref, ex_ref, ey_ref, ez_ref, hx_ref, hy_ref, hz_ref,
+            chy_ref, chz_ref, de2_ref, dh2_ref,
+            oex, oey, oez, ohx, ohy, ohz):
+    """s leapfrog steps per sweep, statically unrolled (tight spans).
+
+    Invariant entering pair m (1-based): E spans k rows [g, g+n_e-1] with
+    n_e = tk + 2(s-m+1), H spans [g, g+n_e-2], g = L-s+m-1.  The H update
+    covers H's full span (needs E at k+1: exactly E's top row); the E update
+    then drops one row at each... bottom (needs H' at k-1), and H is trimmed
+    one row at both ends for the next pair.  After s pairs E covers [L, H]
+    and H' covers [L-1, H] whose top tk rows are the output block.
+    """
+    g_id = pl.program_id(0)
+    K, J = p.maxk, p.maxj
+    L = g_id * tk + koff_ref[0, 0]
+
+    st = ex_ref.dtype
+    cd = jnp.float32 if st == jnp.bfloat16 else st
+    ex = ex_ref[:].astype(cd)   # rows L-s .. H+s-1+1  (tk+2s)
+    ey = ey_ref[:].astype(cd)
+    ez = ez_ref[:].astype(cd)
+    hx = hx_ref[:].astype(cd)   # rows L-s .. H+s-1    (tk+2s-1)
+    hy = hy_ref[:].astype(cd)
+    hz = hz_ref[:].astype(cd)
+    chy_w = chy_ref[:].astype(cd)  # rows L-s .. H+s-1
+    chz_w = chz_ref[:].astype(cd)
+
+    if patch is not None:
+        de2 = de2_ref[:].astype(cd)  # (s-1 or 1, J1, Ib): drive rows t+m*dt
+        dh2 = dh2_ref[:].astype(cd)
+        j0, j1, i0, i1 = patch
+        mrow = (
+            (jax.lax.broadcasted_iota(jnp.int32, ex.shape[1:], 0) >= j0)
+            & (jax.lax.broadcasted_iota(jnp.int32, ex.shape[1:], 0) < j1)
+            & (jax.lax.broadcasted_iota(jnp.int32, ex.shape[1:], 1) >= i0)
+            & (jax.lax.broadcasted_iota(jnp.int32, ex.shape[1:], 1) < i1)
+        )
+
+    zr = jnp.zeros((), cd)
+    g_lo = L - s  # global k of the current bottom row (traced)
+
+    for m in range(1, s + 1):
+        n_h = hx.shape[0]
+        # ---- H update on H's full span ----
+        gkh, jjh, lnh = _iotas((n_h,) + ex.shape[1:], g_lo)
+        coff = m - 1
+        m_hx, m_hy, m_hz, ix, iy, iz = _curl_h(
+            n_h, f_h, Ib, W, lnh, gkh, jjh, K, J, patch,
+            ex[:n_h], ex[1 : n_h + 1], ey[:n_h], ey[1 : n_h + 1], ez[:n_h],
+            chy_w[coff : coff + n_h], chz_w[coff : coff + n_h],
+        )
+        hx = jnp.where(m_hx, hx + ix, hx)
+        hy = jnp.where(m_hy, hy + iy, hy)
+        hz = jnp.where(m_hz, hz + iz, hz)
+
+        # ---- E update on rows [g_lo+1 .. g_lo+n_h-1] ----
+        n_e = n_h - 1
+        gke, jje, lne = _iotas((n_e,) + ex.shape[1:], g_lo + 1)
+        m_ex, m_ey, m_ez, jx, jy, jz = _curl_e(
+            f_e, gke, jje, lne, K, J,
+            hx[1:], hx[:-1], hy[1:], hy[:-1], hz[1:],
+        )
+        e0x = ex[1 : n_e + 1]
+        e0y = ey[1 : n_e + 1]
+        e0z = ez[1 : n_e + 1]
+        ex = jnp.where(m_ex, e0x + jx, e0x)
+        ey = jnp.where(m_ey, e0y + jy, e0y)
+        ez = jnp.where(m_ez, e0z + jz, e0z)
+
+        if m < s:
+            # trim H to [g_lo+1 .. g_lo+n_h-2] for the next pair
+            hx = hx[1 : n_h - 1]
+            hy = hy[1 : n_h - 1]
+            hz = hz[1 : n_h - 1]
+            g_lo = g_lo + 1
+            if patch is not None:
+                # source application for t + m*dt on the k==0 rows
+                m0e = (gke == 0) & mrow[None, :, :]
+                ez = jnp.where(m0e, de2[m - 1][None, :, :], ez)
+                ex = jnp.where(m0e, zr, ex)
+                gkh2, _, _ = _iotas((hx.shape[0],) + ex.shape[1:], g_lo)
+                m0h = (gkh2 == 0) & mrow[None, :, :]
+                hx = jnp.where(m0h, dh2[m - 1][None, :, :], hx)
+                hz = jnp.where(m0h, zr, hz)
+        else:
+            hx = hx[1:]
+            hy = hy[1:]
+            hz = hz[1:]
+
+    oex[:] = ex.astype(st)
+    oey[:] = ey.astype(st)
+    oez[:] = ez.astype(st)
+    ohx[:] = hx.astype(st)
+    ohy[:] = hy.astype(st)
+    ohz[:] = hz.astype(st)
+
+
+def make_temporal_pair_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None,
+                            s: int = 2):
+    """Build ``group_step(state, xs_group) -> state`` advancing ``s`` steps.
+
+    ``xs_group`` = (t_vec, amp_vec) with s entries each (from lax.scan over
+    reshaped inputs)."""
+    if not supported(p, coefs):
+        raise NotImplementedError("temporal blocking unsupported for this config")
+    assert 2 <= s <= TKT, s
+    if interpret is None:
+        dd = jax.config.jax_default_device
+        interpret = (dd.platform != "tpu") if dd is not None else (jax.default_backend() != "tpu")
+
+    S, J1, Ib = dims(p)
+    W = corr_width(Ib)
+    tk = TKT
+    ofs = D // tk
+    nk = (S - D) // tk
+    dtype = jnp.dtype(p.dtype)
+    compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
+    f_h = compute_dtype.type(coefs.h_factor)
+    f_e = compute_dtype.type(coefs.cb_x)
+    inject = p.mode == Mode.COMPUTATION
+    plan = make_source_plan(p) if inject else None
+    patch = (plan.j0, plan.j1, plan.i0, plan.i1) if inject else None
+
+    bulk_shape = jax.ShapeDtypeStruct((S, J1, Ib), dtype)
+    e_win = pl.BlockSpec(
+        (pl.Element(tk + 2 * s, (0, s)), pl.Element(J1), pl.Element(Ib)),
+        lambda g: ((g + ofs) * tk - s, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    h_win = pl.BlockSpec(
+        (pl.Element(tk + 2 * s - 1, (0, s - 1)), pl.Element(J1), pl.Element(Ib)),
+        lambda g: ((g + ofs) * tk - s, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    c_win = pl.BlockSpec(
+        (pl.Element(tk + 2 * s - 1, (0, s - 1)), pl.Element(J1), pl.Element(W)),
+        lambda g: ((g + ofs) * tk - s, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    nd = max(s - 1, 1)
+    drv_spec = pl.BlockSpec((nd, J1, Ib), lambda g: (0, 0, 0), memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
+    out_spec = pl.BlockSpec((tk, J1, Ib), lambda g: (g + ofs, 0, 0), memory_space=pltpu.VMEM)
+
+    call = pl.pallas_call(
+        functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, tk, s),
+        grid=(nk,),
+        in_specs=[smem] + [e_win] * 3 + [h_win] * 3 + [c_win] * 2 + [drv_spec] * 2,
+        out_specs=[out_spec] * 6,
+        out_shape=(bulk_shape,) * 6,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )
+
+    K, J = p.maxk, p.maxj
+    zoff = jnp.zeros((1, 1), jnp.int32)
+    zero_drv = jnp.zeros((nd, J1, Ib), dtype)
+
+    def drive_patch(amp):
+        amp_j = jnp.asarray(amp)
+        prof_row = jnp.asarray(plan.profile, dtype=jnp.result_type(amp_j))
+        row = amp_j * prof_row
+        nj, ni = plan.j1 - plan.j0, len(plan.profile)
+        return jnp.broadcast_to(row[None, :], (nj, ni))
+
+    def inject_state(st: StrippedState, pv) -> StrippedState:
+        zero = jnp.zeros_like(pv).astype(dtype)
+        sl = (D, slice(plan.j0, plan.j1), slice(plan.i0, plan.i1))
+        return dataclasses.replace(
+            st,
+            ez=st.ez.at[sl].set(pv.astype(dtype)),
+            ex=st.ex.at[sl].set(zero),
+            hz=st.hz.at[sl].set(zero),
+            hx=st.hx.at[sl].set((-plan.inv_z_te * pv).astype(dtype)),
+        )
+
+    def group_step(st: StrippedState, xs_group) -> StrippedState:
+        ts_g, amps_g = xs_group  # each of length s
+        if inject:
+            st = inject_state(st, drive_patch(amps_g[0]))
+            de2 = zero_drv
+            dh2 = zero_drv
+            sl = (slice(0, nd), slice(plan.j0, plan.j1), slice(plan.i0, plan.i1))
+            pvs = jnp.stack([drive_patch(amps_g[m]) for m in range(1, s)])  # (s-1, nj, ni)
+            de2 = de2.at[sl].set(pvs.astype(dtype))
+            dh2 = dh2.at[sl].set((-plan.inv_z_te * pvs).astype(dtype))
+        else:
+            de2 = dh2 = zero_drv
+        ex, ey, ez, hx, hy, hz = call(
+            zoff, st.ex, st.ey, st.ez, st.hx, st.hy, st.hz,
+            st.corr_hy, st.corr_hz, de2, dh2,
+        )
+        # Hx strip: s steps' worth (frozen Ey/Ez strips -> same curl each step)
+        ey_s2 = st.ey_s[:, :, 0]
+        ez_s2 = st.ez_s[:, :, 0]
+        sl2 = (slice(D, D + K), slice(0, J))
+        curl = (ey_s2[D + 1 : D + K + 1, :J] - ey_s2[sl2]) - (
+            ez_s2[D : D + K, 1 : J + 1] - ez_s2[sl2]
+        )
+        hx_s = st.hx_s
+        for _ in range(s):
+            hx_s = hx_s.at[sl2[0], sl2[1], 0].add((f_h * curl).astype(st.hx_s.dtype))
+        return dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
+
+    return group_step

@@ -115,9 +115,41 @@ def make_chunk_runner(
     density for SAR/heating maps (lossy materials only).
     """
     coefs = update_coefs(p, materials)
-    step = make_step(p, materials, backend, coefs=coefs)
     sigma = coefs.sigma_cells
     dt_step = p.time_step
+
+    if backend == "pallas_temporal":
+        # two steps per HBM sweep (ops/pallas_temporal.py); odd trailing step
+        # falls back to one two-pass step.  Uses the same StrippedState.
+        if accumulate_power:
+            raise NotImplementedError("power accumulation needs per-step states; use pallas_fused")
+        import os as _os
+
+        from .ops.pallas_temporal import make_temporal_pair_step
+
+        sgrp = int(_os.environ.get("FDTD_TEMPORAL_STEPS", "4"))
+        group_step = make_temporal_pair_step(p, coefs, s=sgrp)
+        odd_step = make_step(p, coefs=coefs, backend="pallas_fused")
+
+        @jax.jit
+        def run_groups(s, xs, power_acc=None):
+            ts, amps = xs
+            n = ts.shape[0]
+            n_grp = n // sgrp
+            if n_grp:
+                gts = (ts[: sgrp * n_grp].reshape(n_grp, sgrp), amps[: sgrp * n_grp].reshape(n_grp, sgrp))
+                def body(s, x):
+                    return group_step(s, x), None
+
+                s, _ = jax.lax.scan(body, s, gts)
+            for r in range(n % sgrp):
+                idx = sgrp * n_grp + r
+                s = odd_step(s, (ts[idx], amps[idx]))
+            return s, power_acc
+
+        return run_groups
+
+    step = make_step(p, materials, backend, coefs=coefs)
     _, restore = backend_adapters(p, backend)  # restore is materials-agnostic
 
     @jax.jit
@@ -154,7 +186,7 @@ def backend_adapters(p: Params, backend: str, materials: Materials | None = None
         return (lambda s: pad_state_k(p, s)), (
             lambda s: jax.tree.map(lambda a: a[:K1], s)
         )
-    if backend in ("pallas_fused", "pallas_inplace"):
+    if backend in ("pallas_fused", "pallas_inplace", "pallas_temporal"):
         from .ops.pallas_fused import to_full, to_stripped
 
         coefs = update_coefs(p, materials) if materials is not None else None
