@@ -265,7 +265,7 @@ def make_temporal_pair_step(p: Params, coefs: UpdateCoefs, interpret: bool | Non
         in_specs=[smem] + [e_win] * 3 + [h_win] * 3 + [c_win] * 2 + [drv_spec] * 2,
         out_specs=[out_spec] * 6,
         out_shape=(bulk_shape,) * 6,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=126 * 1024 * 1024),
         interpret=interpret,
     )
 
