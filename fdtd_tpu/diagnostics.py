@@ -18,7 +18,7 @@ import numpy as np
 
 from .constants import EPSILON, MU
 from .params import Params
-from .state import FieldState, Materials
+from .state import FieldState
 
 
 def _acc_dtype(x):

@@ -1,18 +1,12 @@
-"""Temporally-blocked kernel: TWO leapfrog steps per HBM sweep.
+"""Temporally-blocked kernel: s leapfrog steps per HBM sweep (default 4).
 
 The two-pass kernels are HBM-bound at ~75 B/cell/step; the information
 floor for one step is 48 B/cell (read+write all six fields once).  Temporal
 blocking goes *below* that floor per step: each sweep reads E/H once (with
-a deeper halo), advances the block TWO steps entirely in VMEM —
-
-    H1 = H0 + curl(E0)   on rows L-2 .. H+1
-    E1 = E0 + curl(H1)   on rows L-1 .. H+1
-    [source at t+dt injected into E1/H1's k=0 rows]
-    H2 = H1 + curl(E1)   on rows L-1 .. H
-    E2 = E1 + curl(H2)   on rows L   .. H
-
-— and writes only the step-2 results: ~35 B/cell/step at tk=8 (halo rows
-are recomputed redundantly; compute is free, the stencil is memory-bound).
+an s-row halo), advances the block s steps entirely in VMEM, and writes
+only the step-s results: ~20 B/cell/step at s=4/tk=8 (halo rows are
+recomputed redundantly; compute is free, the stencil is memory-bound).
+Measured on v5e at 256^3 fp32: s=2 10.7, s=3 14.9, s=4 17.8 Gcells/s.
 This is the classic wavefront/temporal-blocking optimization (cf. the
 multicore wavefront-diamond literature), shaped for Mosaic's block
 pipeline.
@@ -22,13 +16,14 @@ which an in-place update would have already overwritten.  Outputs ping-pong
 (2x HBM for the state; race-free by construction).
 
 Source semantics are exact: the state arrives with the step-1 injection
-already applied (outside, as in pallas_fused); the step-2 injection uses
-drive planes computed outside exactly like fdtd_tpu.source.apply_source and
-surgically applied to the k=0 row of the E1/H1 intermediates, plus the
-static patch exclusion on both H updates (QUIRKS #4 semantics twice).
+already applied (outside, as in pallas_fused); injections for steps 2..s
+use drive rows computed outside exactly like fdtd_tpu.source.apply_source,
+mask-applied to the k=0 row of the intermediates, plus the static patch
+exclusion on every H update (QUIRKS #4 semantics each step).
 
-Only profitable at tile_k == 8 (the deep halos dominate at small tiles);
-``supported(p)`` gates usage, callers fall back to pallas_fused.
+Gating (``supported``): fp32, tile_k == 8, and s <= 4 in practice — s=6
+needs ~134MB VMEM (>128 hardware), and bf16 trips a Mosaic runtime fault
+at 256^3 window sizes.  Callers fall back to pallas_fused.
 """
 
 from __future__ import annotations

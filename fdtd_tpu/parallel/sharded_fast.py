@@ -29,12 +29,11 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..params import Mode, Params
-from ..state import FieldState, Materials, UpdateCoefs, update_coefs
+from ..state import FieldState, update_coefs
 from ..ops.pallas_fused import (
     D,
     StrippedState,

@@ -21,7 +21,6 @@ import time
 from typing import Callable
 
 import jax
-import numpy as np
 
 from . import diagnostics
 from .io.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint

@@ -13,7 +13,6 @@ reference's exact fp64 accumulation, see :func:`fdtd_tpu.params.time_values`).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable
 
 import jax
@@ -180,7 +179,7 @@ def backend_adapters(p: Params, backend: str, materials: Materials | None = None
     For lossy media on the fast path, the embedded coefficient arrays ride
     in the prepared state (pass ``materials`` so prepare can build them)."""
     if backend == "pallas":
-        from .ops.pallas_step import k_padding, pad_state_k
+        from .ops.pallas_step import pad_state_k
 
         K1 = p.padded_shape[0]
         return (lambda s: pad_state_k(p, s)), (

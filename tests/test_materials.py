@@ -7,8 +7,8 @@ import jax
 import numpy as np
 
 from fdtd_tpu import diagnostics
-from fdtd_tpu.params import Mode, time_values
-from fdtd_tpu.state import Materials, init_validation, update_coefs, water_block, zeros
+from fdtd_tpu.params import time_values
+from fdtd_tpu.state import Materials, init_validation, water_block
 from fdtd_tpu.step import make_chunk_runner, make_step, scan_inputs
 
 

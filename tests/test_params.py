@@ -1,7 +1,7 @@
 import numpy as np
 import pytest
 
-from fdtd_tpu.params import Mode, Params, num_steps, parse_params_text, time_values
+from fdtd_tpu.params import Mode, num_steps, parse_params_text, time_values
 
 REF_PARAMS_TEXT = "0.05\n0.05\n0.05\n0.001\n0.0000000000006\n0.00000000012\n2\n0"
 

@@ -4,7 +4,6 @@ import dataclasses
 
 import numpy as np
 
-from fdtd_tpu.params import Mode
 from fdtd_tpu.runner import run_simulation
 from fdtd_tpu.utils.stability import stability_map
 

@@ -6,8 +6,8 @@ import jax
 import numpy as np
 
 from fdtd_tpu.params import Mode, time_values
-from fdtd_tpu.state import init_validation, water_block, zeros
-from fdtd_tpu.step import make_chunk_runner, make_step, scan_inputs
+from fdtd_tpu.state import water_block, zeros
+from fdtd_tpu.step import make_step, scan_inputs
 from fdtd_tpu.sweep import frequency_sweep, material_sweep
 
 

@@ -1,7 +1,6 @@
 """Temporally-blocked kernel parity (interpret mode)."""
 
 import dataclasses
-import os
 
 import numpy as np
 import pytest
