@@ -36,6 +36,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     help="disable reference-quirk compatibility in exported validation vars")
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the run to DIR")
+    ap.add_argument("--temporal-steps", type=int, default=None, metavar="S",
+                    help="steps per sweep for --backend pallas_temporal (2-4)")
     return ap
 
 
@@ -43,6 +45,10 @@ def main(argv=None) -> int:
     print("Welcome into our microwave oven eletrico-magnetic field simulator! \n", end="")
     args = build_arg_parser().parse_args(argv)
 
+    if args.temporal_steps:
+        import os as _os
+
+        _os.environ["FDTD_TEMPORAL_STEPS"] = str(args.temporal_steps)
     print("Loading the parameters...")
     try:
         p = load_parameters(args.params, dtype=args.dtype)

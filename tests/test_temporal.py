@@ -37,3 +37,23 @@ def test_temporal_rejects_bf16(tiny_params):
     p = dataclasses.replace(tiny_params, dtype="bfloat16")
     with pytest.raises(Exception):
         make_chunk_runner(p, backend="pallas_temporal")
+
+
+def test_temporal_full_validation_physics(default_params, monkeypatch):
+    """The headline backend must pass the physics bar end-to-end on the
+    reference's shipped scene (50^3, 200 steps)."""
+    import dataclasses
+
+    from fdtd_tpu import analytic
+    from fdtd_tpu.params import time_values as tv
+
+    monkeypatch.setenv("FDTD_TEMPORAL_STEPS", "4")
+    p = dataclasses.replace(default_params, dtype="float32")
+    s0 = init_validation(p)
+    run = make_chunk_runner(p, backend="pallas_temporal")
+    prep, rest = backend_adapters(p, "pallas_temporal")
+    ts = tv(p)
+    xs = scan_inputs(p, ts)
+    got = rest(run(prep(s0), xs, None)[0])
+    perrs = analytic.peak_normalized_error(p, got, float(ts[-1]))
+    assert perrs["ey"] < 0.01 and perrs["hx"] < 0.01 and perrs["hz"] < 0.01, perrs
