@@ -207,31 +207,25 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, tk, s,
     ohz[:] = hz.astype(st)
 
 
-def make_temporal_pair_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None,
-                            s: int = 2):
-    """Build ``group_step(state, xs_group) -> state`` advancing ``s`` steps.
+def build_temporal_call(p: Params, coefs: UpdateCoefs, S: int, nk: int,
+                        s: int, interpret: bool):
+    """The s-step pallas_call for a storage layout with ``S`` rows and ``nk``
+    output tiles (used by the single-chip step and the sharded fast path).
 
-    ``xs_group`` = (t_vec, amp_vec) with s entries each (from lax.scan over
-    reshaped inputs)."""
-    if not supported(p, coefs):
-        raise NotImplementedError("temporal blocking unsupported for this config")
-    assert 2 <= s <= TKT, s
-    if interpret is None:
-        dd = jax.config.jax_default_device
-        interpret = (dd.platform != "tpu") if dd is not None else (jax.default_backend() != "tpu")
-
-    S, J1, Ib = dims(p)
+    Signature: call(koff, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2) -> 6
+    output fields.  ``koff`` is the (1,1) int32 global-k offset."""
+    _, J1, Ib = dims(p)
     W = corr_width(Ib)
     tk = TKT
     ofs = D // tk
-    nk = (S - D) // tk
     dtype = jnp.dtype(p.dtype)
     compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
     f_h = compute_dtype.type(coefs.h_factor)
     f_e = compute_dtype.type(coefs.cb_x)
-    inject = p.mode == Mode.COMPUTATION
-    plan = make_source_plan(p) if inject else None
-    patch = (plan.j0, plan.j1, plan.i0, plan.i1) if inject else None
+    patch = None
+    if p.mode == Mode.COMPUTATION:
+        plan = make_source_plan(p)
+        patch = (plan.j0, plan.j1, plan.i0, plan.i1)
 
     bulk_shape = jax.ShapeDtypeStruct((S, J1, Ib), dtype)
     e_win = pl.BlockSpec(
@@ -254,7 +248,7 @@ def make_temporal_pair_step(p: Params, coefs: UpdateCoefs, interpret: bool | Non
     smem = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
     out_spec = pl.BlockSpec((tk, J1, Ib), lambda g: (g + ofs, 0, 0), memory_space=pltpu.VMEM)
 
-    call = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, tk, s),
         grid=(nk,),
         in_specs=[smem] + [e_win] * 3 + [h_win] * 3 + [c_win] * 2 + [drv_spec] * 2,
@@ -262,7 +256,30 @@ def make_temporal_pair_step(p: Params, coefs: UpdateCoefs, interpret: bool | Non
         out_shape=(bulk_shape,) * 6,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=126 * 1024 * 1024),
         interpret=interpret,
-    )
+    ), nd
+
+
+def make_temporal_pair_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None,
+                            s: int = 2):
+    """Build ``group_step(state, xs_group) -> state`` advancing ``s`` steps.
+
+    ``xs_group`` = (t_vec, amp_vec) with s entries each (from lax.scan over
+    reshaped inputs)."""
+    if not supported(p, coefs):
+        raise NotImplementedError("temporal blocking unsupported for this config")
+    assert 2 <= s <= TKT, s
+    if interpret is None:
+        dd = jax.config.jax_default_device
+        interpret = (dd.platform != "tpu") if dd is not None else (jax.default_backend() != "tpu")
+
+    S, J1, Ib = dims(p)
+    nk = (S - D) // TKT
+    dtype = jnp.dtype(p.dtype)
+    compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
+    f_h = compute_dtype.type(coefs.h_factor)
+    inject = p.mode == Mode.COMPUTATION
+    plan = make_source_plan(p) if inject else None
+    call, nd = build_temporal_call(p, coefs, S, nk, s, interpret)
 
     K, J = p.maxk, p.maxj
     zoff = jnp.zeros((1, 1), jnp.int32)

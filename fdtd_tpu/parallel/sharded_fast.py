@@ -78,9 +78,27 @@ def _geometry(p: Params, n: int):
     return S_c, J1p, Ib, K1, Klp, S_sh
 
 
-def _reshard(a, n, src_rows, Klp, S_sh, lead_pad=D):
-    """(src_rows, J, X) canonical-physical -> (n*S_sh, J, X) per-shard."""
+def _reshard(a, n, src_rows, Klp, S_sh, lead_pad=D, halo=False):
+    """(src_rows, J, X) canonical-physical -> (n*S_sh, J, X) per-shard.
+
+    With ``halo=True`` the pad rows are filled with the true neighbor rows
+    (zero outside the physical range) instead of zeros — used for the
+    constant corr arrays, whose temporal-kernel windows read into the halo
+    band."""
     total = n * Klp
+    if halo:
+        import numpy as _np
+
+        idx = _np.zeros(n * S_sh, dtype=_np.int64)
+        valid = _np.zeros(n * S_sh, dtype=bool)
+        for r in range(n):
+            for t in range(S_sh):
+                k = r * Klp + (t - lead_pad)
+                if 0 <= k < a.shape[0]:
+                    idx[r * S_sh + t] = k
+                    valid[r * S_sh + t] = True
+        out = jnp.take(a, jnp.asarray(idx), axis=0)
+        return jnp.where(jnp.asarray(valid)[:, None, None], out, jnp.zeros_like(out))
     a = jnp.pad(a, ((0, total - a.shape[0]), (0, 0), (0, 0)))
     a = a.reshape(n, Klp, *a.shape[1:])
     a = jnp.pad(a, ((0, 0), (lead_pad, S_sh - Klp - lead_pad), (0, 0), (0, 0)))
@@ -98,13 +116,13 @@ def to_sharded_fast(p: Params, s: FieldState, mesh: Mesh) -> ShardedFastState:
     bulk_sh = NamedSharding(mesh, P("z", None, None))
     rep = NamedSharding(mesh, P(None, None, None))
 
-    def emb(a):
-        return jax.device_put(_reshard(phys(a), n, K1, Klp, S_sh), bulk_sh)
+    def emb(a, halo=False):
+        return jax.device_put(_reshard(phys(a), n, K1, Klp, S_sh, halo=halo), bulk_sh)
 
     return ShardedFastState(
         ex=emb(st.ex), ey=emb(st.ey), ez=emb(st.ez),
         hx=emb(st.hx), hy=emb(st.hy), hz=emb(st.hz),
-        corr_hy=emb(st.corr_hy), corr_hz=emb(st.corr_hz),
+        corr_hy=emb(st.corr_hy, halo=True), corr_hz=emb(st.corr_hz, halo=True),
         ey_s=jax.device_put(st.ey_s, rep),
         ez_s=jax.device_put(st.ez_s, rep),
         hx_s=jax.device_put(st.hx_s, rep),
@@ -238,6 +256,148 @@ def make_sharded_fast_runner(p: Params, mesh: Mesh, interpret: bool | None = Non
             return step(st, x), None
 
         st, _ = lax.scan(body, st, xs)
+        return st
+
+    return run
+
+
+def make_sharded_temporal_step(p: Params, mesh: Mesh, s: int = 4,
+                               interpret: bool | None = None):
+    """Temporal blocking composed with 1-D spatial sharding.
+
+    Per s-step sweep, each shard imports an s-row halo band on both sides of
+    every field (12 ppermute planes of s rows — same per-step halo traffic
+    as single-step exchange, batched) into the dead-slab/top-pad rows, then
+    runs the s-step kernel locally with the global-k offset.  Corr halo rows
+    are constant and baked at prep time (``to_sharded_fast`` embeds them
+    with neighbor rows included).
+
+    Returns ``group_step(state, xs_group) -> state`` advancing s steps.
+    """
+    from ..ops.pallas_temporal import TKT, build_temporal_call, supported
+
+    coefs = update_coefs(p, None)
+    if not supported(p, coefs):
+        raise NotImplementedError("temporal blocking unsupported for this config")
+    assert 2 <= s <= D
+    if interpret is None:
+        dd = jax.config.jax_default_device
+        interpret = (dd.platform != "tpu") if dd is not None else (jax.default_backend() != "tpu")
+    n = mesh.shape["z"]
+    S_c, J1p, Ib, K1, Klp, S_sh = _geometry(p, n)
+    nk_local = Klp // TKT
+    call, nd = build_temporal_call(p, coefs, S_sh, nk_local, s, interpret)
+
+    dtype = jnp.dtype(p.dtype)
+    compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
+    f_h = compute_dtype.type(coefs.h_factor)
+    inject = p.mode == Mode.COMPUTATION
+    if inject:
+        from ..source import make_source_plan
+
+        plan = make_source_plan(p)
+
+    up = [(i, i - 1) for i in range(1, n)]
+    down = [(i, i + 1) for i in range(n - 1)]
+
+    def exchange(a):
+        """Fill s halo rows below (from prev shard's top band) and above
+        (from next shard's bottom band)."""
+        if n == 1:
+            return a
+        top_band = lax.slice_in_dim(a, D, D + s, axis=0)          # my first s rows
+        bot_band = lax.slice_in_dim(a, D + Klp - s, D + Klp, axis=0)  # my last s rows
+        from_next = lax.ppermute(top_band, "z", up)
+        from_prev = lax.ppermute(bot_band, "z", down)
+        a = lax.dynamic_update_slice_in_dim(a, from_prev, D - s, axis=0)
+        a = lax.dynamic_update_slice_in_dim(a, from_next, D + Klp, axis=0)
+        return a
+
+    def shard_body(ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2):
+        r = lax.axis_index("z")
+        koff2 = (r * Klp).astype(jnp.int32).reshape(1, 1)
+        ex, ey, ez = exchange(ex), exchange(ey), exchange(ez)
+        hx, hy, hz = exchange(hx), exchange(hy), exchange(hz)
+        return call(koff2, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2)
+
+    bspec = P("z", None, None)
+    rspec = P(None, None, None)
+    smap = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(bspec,) * 8 + (rspec, rspec),
+        out_specs=(bspec,) * 6,
+        check_vma=False,
+    )
+
+    K, J = p.maxk, p.maxj
+    zero_drv = jnp.zeros((nd, J1p, Ib), dtype)
+
+    def drive_patch(amp):
+        amp_j = jnp.asarray(amp)
+        prof_row = jnp.asarray(plan.profile, dtype=jnp.result_type(amp_j))
+        row = amp_j * prof_row
+        nj, ni = plan.j1 - plan.j0, len(plan.profile)
+        return jnp.broadcast_to(row[None, :], (nj, ni))
+
+    def group_step(st: ShardedFastState, xs_group) -> ShardedFastState:
+        ts_g, amps_g = xs_group
+        if inject:
+            pv1 = drive_patch(amps_g[0])
+            zero = jnp.zeros_like(pv1).astype(dtype)
+            sl = (D, slice(plan.j0, plan.j1), slice(plan.i0, plan.i1))
+            st = dataclasses.replace(
+                st,
+                ez=st.ez.at[sl].set(pv1.astype(dtype)),
+                ex=st.ex.at[sl].set(zero),
+                hz=st.hz.at[sl].set(zero),
+                hx=st.hx.at[sl].set((-plan.inv_z_te * pv1).astype(dtype)),
+            )
+            pvs = jnp.stack([drive_patch(amps_g[m]) for m in range(1, s)])
+            sl2 = (slice(0, nd), slice(plan.j0, plan.j1), slice(plan.i0, plan.i1))
+            de2 = zero_drv.at[sl2].set(pvs.astype(dtype))
+            dh2 = zero_drv.at[sl2].set((-plan.inv_z_te * pvs).astype(dtype))
+        else:
+            de2 = dh2 = zero_drv
+        ex, ey, ez, hx, hy, hz = smap(
+            st.ex, st.ey, st.ez, st.hx, st.hy, st.hz, st.corr_hy, st.corr_hz, de2, dh2
+        )
+        ey_s2 = st.ey_s[:, :, 0]
+        ez_s2 = st.ez_s[:, :, 0]
+        slk = (slice(D, D + K), slice(0, J))
+        curl = (ey_s2[D + 1 : D + K + 1, :J] - ey_s2[slk]) - (
+            ez_s2[D : D + K, 1 : J + 1] - ez_s2[slk]
+        )
+        hx_s = st.hx_s
+        for _ in range(s):
+            hx_s = hx_s.at[slk[0], slk[1], 0].add((f_h * curl).astype(st.hx_s.dtype))
+        return dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
+
+    return group_step
+
+
+def make_sharded_temporal_runner(p: Params, mesh: Mesh, s: int = 4,
+                                 interpret: bool | None = None):
+    """Jitted ``run(state, xs) -> state``; trailing steps (n % s) use the
+    single-step sharded fast path."""
+    group_step = make_sharded_temporal_step(p, mesh, s, interpret)
+    single_step = make_sharded_fast_step(p, mesh, interpret)
+
+    @jax.jit
+    def run(st, xs):
+        ts, amps = xs
+        nsteps = ts.shape[0]
+        n_grp = nsteps // s
+        if n_grp:
+            g = (ts[: s * n_grp].reshape(n_grp, s), amps[: s * n_grp].reshape(n_grp, s))
+
+            def body(st, x):
+                return group_step(st, x), None
+
+            st, _ = lax.scan(body, st, g)
+        for r in range(nsteps % s):
+            idx = s * n_grp + r
+            st = single_step(st, (ts[idx], amps[idx]))
         return st
 
     return run
