@@ -126,7 +126,7 @@ def make_chunk_runner(
 
         from .ops.pallas_temporal import make_temporal_pair_step
 
-        sgrp = int(_os.environ.get("FDTD_TEMPORAL_STEPS", "4"))
+        sgrp = int(_os.environ.get("FDTD_TEMPORAL_STEPS", "5"))
         group_step = make_temporal_pair_step(p, coefs, s=sgrp)
         odd_step = make_step(p, coefs=coefs, backend="pallas_fused")
 
