@@ -218,12 +218,22 @@ def dryrun(n_devices: int) -> None:
     total = jax.jit(lambda s: sum(jnp.sum(jnp.square(a.astype(jnp.float32))) for a in (s.ex, s.ey, s.ez, s.hx, s.hy, s.hz)))(out)
     assert bool(jnp.isfinite(total)), total
 
-    # also exercise the pallas-in-shard_map fast path on a 1-D z mesh
-    from .sharded_fast import make_sharded_fast_runner, to_sharded_fast
+    # also exercise the pallas-in-shard_map fast paths on a 1-D z mesh
+    from .sharded_fast import (
+        make_sharded_fast_runner,
+        make_sharded_temporal_runner,
+        to_sharded_fast,
+    )
 
     mesh_z = make_mesh(n_devices, (n_devices, 1, 1), devices=mesh.devices.ravel().tolist())
+    interp = mesh_z.devices.ravel()[0].platform != "tpu"
     st = to_sharded_fast(p, zeros(p), mesh_z)
-    run_fast = make_sharded_fast_runner(p, mesh_z, interpret=mesh_z.devices.ravel()[0].platform != "tpu")
+    run_fast = make_sharded_fast_runner(p, mesh_z, interpret=interp)
     xs = (jnp.zeros(2, jnp.float64), jnp.asarray(np.array([0.0, 0.5], np.float32)))
     st = run_fast(st, xs)
     jax.block_until_ready(st.ex)
+
+    st2 = to_sharded_fast(p, zeros(p), mesh_z)
+    run_tmp = make_sharded_temporal_runner(p, mesh_z, s=2, interpret=interp)
+    st2 = run_tmp(st2, xs)
+    jax.block_until_ready(st2.ex)

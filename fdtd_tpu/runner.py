@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import math
 import os
 import time
 from typing import Callable
@@ -100,6 +101,15 @@ def run_simulation(
             )
             + "\n"
         )
+        # failure detection: a CFL-unstable or NaN run is caught at the next
+        # sample instead of burning the remaining schedule (the reference
+        # required killing runs by hand, description.pdf section 3.1)
+        if not math.isfinite(e + h):
+            diag_f.flush()
+            raise RuntimeError(
+                f"simulation diverged (non-finite energy) at iteration {iteration}; "
+                f"last state checkpointed snapshots are in {out_dir!r}"
+            )
 
     n = len(ts)
     rate = max(1, p.sampling_rate)

@@ -126,7 +126,10 @@ def make_chunk_runner(
 
         from .ops.pallas_temporal import make_temporal_pair_step
 
-        sgrp = int(_os.environ.get("FDTD_TEMPORAL_STEPS", "5"))
+        # s=5 fits VMEM only when the lane dim is exact (no 128-padding
+        # waste); other grids get s=4 (measured: 250^3 s=5 overruns by 1.7MB)
+        default_s = 5 if p.maxi % 128 == 0 else 4
+        sgrp = int(_os.environ.get("FDTD_TEMPORAL_STEPS", str(default_s)))
         group_step = make_temporal_pair_step(p, coefs, s=sgrp)
         odd_step = make_step(p, coefs=coefs, backend="pallas_fused")
 

@@ -28,3 +28,20 @@ def test_runner_backend_parity(tiny_params, tmp_path):
     b = read_vtr_cell_arrays(str(tmp_path / "b" / "result0020.vtr"))
     for k in ["ex", "ey", "ez", "hx", "hy", "hz", "aEy", "aHx", "aHz"]:
         np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+
+
+def test_runner_detects_divergence(tiny_params, tmp_path):
+    """An unstable dt must abort with a clear error at the next sample."""
+    import pytest
+
+    p = dataclasses.replace(
+        tiny_params, dtype="float32", time_step=4e-12,
+        simulation_time=4.8e-10, sampling_rate=20,  # ~120 unstable steps
+    )
+    with pytest.raises(RuntimeError, match="diverged"):
+        run_simulation(
+            p,
+            out_dir=str(tmp_path / "r"),
+            write_snapshots=False,
+            diagnostics_log=str(tmp_path / "d.jsonl"),
+        )
