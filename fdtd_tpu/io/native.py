@@ -60,6 +60,15 @@ def get_lib():
             ctypes.POINTER(ctypes.c_void_p),
             ctypes.POINTER(ctypes.c_int),
         ]
+        lib.fdtd_write_raw.restype = ctypes.c_int
+        lib.fdtd_write_raw.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_void_p),
+            ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
         return _lib
 
@@ -110,3 +119,56 @@ def write_vtr_native(path: str, coords, cell_arrays: dict[str, np.ndarray]) -> b
     if rc != 0:
         raise OSError(f"fdtd_write_vtr failed with code {rc} for {path}")
     return True
+
+
+def write_raw_native(path: str, arrays: dict[str, np.ndarray]) -> bool:
+    """Write the FDTDRAW1 container via the C++ library (fast checkpoint
+    path); returns False if the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    names, datas, dtypes, nelems, keep = [], [], [], [], []
+    for name, arr in arrays.items():
+        a = np.ascontiguousarray(arr)
+        if a.dtype == np.float32:
+            dt = 0
+        elif a.dtype == np.float64:
+            dt = 1
+        else:
+            raise ValueError(f"{name}: unsupported dtype {a.dtype}")
+        keep.append(a)
+        names.append(name.encode())
+        datas.append(a.ctypes.data_as(ctypes.c_void_p))
+        dtypes.append(dt)
+        nelems.append(a.size)
+    n = len(names)
+    rc = lib.fdtd_write_raw(
+        path.encode(), n,
+        (ctypes.c_char_p * n)(*names),
+        (ctypes.c_void_p * n)(*datas),
+        (ctypes.c_int * n)(*dtypes),
+        (ctypes.c_int64 * n)(*nelems),
+    )
+    if rc != 0:
+        raise OSError(f"fdtd_write_raw failed with code {rc} for {path}")
+    return True
+
+
+def read_raw(path: str) -> dict[str, np.ndarray]:
+    """Read an FDTDRAW1 container (flat arrays; caller reshapes)."""
+    import struct
+
+    with open(path, "rb") as f:
+        magic = f.read(8)
+        if magic != b"FDTDRAW1":
+            raise ValueError(f"{path}: not an FDTDRAW1 file")
+        (n,) = struct.unpack("<i", f.read(4))
+        out = {}
+        for _ in range(n):
+            (name_len,) = struct.unpack("<i", f.read(4))
+            name = f.read(name_len).decode()
+            dt, = struct.unpack("<i", f.read(4))
+            ne, = struct.unpack("<q", f.read(8))
+            dtype = np.float32 if dt == 0 else np.float64
+            out[name] = np.fromfile(f, dtype=dtype, count=ne)
+        return out

@@ -34,3 +34,18 @@ def test_native_writer_shape_check(tmp_path):
     x, y, z = np.arange(3.0), np.arange(3.0), np.arange(3.0)
     with pytest.raises(ValueError):
         write_vtr_native(str(tmp_path / "bad.vtr"), (x, y, z), {"ex": np.zeros((5, 5, 5))})
+
+
+def test_native_raw_round_trip(tmp_path):
+    from fdtd_tpu.io.native import read_raw, write_raw_native
+
+    rng = np.random.default_rng(11)
+    arrays = {
+        "ex": rng.normal(size=(4, 5, 6)).astype(np.float32),
+        "t": np.asarray([1.5e-11]),
+    }
+    path = str(tmp_path / "c.fdtdraw")
+    assert write_raw_native(path, arrays)
+    got = read_raw(path)
+    np.testing.assert_array_equal(got["ex"], arrays["ex"].ravel())
+    np.testing.assert_array_equal(got["t"], arrays["t"])
