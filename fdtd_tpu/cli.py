@@ -37,7 +37,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the run to DIR")
     ap.add_argument("--temporal-steps", type=int, default=None, metavar="S",
-                    help="steps per sweep for --backend pallas_temporal (2-4)")
+                    help="steps per sweep for --backend pallas_temporal (2-5)")
+    ap.add_argument("--source-frequency", type=float, default=None, metavar="HZ",
+                    help="magnetron drive frequency (reference hardcodes 2.45e10, main.c:735)")
+    ap.add_argument("--source-aprime", type=float, default=None, metavar="M",
+                    help="source patch width a' (reference hardcodes 0.005, main.c:720)")
+    ap.add_argument("--source-bprime", type=float, default=None, metavar="M",
+                    help="source patch depth b' (reference hardcodes 0.005, main.c:721)")
     return ap
 
 
@@ -51,7 +57,20 @@ def main(argv=None) -> int:
         _os.environ["FDTD_TEMPORAL_STEPS"] = str(args.temporal_steps)
     print("Loading the parameters...")
     try:
+        import dataclasses
+
+        from .params import SourceConfig
+
+        src_kw = {}
+        if args.source_frequency is not None:
+            src_kw["frequency"] = args.source_frequency
+        if args.source_aprime is not None:
+            src_kw["aprime"] = args.source_aprime
+        if args.source_bprime is not None:
+            src_kw["bprime"] = args.source_bprime
         p = load_parameters(args.params, dtype=args.dtype)
+        if src_kw:
+            p = dataclasses.replace(p, source=dataclasses.replace(p.source, **src_kw))
         p.validate()
     except FileNotFoundError:
         # same UX as the reference's fail() (main.c:221-223)

@@ -75,12 +75,15 @@ class SnapshotWriter:
         os.makedirs(out_dir, exist_ok=True)
         self._pool = ThreadPoolExecutor(max_workers=2)
         self._inflight: list[Future] = []
+        self._series: list[tuple[float, str]] = []  # (time, filename)
 
-    def submit(self, variables: dict[str, jax.Array], iteration: int) -> None:
+    def submit(self, variables: dict[str, jax.Array], iteration: int, t: float = 0.0) -> None:
         # Backpressure: keep at most 2 snapshots in flight.
         while len(self._inflight) >= 2:
             self._inflight.pop(0).result()
-        path = os.path.join(self.out_dir, self.pattern % iteration)
+        fname = self.pattern % iteration
+        path = os.path.join(self.out_dir, fname)
+        self._series.append((t, fname))
         self._inflight.append(self._pool.submit(self._write, path, dict(variables)))
 
     def _write(self, path: str, variables: dict[str, jax.Array]) -> None:
@@ -95,6 +98,24 @@ class SnapshotWriter:
             f.result()
         self._inflight.clear()
         self._pool.shutdown(wait=True)
+        self._write_series_index()
+
+    def _write_series_index(self) -> None:
+        """ParaView .pvd catalog: the snapshot series with physical times —
+        the VisIt/ParaView time-series workflow the reference got from Silo
+        file numbering."""
+        if not self._series:
+            return
+        lines = [
+            '<?xml version="1.0"?>',
+            '<VTKFile type="Collection" version="0.1" byte_order="LittleEndian">',
+            "  <Collection>",
+        ]
+        for t, fname in self._series:
+            lines.append(f'    <DataSet timestep="{t!r}" group="" part="0" file="{fname}"/>')
+        lines += ["  </Collection>", "</VTKFile>", ""]
+        with open(os.path.join(self.out_dir, "series.pvd"), "w") as f:
+            f.write("\n".join(lines))
 
     def __enter__(self):
         return self

@@ -88,7 +88,7 @@ def run_simulation(
         variables = aggregate_all(p, s)
         if p.mode == Mode.VALIDATION:
             variables.update(validation_extras(p, s, t, quirk_compat=quirk_compat))
-        writer.submit(variables, iteration)
+        writer.submit(variables, iteration, t)
 
     def log_diag(s: FieldState, iteration: int, t: float):
         if diag_f is None:

@@ -113,3 +113,12 @@ def test_resume_equivalence_fast_backend(tiny_params, tmp_path):
     rb = run_simulation(p, out_dir=str(tmp_path / "fb"), write_snapshots=False,
                         resume=True, backend="pallas_fused")
     np.testing.assert_array_equal(np.asarray(ra.state.ey), np.asarray(rb.state.ey))
+
+
+def test_pvd_series_index(tiny_params, tmp_path):
+    p = dataclasses.replace(tiny_params, sampling_rate=10)
+    out = str(tmp_path / "rp")
+    run_simulation(p, out_dir=out)
+    pvd = open(os.path.join(out, "series.pvd")).read()
+    assert pvd.count("<DataSet") == len(glob.glob(out + "/*.vtr"))
+    assert 'file="result0010.vtr"' in pvd and "timestep" in pvd
