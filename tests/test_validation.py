@@ -59,3 +59,56 @@ def test_error_fields_shape_and_zero_at_t0(default_params):
     assert float(np.abs(np.asarray(ef["aEy"])).max()) < 1e-12
     # Hx/Hz analytic are zero at t=0 and computed fields are zero
     assert float(np.abs(np.asarray(ef["aHx"])).max()) == 0.0
+
+
+def test_ccompat_formulas_reproduce_reference_quirk(default_params):
+    """QUIRKS #10 pinned: the C validation formulas' Hx/Hz spatial factors
+    are transposed vs the mode the dynamics produce.  Measured against the
+    computed fields, the C-compat oracle must show O(1) Hx error while the
+    physics-correct oracle stays under 1%."""
+    import math
+
+    from fdtd_tpu.params import time_values
+    from fdtd_tpu.state import init_validation
+    from fdtd_tpu.step import make_chunk_runner, scan_inputs
+
+    p = default_params
+    run = make_chunk_runner(p)
+    ts = time_values(p)
+    state, _ = run(init_validation(p), scan_inputs(p, ts), None)
+    t = float(ts[-1])
+
+    import numpy as np
+
+    from fdtd_tpu.analytic import analytic_fields
+
+    hx_c = np.asarray(state.hx, np.float64)
+
+    def rel(ana):
+        num = float(((hx_c - ana) ** 2).sum())
+        den = float((ana**2).sum())
+        return math.sqrt(num / den)
+
+    e_ccompat = rel(analytic_fields(p, t, ccompat=True)["hx"])
+    e_physics = rel(analytic_fields(p, t + p.time_step)["hx"])
+    assert e_physics < 0.2  # instantaneous-normalized; near a zero crossing
+    assert e_ccompat > 1.0, (e_ccompat, e_physics)  # the quirk is O(1)
+
+
+def test_drive_values_match_libm():
+    """Source phases are host-precomputed because device fp64 sin can be
+    ~1e-8 off; the host values must match math.sin exactly."""
+    import math
+
+    import numpy as np
+
+    from fdtd_tpu.params import parse_params_text
+    from fdtd_tpu.source import drive_values, make_source_plan
+
+    p = parse_params_text("0.05 0.05 0.05 0.001 6e-13 1.2e-10 2 1")
+    plan = make_source_plan(p)
+    ts = np.arange(32) * 6e-13
+    got = drive_values(plan, ts)
+    want = [math.sin(2.0 * math.pi * plan.frequency * float(t)) for t in ts]
+    # np.sin and math.sin agree to <=1 ulp on these arguments
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-15)
