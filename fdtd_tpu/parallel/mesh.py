@@ -47,13 +47,23 @@ def make_mesh(
     if devices is None:
         devices = jax.devices()
         if len(devices) < (n_devices or 1):
-            # fall back to virtual host devices (tests / dry runs)
+            # Virtual host devices exist only if
+            # --xla_force_host_platform_device_count was in XLA_FLAGS before
+            # JAX initialized (tests/conftest.py does this; for standalone
+            # dry runs __graft_entry__.dryrun_multichip arranges it by
+            # spawning a fresh subprocess).
             devices = jax.devices("cpu")
     if n_devices is None:
         n_devices = len(devices)
     if shape is None:
         shape = factor3(n_devices)
     assert math.prod(shape) == n_devices
+    if len(devices) < n_devices:
+        raise RuntimeError(
+            f"need {n_devices} devices, found {len(devices)}; for a virtual "
+            "mesh, set XLA_FLAGS=--xla_force_host_platform_device_count="
+            f"{n_devices} before the first JAX call (see tests/conftest.py)"
+        )
     dev_array = np.asarray(devices[:n_devices]).reshape(shape)
     return Mesh(dev_array, AXES)
 

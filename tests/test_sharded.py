@@ -87,3 +87,32 @@ def test_dryrun_entrypoint():
     from fdtd_tpu.parallel.sharded_step import dryrun
 
     dryrun(8)
+
+
+def test_dryrun_multichip_hermetic():
+    """The driver-facing entrypoint must pass WITHOUT conftest's pre-set
+    virtual-device flags — it spawns its own subprocess (VERDICT r1 #1)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME")
+    }
+    code = (
+        f"import sys; sys.path.insert(0, {repo!r})\n"
+        "import __graft_entry__\n"
+        "__graft_entry__.dryrun_multichip(8)\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "MULTICHIP_DRYRUN_OK" in proc.stdout
