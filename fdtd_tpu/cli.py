@@ -37,6 +37,7 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the run to DIR")
     ap.add_argument("--temporal-steps", type=int, default=None, metavar="S",
+                    choices=range(2, 6),
                     help="steps per sweep for --backend pallas_temporal (2-5)")
     ap.add_argument("--source-frequency", type=float, default=None, metavar="HZ",
                     help="magnetron drive frequency (reference hardcodes 2.45e10, main.c:735)")
@@ -99,18 +100,24 @@ def main(argv=None) -> int:
         import jax
 
         jax.profiler.start_trace(args.profile)
-    result = run_simulation(
-        p,
-        out_dir=args.out,
-        materials=materials,
-        backend=args.backend,
-        write_snapshots=not args.no_output,
-        accumulate_power=args.sar,
-        checkpoint_every=args.checkpoint_every,
-        resume=args.resume,
-        quirk_compat=not args.physics_correct,
-        diagnostics_log=args.diag_log,
-    )
+    try:
+        result = run_simulation(
+            p,
+            out_dir=args.out,
+            materials=materials,
+            backend=args.backend,
+            write_snapshots=not args.no_output,
+            accumulate_power=args.sar,
+            checkpoint_every=args.checkpoint_every,
+            resume=args.resume,
+            quirk_compat=not args.physics_correct,
+            diagnostics_log=args.diag_log,
+        )
+    except NotImplementedError as e:
+        # unsupported backend/feature combination that has no fallback
+        print(f"error: backend {args.backend!r} does not support this "
+              f"configuration: {e}", file=sys.stderr)
+        return 1
     if args.profile:
         import jax
 

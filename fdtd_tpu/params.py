@@ -112,6 +112,10 @@ class Params:
         return self.time_step <= self.cfl_limit()
 
     def validate(self) -> None:
+        if self.time_step <= 0:
+            # The reference hangs forever on dt <= 0 (main.c:765 never
+            # terminates); here it is a clean error instead.
+            raise ValueError("The time step must be positive!")
         if self.time_step > self.simulation_time:
             # Same sanity check as reference main.c:818-821.
             raise ValueError("The time step must be lower than the simulation time!")

@@ -44,6 +44,39 @@ def initial_state(p: Params) -> FieldState:
     return init_validation(p) if p.mode == Mode.VALIDATION else zeros(p)
 
 
+def resolve_backend(
+    p: Params,
+    backend: str,
+    materials: Materials | None,
+    accumulate_power: bool,
+    log: Callable[[str], None] = print,
+) -> str:
+    """Fall back from unsupported backend/feature combinations with a notice.
+
+    pallas_temporal is fp32-vacuum-only and cannot accumulate per-step power
+    (it advances several steps per HBM sweep); such runs use pallas_fused,
+    which supports lossy media and SAR.
+    """
+    if backend == "pallas_temporal":
+        from .ops.pallas_temporal import supported
+        from .state import update_coefs as _uc
+
+        if accumulate_power:
+            log(
+                "notice: pallas_temporal cannot accumulate per-step power "
+                "(--sar); falling back to pallas_fused"
+            )
+            return "pallas_fused"
+        if not supported(p, _uc(p, materials)):
+            log(
+                "notice: temporal blocking unsupported for this config "
+                "(needs fp32, vacuum, tile-aligned grid); falling back to "
+                "pallas_fused"
+            )
+            return "pallas_fused"
+    return backend
+
+
 def run_simulation(
     p: Params,
     out_dir: str = "r",
@@ -58,6 +91,7 @@ def run_simulation(
     diagnostics_log: str | None = None,
 ) -> RunResult:
     p.validate()
+    backend = resolve_backend(p, backend, materials, accumulate_power, log)
     ts = time_values(p)
     xs_t, xs_a = scan_inputs(p, ts)
     run_chunk = make_chunk_runner(p, materials, backend, accumulate_power)
@@ -69,8 +103,16 @@ def run_simulation(
     if resume:
         ck = latest_checkpoint(out_dir)
         if ck:
-            state, it_done, _t = load_checkpoint(ck, p)
+            state, it_done, _t, ck_power = load_checkpoint(ck, p)
             start_step = it_done
+            if accumulate_power:
+                if ck_power is not None:
+                    power = ck_power
+                else:
+                    log(
+                        "WARNING: checkpoint has no power accumulator; "
+                        "--sar totals restart from zero at this point"
+                    )
             log(f"Resuming from {ck} (after step {it_done})")
 
     # hot-path layout conversion (identity for the xla backend)
@@ -121,9 +163,15 @@ def run_simulation(
 
     t0 = time.perf_counter()
     pos = start_step
+    next_mult = lambda x, m: ((x // m) + 1) * m
     while pos < n:
-        # next snapshot boundary: smallest multiple of rate > pos (1-based steps)
-        boundary = ((pos // rate) + 1) * rate
+        # next snapshot boundary: smallest multiple of rate > pos (1-based
+        # steps); checkpoint boundaries are independent of the snapshot
+        # cadence, so e.g. --checkpoint-every 15 with rate 10 checkpoints at
+        # 15, 30, 45, ... (not only at common multiples)
+        boundary = next_mult(pos, rate)
+        if checkpoint_every:
+            boundary = min(boundary, next_mult(pos, checkpoint_every))
         end = min(boundary, n)
         chunk = (xs_t[pos:end], xs_a[pos:end])
         state, power = run_chunk(state, chunk, power)
@@ -136,7 +184,10 @@ def run_simulation(
             log_diag(full, pos, t_now)
         if checkpoint_every and pos % checkpoint_every == 0:
             jax.block_until_ready(full.ex)
-            save_checkpoint(os.path.join(out_dir, f"ckpt{pos:06d}.npz"), full, pos, t_now)
+            save_checkpoint(
+                os.path.join(out_dir, f"ckpt{pos:06d}.npz"), full, pos, t_now,
+                power=power,
+            )
 
     state = restore(state)
     jax.block_until_ready(state.ex)

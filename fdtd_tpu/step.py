@@ -161,8 +161,10 @@ def make_chunk_runner(
             s = step(s, x)
             if accumulate_power:
                 # power needs the canonical layout; on fast-layout backends
-                # this costs one state conversion per step
-                acc = acc + diagnostics.power_deposition(p, restore(s), sigma) * dt_step
+                # this costs one state conversion per step.  The accumulator
+                # stays fp32 whatever the field dtype.
+                inc = diagnostics.power_deposition(p, restore(s), sigma) * dt_step
+                acc = acc + inc.astype(acc.dtype)
             return (s, acc), None
 
         (s, acc), _ = jax.lax.scan(body, (s, power_acc), xs)

@@ -68,9 +68,22 @@ def test_checkpoint_round_trip(tiny_params, tmp_path):
     s = init_validation(p)
     path = str(tmp_path / "ckpt000010.npz")
     save_checkpoint(path, s, 10, 1e-11)
-    s2, it, t = load_checkpoint(path, p)
-    assert it == 10 and t == 1e-11
+    s2, it, t, power = load_checkpoint(path, p)
+    assert it == 10 and t == 1e-11 and power is None
     np.testing.assert_array_equal(np.asarray(s.ey), np.asarray(s2.ey))
+    assert latest_checkpoint(str(tmp_path)) == path
+
+    # power accumulator round-trips when present (ADVICE r1: a resumed --sar
+    # run must not silently restart power from zero)
+    acc = np.full((p.maxk, p.maxj, p.maxi), 3.5, np.float32)
+    save_checkpoint(path, s, 10, 1e-11, power=acc)
+    *_, power = load_checkpoint(path, p)
+    np.testing.assert_array_equal(np.asarray(power), acc)
+
+    # a stale partial save must never be selected as "latest"
+    stale = str(tmp_path / "ckpt000099.npz.tmp.npz")
+    with open(stale, "wb") as f:
+        f.write(b"corrupt")
     assert latest_checkpoint(str(tmp_path)) == path
 
 
@@ -96,6 +109,41 @@ def test_resume_equivalence(tiny_params, tmp_path):
 
     np.testing.assert_array_equal(np.asarray(ra.state.ey), np.asarray(rb.state.ey))
     np.testing.assert_array_equal(np.asarray(ra.state.hx), np.asarray(rb.state.hx))
+
+
+def test_checkpoint_cadence_decoupled_from_sampling(tiny_params, tmp_path):
+    """--checkpoint-every 3 with sampling rate 7 must checkpoint at 3, 6, 9
+    ... not only at multiples of 21 (VERDICT r1 weak-item #3)."""
+    p = dataclasses.replace(tiny_params, sampling_rate=7)
+    out = str(tmp_path / "cc")
+    run_simulation(p, out_dir=out, write_snapshots=False, checkpoint_every=3)
+    steps = sorted(
+        int(os.path.basename(f)[4:-4]) for f in glob.glob(out + "/ckpt*.npz")
+    )
+    n = len(time_values(p))
+    assert steps == list(range(3, n + 1, 3))
+
+
+def test_sar_resume_preserves_power(tiny_params, tmp_path):
+    """Resumed --sar runs continue the power accumulator (ADVICE r1)."""
+    from fdtd_tpu.params import Mode
+    from fdtd_tpu.state import water_block
+
+    p = dataclasses.replace(tiny_params, mode=Mode.COMPUTATION, sampling_rate=7)
+    mats = water_block(p)
+    kw = dict(materials=mats, write_snapshots=False, accumulate_power=True)
+
+    ra = run_simulation(p, out_dir=str(tmp_path / "pa"), checkpoint_every=7, **kw)
+
+    run_simulation(p, out_dir=str(tmp_path / "pb"), checkpoint_every=7, **kw)
+    for f in glob.glob(str(tmp_path / "pb") + "/ckpt*.npz"):
+        if int(os.path.basename(f)[4:-4]) > 7:
+            os.remove(f)
+    rb = run_simulation(p, out_dir=str(tmp_path / "pb"), resume=True, **kw)
+
+    assert ra.power_j is not None and rb.power_j is not None
+    np.testing.assert_array_equal(np.asarray(ra.power_j), np.asarray(rb.power_j))
+    assert float(np.asarray(ra.power_j).max()) > 0
 
 
 def test_resume_equivalence_fast_backend(tiny_params, tmp_path):
