@@ -30,25 +30,38 @@ def update_h(p: Params, s: FieldState, coefs: UpdateCoefs) -> FieldState:
       Hx: k<K, j<J, i<I+1     Hy: k<K, j<J+1, i<I     Hz: k<K+1, j<J, i<I
     """
     K, J, I = p.maxk, p.maxj, p.maxi
-    f = s.ex.dtype.type(coefs.h_factor) if not hasattr(coefs.h_factor, "shape") else coefs.h_factor
+    # h_factor may be a traced scalar under vmap design sweeps (sweep.py)
+    f = (
+        s.ex.dtype.type(coefs.h_factor)
+        if not hasattr(coefs.h_factor, "shape")
+        else coefs.h_factor
+    )
     ex, ey, ez = s.ex, s.ey, s.ez
 
-    hx = s.hx.at[:K, :J, : I + 1].add(
-        f
+    shx = (slice(0, K), slice(0, J), slice(0, I + 1))
+    shy = (slice(0, K), slice(0, J + 1), slice(0, I))
+    shz = (slice(0, K + 1), slice(0, J), slice(0, I))
+    # heterogeneous mu_r: per-component face-averaged factors; scalar otherwise
+    fx = coefs.hf_x[shx] if coefs.heterogeneous_mu else f
+    fy = coefs.hf_y[shy] if coefs.heterogeneous_mu else f
+    fz = coefs.hf_z[shz] if coefs.heterogeneous_mu else f
+
+    hx = s.hx.at[shx].add(
+        fx
         * (
             (ey[1 : K + 1, :J, : I + 1] - ey[:K, :J, : I + 1])
             - (ez[:K, 1 : J + 1, : I + 1] - ez[:K, :J, : I + 1])
         )
     )
-    hy = s.hy.at[:K, : J + 1, :I].add(
-        f
+    hy = s.hy.at[shy].add(
+        fy
         * (
             (ez[:K, : J + 1, 1 : I + 1] - ez[:K, : J + 1, :I])
             - (ex[1 : K + 1, : J + 1, :I] - ex[:K, : J + 1, :I])
         )
     )
-    hz = s.hz.at[: K + 1, :J, :I].add(
-        f
+    hz = s.hz.at[shz].add(
+        fz
         * (
             (ex[: K + 1, 1 : J + 1, :I] - ex[: K + 1, :J, :I])
             - (ey[: K + 1, :J, 1 : I + 1] - ey[: K + 1, :J, :I])

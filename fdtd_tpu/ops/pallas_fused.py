@@ -406,6 +406,8 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
         raise NotImplementedError("scalar non-vacuum ca is not expected")
     if lossy and not two_pass:
         raise NotImplementedError("materials require the two_pass fast path")
+    if coefs.heterogeneous_mu:
+        raise NotImplementedError("heterogeneous mu_r requires the xla backend")
     if interpret is None:
         dd = jax.config.jax_default_device
         interpret = (dd.platform != "tpu") if dd is not None else (jax.default_backend() != "tpu")
@@ -417,10 +419,8 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
     nk = (S - D) // tk
     dtype = jnp.dtype(p.dtype)
     compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
-    f_h = compute_dtype.type(coefs.h_factor if not hasattr(coefs.h_factor, "shape") else 0.0)
+    f_h = compute_dtype.type(coefs.h_factor)
     f_e = compute_dtype.type(coefs.cb_x) if not lossy else compute_dtype.type(0.0)
-    if lossy:
-        f_h = compute_dtype.type(float(np.asarray(coefs.h_factor)))
     inject = p.mode == Mode.COMPUTATION
     plan = make_source_plan(p) if inject else None
     patch = (plan.j0, plan.j1, plan.i0, plan.i1) if inject else None
@@ -563,19 +563,24 @@ def build_twopass_calls(p: Params, coefs: UpdateCoefs, S: int, nk: int,
     Used by the sharded fast path (fdtd_tpu.parallel.sharded_fast), whose
     per-shard arrays have ``S`` storage rows (dead slab + local physical
     rows + top halo/pad) and ``nk`` output tiles.  Calls take a leading
-    (1, 1) int32 global-k offset.  Vacuum only.
+    (1, 1) int32 global-k offset.  With lossy ``coefs``, ``e_call`` takes
+    six extra blocked coefficient slabs (per-shard layout, same as the
+    field bulks) after the E inputs.
     """
-    if not isinstance(coefs.ca_x, (int, float)) or coefs.ca_x != 1.0:
-        raise NotImplementedError("sharded fast path supports vacuum only")
+    lossy = not isinstance(coefs.ca_x, (int, float))
+    if not lossy and coefs.ca_x != 1.0:
+        raise NotImplementedError("scalar non-vacuum ca is not expected")
+    if coefs.heterogeneous_mu:
+        raise NotImplementedError("heterogeneous mu_r requires the xla backend")
     _, J1, Ib = dims(p)
     W = corr_width(Ib)
     if tk is None:
-        tk = tile_k(p)
+        tk = tile_k(p, lossy)
     ofs = D // tk
     dtype = jnp.dtype(p.dtype)
     compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
-    f_h = compute_dtype.type(coefs.h_factor)
-    f_e = compute_dtype.type(coefs.cb_x)
+    f_h = compute_dtype.type(float(np.asarray(coefs.h_factor)))
+    f_e = compute_dtype.type(0.0) if lossy else compute_dtype.type(coefs.cb_x)
     inject = p.mode == Mode.COMPUTATION
     patch = None
     if inject:
@@ -609,9 +614,9 @@ def build_twopass_calls(p: Params, coefs: UpdateCoefs, S: int, nk: int,
         interpret=interpret,
     )
     e_call = pl.pallas_call(
-        functools.partial(_e_kernel2, p, f_e, Ib, False, tk),
+        functools.partial(_e_kernel2, p, f_e, Ib, lossy, tk),
         grid=(nk,),
-        in_specs=[smem] + [h_dn] * 3 + [blk] * 3,
+        in_specs=[smem] + [h_dn] * 3 + [blk] * 3 + ([blk] * 6 if lossy else []),
         out_specs=[blk] * 3,
         out_shape=(bulk_shape,) * 3,
         input_output_aliases=aliases,

@@ -48,13 +48,18 @@ from ..ops.pallas_fused import (
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["ex", "ey", "ez", "hx", "hy", "hz", "corr_hy", "corr_hz", "ey_s", "ez_s", "hx_s"],
+    data_fields=[
+        "ex", "ey", "ez", "hx", "hy", "hz", "corr_hy", "corr_hz",
+        "ey_s", "ez_s", "hx_s",
+        "ca_x", "ca_y", "ca_z", "cb_x", "cb_y", "cb_z",
+    ],
     meta_fields=[],
 )
 @dataclasses.dataclass
 class ShardedFastState:
     """Bulks/corr in the per-shard layout (n*S_sh rows, sharded over 'z');
-    strips in the canonical stripped layout, replicated."""
+    strips in the canonical stripped layout, replicated; for lossy media,
+    six per-shard ca/cb coefficient slabs (constant through the run)."""
 
     ex: jax.Array
     ey: jax.Array
@@ -67,6 +72,12 @@ class ShardedFastState:
     ey_s: jax.Array
     ez_s: jax.Array
     hx_s: jax.Array
+    ca_x: jax.Array | None = None
+    ca_y: jax.Array | None = None
+    ca_z: jax.Array | None = None
+    cb_x: jax.Array | None = None
+    cb_y: jax.Array | None = None
+    cb_z: jax.Array | None = None
 
 
 def _geometry(p: Params, n: int):
@@ -105,10 +116,12 @@ def _reshard(a, n, src_rows, Klp, S_sh, lead_pad=D, halo=False):
     return a.reshape(n * S_sh, *a.shape[2:])
 
 
-def to_sharded_fast(p: Params, s: FieldState, mesh: Mesh) -> ShardedFastState:
+def to_sharded_fast(
+    p: Params, s: FieldState, mesh: Mesh, coefs=None
+) -> ShardedFastState:
     n = mesh.shape["z"]
     S_c, J1p, Ib, K1, Klp, S_sh = _geometry(p, n)
-    st = to_stripped(p, s)
+    st = to_stripped(p, s, coefs=coefs)
 
     def phys(a):  # canonical stripped -> physical rows only
         return a[D : D + K1]
@@ -119,7 +132,7 @@ def to_sharded_fast(p: Params, s: FieldState, mesh: Mesh) -> ShardedFastState:
     def emb(a, halo=False):
         return jax.device_put(_reshard(phys(a), n, K1, Klp, S_sh, halo=halo), bulk_sh)
 
-    return ShardedFastState(
+    out = ShardedFastState(
         ex=emb(st.ex), ey=emb(st.ey), ez=emb(st.ez),
         hx=emb(st.hx), hy=emb(st.hy), hz=emb(st.hz),
         corr_hy=emb(st.corr_hy, halo=True), corr_hz=emb(st.corr_hz, halo=True),
@@ -127,6 +140,13 @@ def to_sharded_fast(p: Params, s: FieldState, mesh: Mesh) -> ShardedFastState:
         ez_s=jax.device_put(st.ez_s, rep),
         hx_s=jax.device_put(st.hx_s, rep),
     )
+    if st.ca_x is not None:
+        out = dataclasses.replace(
+            out,
+            ca_x=emb(st.ca_x), ca_y=emb(st.ca_y), ca_z=emb(st.ca_z),
+            cb_x=emb(st.cb_x), cb_y=emb(st.cb_y), cb_z=emb(st.cb_z),
+        )
+    return out
 
 
 def from_sharded_fast(p: Params, st: ShardedFastState, mesh: Mesh) -> FieldState:
@@ -151,15 +171,21 @@ def from_sharded_fast(p: Params, st: ShardedFastState, mesh: Mesh) -> FieldState
     return to_full(p, canon)
 
 
-def make_sharded_fast_step(p: Params, mesh: Mesh, interpret: bool | None = None):
-    """``step(state: ShardedFastState, (t, amp)) -> ShardedFastState``."""
+def make_sharded_fast_step(p: Params, mesh: Mesh, interpret: bool | None = None,
+                           materials=None):
+    """``step(state: ShardedFastState, (t, amp)) -> ShardedFastState``.
+
+    With ``materials``, the E pass runs the lossy update with per-shard
+    ca/cb coefficient slabs carried in the state (build the state with
+    ``to_sharded_fast(p, s, mesh, coefs=update_coefs(p, materials))``)."""
     if interpret is None:
         dd = jax.config.jax_default_device
         interpret = (dd.platform != "tpu") if dd is not None else (jax.default_backend() != "tpu")
     n = mesh.shape["z"]
-    coefs = update_coefs(p, None)
+    coefs = update_coefs(p, materials)
+    lossy = not isinstance(coefs.ca_x, (int, float))
     S_c, J1p, Ib, K1, Klp, S_sh = _geometry(p, n)
-    tk = tile_k(p)
+    tk = tile_k(p, lossy)
     nk_local = Klp // tk
     h_call, e_call, tk = build_twopass_calls(p, coefs, S_sh, nk_local, interpret, tk=tk)
 
@@ -175,7 +201,7 @@ def make_sharded_fast_step(p: Params, mesh: Mesh, interpret: bool | None = None)
     up = [(i, i - 1) for i in range(1, n)]    # receive next shard's plane
     down = [(i, i + 1) for i in range(n - 1)]  # receive previous shard's plane
 
-    def local_step(koff2, ex, ey, ez, hx, hy, hz, chy, chz):
+    def local_step(koff2, ex, ey, ez, hx, hy, hz, chy, chz, *cf):
         # top E halo: next shard's first physical Ex/Ey rows -> slot D+Klp
         ex_first = lax.slice_in_dim(ex, D, D + 1, axis=0)
         ey_first = lax.slice_in_dim(ey, D, D + 1, axis=0)
@@ -194,19 +220,20 @@ def make_sharded_fast_step(p: Params, mesh: Mesh, interpret: bool | None = None)
         hx = lax.dynamic_update_slice_in_dim(hx, hx_h, D - 1, axis=0)
         hy = lax.dynamic_update_slice_in_dim(hy, hy_h, D - 1, axis=0)
 
-        ex, ey, ez = e_call(koff2, hx, hy, hz, ex, ey, ez)
+        ex, ey, ez = e_call(koff2, hx, hy, hz, ex, ey, ez, *cf)
         return ex, ey, ez, hx, hy, hz
 
-    def shard_body(ex, ey, ez, hx, hy, hz, chy, chz):
+    def shard_body(ex, ey, ez, hx, hy, hz, chy, chz, *cf):
         r = lax.axis_index("z")
         koff2 = (r * Klp).astype(jnp.int32).reshape(1, 1)
-        return local_step(koff2, ex, ey, ez, hx, hy, hz, chy, chz)
+        return local_step(koff2, ex, ey, ez, hx, hy, hz, chy, chz, *cf)
 
     bspec = P("z", None, None)
+    n_in = 8 + (6 if lossy else 0)
     smap = jax.shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(bspec,) * 8,
+        in_specs=(bspec,) * n_in,
         out_specs=(bspec,) * 6,
         check_vma=False,  # pallas_call outputs don't carry vma metadata
     )
@@ -230,8 +257,13 @@ def make_sharded_fast_step(p: Params, mesh: Mesh, interpret: bool | None = None)
                 hz=st.hz.at[sl].set(zero),
                 hx=st.hx.at[sl].set((-plan.inv_z_te * pv).astype(dtype)),
             )
+        cf = (
+            (st.ca_x, st.ca_y, st.ca_z, st.cb_x, st.cb_y, st.cb_z)
+            if lossy
+            else ()
+        )
         ex, ey, ez, hx, hy, hz = smap(
-            st.ex, st.ey, st.ez, st.hx, st.hy, st.hz, st.corr_hy, st.corr_hz
+            st.ex, st.ey, st.ez, st.hx, st.hy, st.hz, st.corr_hy, st.corr_hz, *cf
         )
         # Hx strip update on the replicated canonical strips
         ey_s2 = st.ey_s[:, :, 0]
@@ -246,9 +278,10 @@ def make_sharded_fast_step(p: Params, mesh: Mesh, interpret: bool | None = None)
     return step
 
 
-def make_sharded_fast_runner(p: Params, mesh: Mesh, interpret: bool | None = None):
+def make_sharded_fast_runner(p: Params, mesh: Mesh, interpret: bool | None = None,
+                             materials=None):
     """Jitted ``run(state, xs) -> state`` scanning the sharded fast step."""
-    step = make_sharded_fast_step(p, mesh, interpret)
+    step = make_sharded_fast_step(p, mesh, interpret, materials=materials)
 
     @jax.jit
     def run(st, xs):

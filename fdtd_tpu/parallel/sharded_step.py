@@ -50,12 +50,17 @@ def _source_pattern(p: Params, shape_ji: tuple[int, int], dtype) -> tuple[np.nda
     return prof.astype(dtype), mask
 
 
-def make_sharded_step(p: Params, mesh: Mesh):
-    """Build (sharded_step, aux_arrays) for vacuum runs.
+def make_sharded_step(p: Params, mesh: Mesh, materials=None):
+    """Build ``sharded_step(amp, state) -> state``.
 
-    ``sharded_step(amp, state) -> state`` operates on fields of the
-    mesh-divisible global shape (see ``pad_state_for_mesh``).
+    Operates on fields of the mesh-divisible global shape (see
+    ``pad_state_for_mesh``).  With ``materials``, the E update uses sharded
+    ca/cb coefficient slabs (lossy media) and — for heterogeneous mu_r — the
+    H update uses sharded per-component face-averaged factors; both are
+    device-put once here and closed over as sharded constants.
     """
+    from ..state import update_coefs
+
     if p.mode == Mode.COMPUTATION:
         plan = make_source_plan(p)
         inv_z_te = plan.inv_z_te
@@ -70,6 +75,23 @@ def make_sharded_step(p: Params, mesh: Mesh):
     f_h = dtype.type(p.time_step / (MU * p.spatial_step))
     f_e = dtype.type(p.time_step / (EPSILON * p.spatial_step))
     computation = p.mode == Mode.COMPUTATION
+
+    coefs = update_coefs(p, materials)
+    lossy = not isinstance(coefs.ca_x, (int, float))
+    het_mu = coefs.heterogeneous_mu
+    fsh = field_sharding(mesh)
+    K1, J1, I1 = p.padded_shape
+
+    def padc(a):
+        a = jnp.pad(jnp.asarray(a, dtype), ((0, Kp - K1), (0, Jp - J1), (0, Ip - I1)))
+        return jax.device_put(a, fsh)
+
+    coef_arrays = []
+    if lossy:
+        coef_arrays += [padc(getattr(coefs, n)) for n in
+                        ("ca_x", "ca_y", "ca_z", "cb_x", "cb_y", "cb_z")]
+    if het_mu:
+        coef_arrays += [padc(getattr(coefs, n)) for n in ("hf_x", "hf_y", "hf_z")]
 
     prof_np, mask_np = _source_pattern(p, (Jp, Ip), dtype)
     src_sh = NamedSharding(mesh, P("y", "x"))
@@ -106,7 +128,11 @@ def make_sharded_step(p: Params, mesh: Mesh):
         io = lax.broadcasted_iota(jnp.int32, local_shape, dim)
         return io + r * lsz[dim]
 
-    def local_step(amp, ex, ey, ez, hx, hy, hz, prof_l, msrc_l):
+    def local_step(amp, ex, ey, ez, hx, hy, hz, prof_l, msrc_l, *cf):
+        if lossy:
+            cax, cay, caz, cbx, cby, cbz = cf[:6]
+        if het_mu:
+            hfx, hfy, hfz = cf[6:] if lossy else cf[:3]
         shp = ex.shape
         gz = gindex(shp, 0)
         gy = gindex(shp, 1)
@@ -135,9 +161,12 @@ def make_sharded_step(p: Params, mesh: Mesh):
         m_hx = (gz < K) & (gy < J) & (gx < I + 1)
         m_hy = (gz < K) & (gy < J + 1) & (gx < I)
         m_hz = (gz < K + 1) & (gy < J) & (gx < I)
-        hx = jnp.where(m_hx, hx + f_h * ((ey_pz - ey) - (ez_py - ez)), hx)
-        hy = jnp.where(m_hy, hy + f_h * ((ez_px - ez) - (ex_pz - ex)), hy)
-        hz = jnp.where(m_hz, hz + f_h * ((ex_py - ex) - (ey_px - ey)), hz)
+        fhx = hfx if het_mu else f_h
+        fhy = hfy if het_mu else f_h
+        fhz = hfz if het_mu else f_h
+        hx = jnp.where(m_hx, hx + fhx * ((ey_pz - ey) - (ez_py - ez)), hx)
+        hy = jnp.where(m_hy, hy + fhy * ((ez_px - ez) - (ex_pz - ex)), hy)
+        hz = jnp.where(m_hz, hz + fhz * ((ex_py - ex) - (ey_px - ey)), hz)
 
         if computation:
             ex, ez, hx, hz = inject(ex, ez, hx, hz)
@@ -153,30 +182,42 @@ def make_sharded_step(p: Params, mesh: Mesh):
         m_ex = (gz >= 1) & (gz < K) & (gy >= 1) & (gy < J) & (gx < I)
         m_ey = (gz >= 1) & (gz < K) & (gy < J) & (gx >= 1) & (gx < I)
         m_ez = (gz < K) & (gy >= 1) & (gy < J) & (gx >= 1) & (gx < I)
-        ex = jnp.where(m_ex, ex + f_e * ((hz - hz_my) - (hy - hy_mz)), ex)
-        ey = jnp.where(m_ey, ey + f_e * ((hx - hx_mz) - (hz - hz_mx)), ey)
-        ez = jnp.where(m_ez, ez + f_e * ((hy - hy_mx) - (hx - hx_my)), ez)
+        curl_x = (hz - hz_my) - (hy - hy_mz)
+        curl_y = (hx - hx_mz) - (hz - hz_mx)
+        curl_z = (hy - hy_mx) - (hx - hx_my)
+        if lossy:
+            ex = jnp.where(m_ex, cax * ex + cbx * curl_x, ex)
+            ey = jnp.where(m_ey, cay * ey + cby * curl_y, ey)
+            ez = jnp.where(m_ez, caz * ez + cbz * curl_z, ez)
+        else:
+            ex = jnp.where(m_ex, ex + f_e * curl_x, ex)
+            ey = jnp.where(m_ey, ey + f_e * curl_y, ey)
+            ez = jnp.where(m_ez, ez + f_e * curl_z, ez)
 
         return ex, ey, ez, hx, hy, hz
 
     fspec = P(*AXES)
+    n_cf = len(coef_arrays)
     smap = jax.shard_map(
         local_step,
         mesh=mesh,
-        in_specs=(P(), fspec, fspec, fspec, fspec, fspec, fspec, P("y", "x"), P("y", "x")),
+        in_specs=(P(), fspec, fspec, fspec, fspec, fspec, fspec, P("y", "x"), P("y", "x"))
+        + (fspec,) * n_cf,
         out_specs=(fspec,) * 6,
     )
 
     def sharded_step(amp, s: FieldState) -> FieldState:
-        ex, ey, ez, hx, hy, hz = smap(amp, s.ex, s.ey, s.ez, s.hx, s.hy, s.hz, prof, msrc)
+        ex, ey, ez, hx, hy, hz = smap(
+            amp, s.ex, s.ey, s.ez, s.hx, s.hy, s.hz, prof, msrc, *coef_arrays
+        )
         return FieldState(ex, ey, ez, hx, hy, hz)
 
     return sharded_step
 
 
-def make_sharded_chunk_runner(p: Params, mesh: Mesh):
+def make_sharded_chunk_runner(p: Params, mesh: Mesh, materials=None):
     """Jitted ``run(state, amps) -> state`` scanning the sharded step."""
-    sharded_step = make_sharded_step(p, mesh)
+    sharded_step = make_sharded_step(p, mesh, materials)
 
     @jax.jit
     def run(s: FieldState, amps):

@@ -55,8 +55,20 @@ def resolve_backend(
 
     pallas_temporal is fp32-vacuum-only and cannot accumulate per-step power
     (it advances several steps per HBM sweep); such runs use pallas_fused,
-    which supports lossy media and SAR.
+    which supports lossy media and SAR.  Heterogeneous mu_r needs the
+    per-component H factors only the xla backend applies.
     """
+    if (
+        backend != "xla"
+        and materials is not None
+        and getattr(materials, "mu_r", None) is not None
+    ):
+        log(
+            "notice: heterogeneous mu_r is only supported on the xla "
+            "backend; falling back from "
+            f"{backend}"
+        )
+        return "xla"
     if backend == "pallas_temporal":
         from .ops.pallas_temporal import supported
         from .state import update_coefs as _uc

@@ -116,12 +116,15 @@ def water_block(p: Params, lo=(0.3, 0.3, 0.3), hi=(0.7, 0.7, 0.7), eps_r=78.0, s
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["ca_x", "ca_y", "ca_z", "cb_x", "cb_y", "cb_z", "h_factor", "sigma_cells"],
+    data_fields=[
+        "ca_x", "ca_y", "ca_z", "cb_x", "cb_y", "cb_z", "h_factor",
+        "sigma_cells", "hf_x", "hf_y", "hf_z",
+    ],
     meta_fields=[],
 )
 @dataclasses.dataclass(frozen=True)
 class UpdateCoefs:
-    """Per-component E-update coefficients, and the scalar H factor.
+    """Per-component E-update coefficients, and the H factor(s).
 
     Standard lossy-update form:  E <- ca*E + cb*(curl H)/dx  with
         ca = (1 - s) / (1 + s),   cb = (dt/(eps)) / (1 + s) / dx_applied_in_op
@@ -129,6 +132,12 @@ class UpdateCoefs:
     In vacuum ca == 1 and cb == dt/(EPSILON*dx) — exactly the reference's
     ``factor`` (main.c:479).  ``ca_*``/``cb_*`` are either python scalars
     (vacuum) or padded arrays matching the component's update slice.
+
+    ``h_factor`` is the scalar dt/(MU*dx) (reference main.c:441).  With
+    heterogeneous ``mu_r``, ``hf_x/y/z`` carry per-component padded arrays
+    dt/(MU*mu_face*dx), face-averaged at each H component's Yee location;
+    they are None for uniform permeability (the common case — scalar hot
+    loop preserved).
     """
 
     ca_x: object
@@ -137,8 +146,15 @@ class UpdateCoefs:
     cb_x: object
     cb_y: object
     cb_z: object
-    h_factor: object  # dt/(MU*dx), scalar (or per-component arrays if mu_r set)
+    h_factor: object  # dt/(MU*dx) scalar
     sigma_cells: object | None = None  # cell-centered sigma for SAR diagnostics
+    hf_x: object | None = None
+    hf_y: object | None = None
+    hf_z: object | None = None
+
+    @property
+    def heterogeneous_mu(self) -> bool:
+        return self.hf_x is not None
 
 
 def _edge_average(cells: np.ndarray, axis_pair: tuple[int, int]) -> np.ndarray:
@@ -197,6 +213,30 @@ def update_coefs(p: Params, materials: Materials | None = None, dtype=None) -> U
     ca_y, cb_y = coefs_for((0, 2), "ey")
     ca_z, cb_z = coefs_for((1, 2), "ez")
     hf = dt_ / (MU * dx)
+
+    hf_x = hf_y = hf_z = None
     if materials.mu_r is not None:
-        raise NotImplementedError("heterogeneous mu_r not yet supported")
-    return UpdateCoefs(ca_x, ca_y, ca_z, cb_x, cb_y, cb_z, hf, jnp.asarray(sg, dtype=dty))
+        # H components sit on cell faces: Hx on x-normal faces (average mu
+        # over the two cells adjacent along i), Hy along j, Hz along k.
+        mu = np.asarray(materials.mu_r, dtype=np.float64)
+
+        def hf_for(axis):
+            pads = [(0, 0)] * 3
+            pads[axis] = (1, 1)
+            padded = np.pad(mu, pads, mode="edge")
+            sl0 = [slice(None)] * 3
+            sl1 = [slice(None)] * 3
+            sl0[axis] = slice(0, -1)
+            sl1[axis] = slice(1, None)
+            mu_face = 0.5 * (padded[tuple(sl0)] + padded[tuple(sl1)])
+            K1, J1, I1 = p.padded_shape
+            out = np.full((K1, J1, I1), hf)
+            fk, fj, fi = mu_face.shape
+            out[:fk, :fj, :fi] = dt_ / (MU * mu_face * dx)
+            return jnp.asarray(out, dtype=dty)
+
+        hf_x, hf_y, hf_z = hf_for(2), hf_for(1), hf_for(0)
+    return UpdateCoefs(
+        ca_x, ca_y, ca_z, cb_x, cb_y, cb_z, hf,
+        jnp.asarray(sg, dtype=dty), hf_x, hf_y, hf_z,
+    )

@@ -7,8 +7,8 @@ import jax
 import numpy as np
 
 from fdtd_tpu import diagnostics
-from fdtd_tpu.params import time_values
-from fdtd_tpu.state import Materials, init_validation, water_block
+from fdtd_tpu.params import Mode, time_values
+from fdtd_tpu.state import Materials, init_validation, water_block, zeros
 from fdtd_tpu.step import make_chunk_runner, make_step, scan_inputs
 
 
@@ -74,3 +74,89 @@ def test_higher_eps_slows_wave(tiny_params):
         s_m = step_m(s_m, (t, a))
     dif = float(np.abs(np.asarray(s_v.ey) - np.asarray(s_m.ey)).max())
     assert dif > 1e-3
+
+
+def test_uniform_mu_arrays_match_scalar_path(tiny_params):
+    """mu_r == 1 arrays must reproduce the vacuum evolution exactly."""
+    from fdtd_tpu.state import Materials
+
+    p = tiny_params
+    K, J, I = p.maxk, p.maxj, p.maxi
+    mats = Materials(mu_r=np.ones((K, J, I)))
+    s_a = init_validation(p)
+    s_b = init_validation(p)
+    step_v = jax.jit(make_step(p))
+    step_m = jax.jit(make_step(p, materials=mats))
+    xs = scan_inputs(p, time_values(p)[:10])
+    for t, a in zip(*xs):
+        s_a = step_v(s_a, (t, a))
+        s_b = step_m(s_b, (t, a))
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(s_a, c)), np.asarray(getattr(s_b, c)),
+            atol=1e-15, rtol=1e-12, err_msg=c,
+        )
+
+
+def test_higher_mu_slows_wave(tiny_params):
+    """A high-permeability block changes the evolution (mu_r is live)."""
+    from fdtd_tpu.state import Materials
+
+    p = dataclasses.replace(tiny_params, mode=Mode.COMPUTATION)
+    K, J, I = p.maxk, p.maxj, p.maxi
+    mu = np.ones((K, J, I))
+    mu[:, :, :] = 1.0
+    mu[K // 4 : 3 * K // 4, J // 4 : 3 * J // 4, I // 4 : 3 * I // 4] = 9.0
+    s_v = zeros(p)
+    s_m = zeros(p)
+    step_v = jax.jit(make_step(p))
+    step_m = jax.jit(make_step(p, materials=Materials(mu_r=mu)))
+    xs = scan_inputs(p, time_values(p))
+    for t, a in zip(*xs):
+        s_v = step_v(s_v, (t, a))
+        s_m = step_m(s_m, (t, a))
+    dif = float(np.abs(np.asarray(s_v.hx) - np.asarray(s_m.hx)).max())
+    assert dif > 1e-12
+    assert np.isfinite(np.asarray(s_m.hx)).all()
+
+
+def test_power_deposition_stripped_matches_canonical(tiny_params):
+    """The stripped-layout SAR read is bit-identical to the canonical one."""
+    from fdtd_tpu import diagnostics
+    from fdtd_tpu.ops.pallas_fused import to_stripped
+    from fdtd_tpu.state import update_coefs, water_block
+
+    p = dataclasses.replace(tiny_params, dtype="float32", mode=Mode.COMPUTATION)
+    mats = water_block(p, lo=(0.0, 0.0, 0.0), hi=(1.0, 1.0, 1.0), sigma=1.3)
+    coefs = update_coefs(p, mats)
+    # evolve a few steps so fields are nontrivial
+    s = zeros(p)
+    step = jax.jit(make_step(p, materials=mats))
+    xs = scan_inputs(p, time_values(p)[:6])
+    for t, a in zip(*xs):
+        s = step(s, (t, a))
+    want = np.asarray(diagnostics.power_deposition(p, s, coefs.sigma_cells))
+    st = to_stripped(p, s)
+    got = np.asarray(diagnostics.power_deposition_stripped(p, st, coefs.sigma_cells))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sar_fast_backend_matches_xla(tiny_params):
+    """--sar on pallas_fused (no per-step restore) == --sar on xla."""
+    from fdtd_tpu.step import backend_adapters, zero_power_acc
+
+    p = dataclasses.replace(tiny_params, dtype="float32", mode=Mode.COMPUTATION)
+    mats = water_block(p, lo=(0.2, 0.2, 0.2), hi=(0.8, 0.8, 0.8))
+    xs = scan_inputs(p, time_values(p)[:10])
+
+    run_x = make_chunk_runner(p, materials=mats, accumulate_power=True)
+    _, acc_x = run_x(zeros(p), xs, zero_power_acc(p))
+
+    prep, _ = backend_adapters(p, "pallas_fused", mats)
+    run_f = make_chunk_runner(p, materials=mats, backend="pallas_fused",
+                              accumulate_power=True)
+    _, acc_f = run_f(prep(zeros(p)), xs, zero_power_acc(p))
+    np.testing.assert_allclose(
+        np.asarray(acc_f), np.asarray(acc_x), atol=1e-12, rtol=1e-5
+    )
+    assert float(np.asarray(acc_f).max()) > 0

@@ -116,3 +116,49 @@ def test_dryrun_multichip_hermetic():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "MULTICHIP_DRYRUN_OK" in proc.stdout
+
+
+@pytest.mark.parametrize("shape", [(2, 2, 2), (8, 1, 1)])
+def test_sharded_step_lossy_matches_single_device(tiny_params, shape):
+    """Materials through the jnp sharded path (3-D decomposition included)."""
+    from fdtd_tpu.state import water_block
+
+    p = dataclasses.replace(tiny_params, mode=Mode.COMPUTATION)
+    mats = water_block(p, lo=(0.2, 0.2, 0.2), hi=(0.8, 0.8, 0.8))
+    n_steps = 8
+
+    s0 = zeros(p)
+    run_ref = make_chunk_runner(p, materials=mats)
+    xs = scan_inputs(p, time_values(p)[:n_steps])
+    want, _ = run_ref(s0, xs, None)
+
+    mesh = make_mesh(8, shape, devices=jax.devices("cpu"))
+    sp = pad_state_for_mesh(p, s0, mesh)
+    run = make_sharded_chunk_runner(p, mesh, materials=mats)
+    got = run(sp, xs[1])
+    _compare(p, got, want)
+
+
+def test_sharded_step_mu_matches_single_device(tiny_params):
+    """Heterogeneous mu_r through the jnp sharded path."""
+    import numpy as _np
+
+    from fdtd_tpu.state import Materials
+
+    p = dataclasses.replace(tiny_params, mode=Mode.VALIDATION)
+    K, J, I = p.maxk, p.maxj, p.maxi
+    mu = _np.ones((K, J, I))
+    mu[2:6, 2:6, 2:6] = 4.0
+    mats = Materials(mu_r=mu)
+    n_steps = 8
+
+    s0 = init_validation(p)
+    run_ref = make_chunk_runner(p, materials=mats)
+    xs = scan_inputs(p, time_values(p)[:n_steps])
+    want, _ = run_ref(s0, xs, None)
+
+    mesh = make_mesh(8, (2, 2, 2), devices=jax.devices("cpu"))
+    sp = pad_state_for_mesh(p, s0, mesh)
+    run = make_sharded_chunk_runner(p, mesh, materials=mats)
+    got = run(sp, xs[1])
+    _compare(p, got, want)

@@ -78,3 +78,42 @@ def test_sharded_temporal_matches_single_device(tiny_params, mode, sgrp):
         # (FMA), giving isolated 1-ulp differences near the patch
         atol = 0.0 if (sgrp <= 3 and mode == Mode.VALIDATION) else 1e-6
         np.testing.assert_allclose(g, w, atol=atol, rtol=0, err_msg=f"s={sgrp}/{c}")
+
+
+def test_sharded_fast_lossy_matches_single_device(tiny_params):
+    """Water block through the sharded Pallas fast path == single-device
+    pallas_fused lossy run, bit-for-bit (VERDICT r1 next-item #4)."""
+    from fdtd_tpu.state import update_coefs, water_block
+
+    p = dataclasses.replace(
+        tiny_params, dtype="float32", mode=Mode.COMPUTATION
+    )
+    mats = water_block(p, lo=(0.2, 0.2, 0.2), hi=(0.8, 0.8, 0.8))
+    n_steps = 10
+    s0 = zeros(p)
+    xs = scan_inputs(p, time_values(p)[:n_steps])
+
+    run_ref = make_chunk_runner(p, materials=mats, backend="pallas_fused")
+    from fdtd_tpu.step import backend_adapters
+
+    prep, restore = backend_adapters(p, "pallas_fused", mats)
+    want, _ = run_ref(prep(s0), xs, None)
+    want = restore(want)
+
+    mesh = make_mesh(8, (8, 1, 1), devices=jax.devices("cpu"))
+    st = to_sharded_fast(p, s0, mesh, coefs=update_coefs(p, mats))
+    run = make_sharded_fast_runner(p, mesh, interpret=True, materials=mats)
+    st = run(st, xs)
+    got = from_sharded_fast(p, st, mesh)
+    for c in COMPONENTS:
+        g = np.asarray(getattr(got, c))[:, :, : p.maxi]
+        w = np.asarray(getattr(want, c))[:, :, : p.maxi]
+        np.testing.assert_array_equal(g, w, err_msg=c)
+
+    # and against the canonical xla lossy path (association tolerance)
+    run_x = make_chunk_runner(p, materials=mats, backend="xla")
+    want_x, _ = run_x(s0, xs, None)
+    for c in COMPONENTS:
+        g = np.asarray(getattr(got, c))[:, :, : p.maxi]
+        w = np.asarray(getattr(want_x, c))[:, :, : p.maxi]
+        np.testing.assert_allclose(g, w, atol=2e-7, rtol=1e-5, err_msg=c)
