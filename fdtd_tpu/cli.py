@@ -37,8 +37,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--profile", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the run to DIR")
     ap.add_argument("--temporal-steps", type=int, default=None, metavar="S",
-                    choices=range(2, 6),
-                    help="steps per sweep for --backend pallas_temporal (2-5)")
+                    choices=range(2, 9),
+                    help="steps per sweep for --backend pallas_temporal (2-8; "
+                         "default: measured per-dtype sweet spot)")
     ap.add_argument("--source-frequency", type=float, default=None, metavar="HZ",
                     help="magnetron drive frequency (reference hardcodes 2.45e10, main.c:735)")
     ap.add_argument("--source-aprime", type=float, default=None, metavar="M",

@@ -276,19 +276,24 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, tk,
     ohz[:] = hzp[1:]
 
 
-def _h_kernel2(p: Params, f_h, patch, Ib, W, tk,
+def _h_kernel2(p: Params, f_h, patch, Ib, W, tk, jwin,
                koff_ref, ex_ref, ey_ref, ez_ref, hx_ref, hy_ref, hz_ref, chy_ref, chz_ref,
                ohx, ohy, ohz):
     """H half-step on slab g+1 (k rows L..H); E windows carry one halo row up.
 
     Alias-safe: writes only H, whose blocks are read without cross-block
-    halos in this pass.  ``koff_ref`` holds the shard's global-k offset
-    (0 single-device) so the staggered/PEC masks and the source-patch
-    exclusion see *global* k indices under spatial sharding.
+    halos in this pass.  ``koff_ref`` holds the shard's global (k, j)
+    offsets ((0, 0) single-device) so the staggered/PEC masks and the
+    source-patch exclusion see *global* indices under spatial sharding.
+    ``jwin``: (lo, hi) storage-row bounds of the locally-owned j rows under
+    2-D decomposition (None = own the whole extent); writes outside stay at
+    their input value so the j halo/pad rows hold exactly what the exchange
+    put there.
     """
     g = pl.program_id(0)
     K, J = p.maxk, p.maxj
     L = g * tk + koff_ref[0, 0]
+    joff = koff_ref[0, 1]
 
     st = ex_ref.dtype
     cd = jnp.float32 if st == jnp.bfloat16 else st  # fp32 compute on bf16 storage
@@ -302,7 +307,8 @@ def _h_kernel2(p: Params, f_h, patch, Ib, W, tk,
 
     shape = ex0.shape
     gk = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + L
-    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    jloc = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    jj = jloc + joff
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
     zf = jnp.zeros((), dt)
 
@@ -325,6 +331,9 @@ def _h_kernel2(p: Params, f_h, patch, Ib, W, tk,
     m_hx = (gk < K) & (jj < J)
     m_hy = gk < K
     m_hz = (gk < K + 1) & (jj < J)
+    if jwin is not None:
+        own = (jloc >= jwin[0]) & (jloc < jwin[1])
+        m_hx, m_hy, m_hz = m_hx & own, m_hy & own, m_hz & own
     if patch is not None:
         j0, j1, i0, i1 = patch
         m_patch = (gk == 0) & (jj >= j0) & (jj < j1) & (lane >= i0) & (lane < i1)
@@ -335,7 +344,7 @@ def _h_kernel2(p: Params, f_h, patch, Ib, W, tk,
     ohz[:] = jnp.where(m_hz, hzw + f_h * inc_hz, hzw).astype(st)
 
 
-def _e_kernel2(p: Params, f_e, Ib, lossy, tk,
+def _e_kernel2(p: Params, f_e, Ib, lossy, tk, jwin,
                koff_ref, hx_ref, hy_ref, hz_ref, ex_ref, ey_ref, ez_ref,
                *rest):
     """E half-step on slab g+1; H windows carry one halo row down.
@@ -343,7 +352,8 @@ def _e_kernel2(p: Params, f_e, Ib, lossy, tk,
     Alias-safe: writes only E; the H halo rows were finalized by the H pass.
     With ``lossy``, six extra blocked inputs carry the per-component ca/cb
     coefficient slabs and the update is E' = ca*E + cb*curl(H) (vacuum:
-    ca == 1, cb == f_e, no extra inputs).
+    ca == 1, cb == f_e, no extra inputs).  ``koff_ref``/``jwin`` as in
+    :func:`_h_kernel2`.
     """
     if lossy:
         cax_r, cay_r, caz_r, cbx_r, cby_r, cbz_r, oex, oey, oez = rest
@@ -352,6 +362,7 @@ def _e_kernel2(p: Params, f_e, Ib, lossy, tk,
     g = pl.program_id(0)
     K, J = p.maxk, p.maxj
     L = g * tk + koff_ref[0, 0]
+    joff = koff_ref[0, 1]
 
     st = ex_ref.dtype
     cd = jnp.float32 if st == jnp.bfloat16 else st
@@ -364,7 +375,8 @@ def _e_kernel2(p: Params, f_e, Ib, lossy, tk,
 
     shape = exb.shape
     gk = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + L
-    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    jloc = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    jj = jloc + joff
     ii = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
 
     hz_my = jnp.roll(hz0, 1, axis=1)
@@ -375,6 +387,9 @@ def _e_kernel2(p: Params, f_e, Ib, lossy, tk,
     m_ex = (gk >= 1) & (gk < K) & (jj >= 1) & (jj < J)
     m_ey = (gk >= 1) & (gk < K) & (jj < J) & (ii >= 1)
     m_ez = (gk < K) & (jj >= 1) & (jj < J) & (ii >= 1)
+    if jwin is not None:
+        own = (jloc >= jwin[0]) & (jloc < jwin[1])
+        m_ex, m_ey, m_ez = m_ex & own, m_ey & own, m_ez & own
     curl_x = (hz0 - hz_my) - (hy0 - hy_m1)
     curl_y = (hx0 - hx_m1) - (hz0 - hz_mx)
     curl_z = (hy0 - hy_mx) - (hx0 - hx_my)
@@ -476,11 +491,11 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
             lambda g: ((g + ofs) * tk - 1, 0, 0),
             memory_space=pltpu.VMEM,
         )
-        smem = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
+        smem = pl.BlockSpec((1, 2), lambda g: (0, 0), memory_space=pltpu.SMEM)
         # aliases shift by one for the leading koff scalar input
         aliases = {} if interpret else {4: 0, 5: 1, 6: 2}
         h_call = pl.pallas_call(
-            functools.partial(_h_kernel2, p, f_h, patch, Ib, W, tk),
+            functools.partial(_h_kernel2, p, f_h, patch, Ib, W, tk, None),
             grid=(nk,),
             in_specs=[smem] + [e_up] * 3 + [blk] * 3 + [cblk] * 2,
             out_specs=[blk] * 3,
@@ -490,7 +505,7 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
             interpret=interpret,
         )
         e_call = pl.pallas_call(
-            functools.partial(_e_kernel2, p, f_e, Ib, lossy, tk),
+            functools.partial(_e_kernel2, p, f_e, Ib, lossy, tk, None),
             grid=(nk,),
             in_specs=[smem] + [h_dn] * 3 + [blk] * 3 + ([blk] * 6 if lossy else []),
             out_specs=[blk] * 3,
@@ -499,7 +514,7 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
             compiler_params=cp,
             interpret=interpret,
         )
-        zoff = jnp.zeros((1, 1), jnp.int32)
+        zoff = jnp.zeros((1, 2), jnp.int32)
 
         def call(st, ex, ey, ez, hx, hy, hz, chy, chz):
             hx, hy, hz = h_call(zoff, ex, ey, ez, hx, hy, hz, chy, chz)
@@ -557,15 +572,20 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
 
 
 def build_twopass_calls(p: Params, coefs: UpdateCoefs, S: int, nk: int,
-                        interpret: bool, tk: int | None = None):
+                        interpret: bool, tk: int | None = None,
+                        J_rows: int | None = None,
+                        jwin: tuple[int, int] | None = None):
     """Two-pass (h_call, e_call, tk) for an arbitrary storage layout.
 
-    Used by the sharded fast path (fdtd_tpu.parallel.sharded_fast), whose
+    Used by the sharded fast paths (fdtd_tpu.parallel.sharded_fast), whose
     per-shard arrays have ``S`` storage rows (dead slab + local physical
     rows + top halo/pad) and ``nk`` output tiles.  Calls take a leading
-    (1, 1) int32 global-k offset.  With lossy ``coefs``, ``e_call`` takes
-    six extra blocked coefficient slabs (per-shard layout, same as the
-    field bulks) after the E inputs.
+    (1, 2) int32 (global-k, global-j) offset.  With lossy ``coefs``,
+    ``e_call`` takes six extra blocked coefficient slabs (per-shard layout,
+    same as the field bulks) after the E inputs.
+
+    ``J_rows``/``jwin``: per-shard j storage rows and owned-row bounds for
+    2-D (z x y) decomposition; default = the full canonical j extent.
     """
     lossy = not isinstance(coefs.ca_x, (int, float))
     if not lossy and coefs.ca_x != 1.0:
@@ -573,6 +593,8 @@ def build_twopass_calls(p: Params, coefs: UpdateCoefs, S: int, nk: int,
     if coefs.heterogeneous_mu:
         raise NotImplementedError("heterogeneous mu_r requires the xla backend")
     _, J1, Ib = dims(p)
+    if J_rows is not None:
+        J1 = J_rows
     W = corr_width(Ib)
     if tk is None:
         tk = tile_k(p, lossy)
@@ -600,11 +622,11 @@ def build_twopass_calls(p: Params, coefs: UpdateCoefs, S: int, nk: int,
         lambda g: ((g + ofs) * tk - 1, 0, 0),
         memory_space=pltpu.VMEM,
     )
-    smem = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
+    smem = pl.BlockSpec((1, 2), lambda g: (0, 0), memory_space=pltpu.SMEM)
     cp = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
     aliases = {} if interpret else {4: 0, 5: 1, 6: 2}
     h_call = pl.pallas_call(
-        functools.partial(_h_kernel2, p, f_h, patch, Ib, W, tk),
+        functools.partial(_h_kernel2, p, f_h, patch, Ib, W, tk, jwin),
         grid=(nk,),
         in_specs=[smem] + [e_up] * 3 + [blk] * 3 + [cblk] * 2,
         out_specs=[blk] * 3,
@@ -614,7 +636,7 @@ def build_twopass_calls(p: Params, coefs: UpdateCoefs, S: int, nk: int,
         interpret=interpret,
     )
     e_call = pl.pallas_call(
-        functools.partial(_e_kernel2, p, f_e, Ib, lossy, tk),
+        functools.partial(_e_kernel2, p, f_e, Ib, lossy, tk, jwin),
         grid=(nk,),
         in_specs=[smem] + [h_dn] * 3 + [blk] * 3 + ([blk] * 6 if lossy else []),
         out_specs=[blk] * 3,

@@ -21,9 +21,22 @@ use drive rows computed outside exactly like fdtd_tpu.source.apply_source,
 mask-applied to the k=0 row of the intermediates, plus the static patch
 exclusion on every H update (QUIRKS #4 semantics each step).
 
-Gating (``supported``): fp32, tile_k == 8, and s <= 4 in practice — s=6
-needs ~134MB VMEM (>128 hardware), and bf16 trips a Mosaic runtime fault
-at 256^3 window sizes.  Callers fall back to pallas_fused.
+j-tiling (``nj`` > 1): when full-plane windows overflow VMEM (s >= 6 at
+256^3 fp32; any s at 512^3), the j axis is split into ``nj`` tiles with an
+8-row j halo on each side (the same wavefront argument as k: corruption
+from a window edge travels one j row per leapfrog pair, so an 8-row halo
+covers s <= 8).  Mosaic requires sublane-dim window starts to be 8-aligned,
+so the j-tiled layout carries an 8-row dead band below j=0 (mirroring the
+k dead slab) and >=8 inert rows above; :func:`jextend`/:func:`jrestore`
+convert to/from the standard stripped layout once per scan chunk.  The
+halo rows are refetched (~(tj+16)/tj read amplification) — the price of
+fitting VMEM.
+
+VMEM feasibility (``plan_nj``): the model 2*(windows + corr + drive + out)
++ one fp32 window set (compute intermediates / bf16 upcasts) reproduces
+Mosaic's measured allocations within ~3% (256^3 fp32 s=6 -> 136 est vs
+134 measured; 512^3 bf16 s=4 -> 264 est vs 285 measured MB); ``supported``
+admits any config with a feasible nj.
 """
 
 from __future__ import annotations
@@ -42,18 +55,77 @@ from ..source import make_source_plan
 from ..state import UpdateCoefs
 from .pallas_fused import D, StrippedState, corr_width, dims, tile_k
 
-TKT = 8  # temporal blocking only pays at the full tile
+TKT = 8   # temporal blocking only pays at the full tile
+HJ = 8    # j halo rows per side when j-tiled (sublane-aligned; covers s <= 8)
+DJ = 8    # j dead band below j=0 in the j-tiled layout
+VMEM_BUDGET = 126 * 1024 * 1024  # matches the kernel's vmem_limit_bytes
 
 
-def supported(p: Params, coefs: UpdateCoefs) -> bool:
-    # fp32 only: the bf16 variant compiles but hits a Mosaic runtime fault
-    # (TPU worker crash) at 256^3 window sizes; bf16 runs use pallas_fused.
+def jt_extents(p: Params, nj: int) -> tuple[int, int]:
+    """(tj, Jt) for an ``nj``-way j-tiling: tile rows and total storage rows.
+
+    Content rows live at storage j in [DJ, DJ + J1); the DJ dead band below
+    and the 8 inert rows above make every window start ``jb*tj + DJ - HJ``
+    nonnegative and 8-aligned (Mosaic requires sublane-dim window starts
+    divisible by 8; arbitrary starts fail "couldn't prove tiling divides").
+    """
+    _, J1, _ = dims(p)
+    if nj == 1:
+        return J1, J1
+    tj = ((J1 + nj - 1) // nj + 7) // 8 * 8
+    return tj, DJ + nj * tj + HJ
+
+
+def vmem_estimate(p: Params, s: int, nj: int) -> int:
+    """Bytes of VMEM the s-step kernel needs at ``nj``-way j-tiling.
+
+    Calibrated against Mosaic's own allocator (see module docstring):
+    double-buffered input windows + outputs, plus one fp32-sized window set
+    for compute intermediates (which are also the bf16 upcast copies).
+    """
+    _, J1, Ib = dims(p)
+    tj, _ = jt_extents(p, nj)
+    tjw = tj + (2 * HJ if nj > 1 else 0)
+    item = jnp.dtype(p.dtype).itemsize
+    W = corr_width(Ib)
+    nd = max(s - 1, 1)
+    win_rows = 3 * (TKT + 2 * s) + 3 * (TKT + 2 * s - 1)
+    windows = win_rows * tjw * Ib * item
+    corr = 2 * (TKT + 2 * s - 1) * tjw * W * item
+    drive = 2 * nd * tjw * Ib * item
+    out = 6 * TKT * tj * Ib * item
+    return 2 * (windows + corr + drive + out) + win_rows * tjw * Ib * 4
+
+
+def plan_nj(p: Params, s: int) -> int | None:
+    """Smallest j-tiling for which the s-step kernel fits VMEM (None if none).
+
+    Read amplification grows as (tj + 16)/tj, so tilings below 32-row tiles
+    are rejected — past that the halo refetch eats the temporal win.
+    """
+    _, J1, _ = dims(p)
+    nj = 1
+    while True:
+        tj, _ = jt_extents(p, nj)
+        if nj > 1 and tj < 32:
+            return None
+        if vmem_estimate(p, s, nj) <= VMEM_BUDGET:
+            return nj
+        nj = nj + 1 if nj == 1 else nj * 2
+
+
+def supported(p: Params, coefs: UpdateCoefs, s: int = 4) -> bool:
+    """Vacuum, >=2 k-tiles, and a VMEM-feasible j-tiling for this ``s``.
+
+    bf16 is supported (fp32 in-kernel compute): the round-1 Mosaic runtime
+    fault at 256^3 windows no longer reproduces on current libtpu and the
+    bf16 path is pinned by tests/test_temporal.py.
+    """
     return (
         isinstance(coefs.ca_x, (int, float))
         and coefs.ca_x == 1.0
-        and jnp.dtype(p.dtype) == jnp.float32
-        and tile_k(p) == TKT
         and (dims(p)[0] - D) // TKT >= 2
+        and plan_nj(p, s) is not None
     )
 
 
@@ -102,14 +174,14 @@ def _curl_e(f_e, gk, jj, lane, K, J,
     return m_ex, m_ey, m_ez, inc_x, inc_y, inc_z
 
 
-def _iotas(shape, L0):
+def _iotas(shape, L0, J0=0):
     gk = jax.lax.broadcasted_iota(jnp.int32, shape, 0) + L0
-    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    jj = jax.lax.broadcasted_iota(jnp.int32, shape, 1) + J0
     lane = jax.lax.broadcasted_iota(jnp.int32, shape, 2)
     return gk, jj, lane
 
 
-def _kernel(p: Params, f_h, f_e, patch, Ib, W, tk, s,
+def _kernel(p: Params, f_h, f_e, patch, Ib, W, tk, s, jt,
             koff_ref, ex_ref, ey_ref, ez_ref, hx_ref, hy_ref, hz_ref,
             chy_ref, chz_ref, de2_ref, dh2_ref,
             oex, oey, oez, ohx, ohy, ohz):
@@ -121,10 +193,20 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, tk, s,
     then drops one row at each... bottom (needs H' at k-1), and H is trimmed
     one row at both ends for the next pair.  After s pairs E covers [L, H]
     and H' covers [L-1, H] whose top tk rows are the output block.
+
+    ``jt``: j-tile rows, or None for full-plane windows.  When tiled, the
+    window carries HJ halo rows per j side; the same wavefront argument
+    bounds edge corruption to one j row per pair, and the final write keeps
+    only the tile interior.  All j iotas are global (offset by the tile
+    start), so the staggered/PEC masks and the source patch are unchanged.
     """
     g_id = pl.program_id(0)
     K, J = p.maxk, p.maxj
     L = g_id * tk + koff_ref[0, 0]
+    if jt is None:
+        j_off = 0
+    else:
+        j_off = pl.program_id(1) * jt - HJ
 
     st = ex_ref.dtype
     cd = jnp.float32 if st == jnp.bfloat16 else st
@@ -141,9 +223,10 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, tk, s,
         de2 = de2_ref[:].astype(cd)  # (s-1 or 1, J1, Ib): drive rows t+m*dt
         dh2 = dh2_ref[:].astype(cd)
         j0, j1, i0, i1 = patch
+        jrow = jax.lax.broadcasted_iota(jnp.int32, ex.shape[1:], 0) + j_off
         mrow = (
-            (jax.lax.broadcasted_iota(jnp.int32, ex.shape[1:], 0) >= j0)
-            & (jax.lax.broadcasted_iota(jnp.int32, ex.shape[1:], 0) < j1)
+            (jrow >= j0)
+            & (jrow < j1)
             & (jax.lax.broadcasted_iota(jnp.int32, ex.shape[1:], 1) >= i0)
             & (jax.lax.broadcasted_iota(jnp.int32, ex.shape[1:], 1) < i1)
         )
@@ -154,7 +237,7 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, tk, s,
     for m in range(1, s + 1):
         n_h = hx.shape[0]
         # ---- H update on H's full span ----
-        gkh, jjh, lnh = _iotas((n_h,) + ex.shape[1:], g_lo)
+        gkh, jjh, lnh = _iotas((n_h,) + ex.shape[1:], g_lo, j_off)
         coff = m - 1
         m_hx, m_hy, m_hz, ix, iy, iz = _curl_h(
             n_h, f_h, Ib, W, lnh, gkh, jjh, K, J, patch,
@@ -167,7 +250,7 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, tk, s,
 
         # ---- E update on rows [g_lo+1 .. g_lo+n_h-1] ----
         n_e = n_h - 1
-        gke, jje, lne = _iotas((n_e,) + ex.shape[1:], g_lo + 1)
+        gke, jje, lne = _iotas((n_e,) + ex.shape[1:], g_lo + 1, j_off)
         m_ex, m_ey, m_ez, jx, jy, jz = _curl_e(
             f_e, gke, jje, lne, K, J,
             hx[1:], hx[:-1], hy[1:], hy[:-1], hz[1:],
@@ -190,7 +273,7 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, tk, s,
                 m0e = (gke == 0) & mrow[None, :, :]
                 ez = jnp.where(m0e, de2[m - 1][None, :, :], ez)
                 ex = jnp.where(m0e, zr, ex)
-                gkh2, _, _ = _iotas((hx.shape[0],) + ex.shape[1:], g_lo)
+                gkh2, _, _ = _iotas((hx.shape[0],) + ex.shape[1:], g_lo, j_off)
                 m0h = (gkh2 == 0) & mrow[None, :, :]
                 hx = jnp.where(m0h, dh2[m - 1][None, :, :], hx)
                 hz = jnp.where(m0h, zr, hz)
@@ -199,6 +282,10 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, tk, s,
             hy = hy[1:]
             hz = hz[1:]
 
+    if jt is not None:
+        ji = slice(HJ, HJ + jt)  # keep the tile interior; halo rows are stale
+        ex, ey, ez = ex[:, ji], ey[:, ji], ez[:, ji]
+        hx, hy, hz = hx[:, ji], hy[:, ji], hz[:, ji]
     oex[:] = ex.astype(st)
     oey[:] = ey.astype(st)
     oez[:] = ez.astype(st)
@@ -208,12 +295,14 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, tk, s,
 
 
 def build_temporal_call(p: Params, coefs: UpdateCoefs, S: int, nk: int,
-                        s: int, interpret: bool):
+                        s: int, interpret: bool, nj: int = 1):
     """The s-step pallas_call for a storage layout with ``S`` rows and ``nk``
     output tiles (used by the single-chip step and the sharded fast path).
 
     Signature: call(koff, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2) -> 6
-    output fields.  ``koff`` is the (1,1) int32 global-k offset."""
+    output fields.  ``koff`` is the (1,1) int32 global-k offset.  With
+    ``nj`` > 1 all arrays must be in the j-extended layout (see
+    :func:`jextend`) and the grid adds a j-tile dimension."""
     _, J1, Ib = dims(p)
     W = corr_width(Ib)
     tk = TKT
@@ -227,63 +316,125 @@ def build_temporal_call(p: Params, coefs: UpdateCoefs, S: int, nk: int,
         plan = make_source_plan(p)
         patch = (plan.j0, plan.j1, plan.i0, plan.i1)
 
-    bulk_shape = jax.ShapeDtypeStruct((S, J1, Ib), dtype)
-    e_win = pl.BlockSpec(
-        (pl.Element(tk + 2 * s, (0, s)), pl.Element(J1), pl.Element(Ib)),
-        lambda g: ((g + ofs) * tk - s, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    h_win = pl.BlockSpec(
-        (pl.Element(tk + 2 * s - 1, (0, s - 1)), pl.Element(J1), pl.Element(Ib)),
-        lambda g: ((g + ofs) * tk - s, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
-    c_win = pl.BlockSpec(
-        (pl.Element(tk + 2 * s - 1, (0, s - 1)), pl.Element(J1), pl.Element(W)),
-        lambda g: ((g + ofs) * tk - s, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
+    tj, Jt = jt_extents(p, nj)
     nd = max(s - 1, 1)
-    drv_spec = pl.BlockSpec((nd, J1, Ib), lambda g: (0, 0, 0), memory_space=pltpu.VMEM)
-    smem = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
-    out_spec = pl.BlockSpec((tk, J1, Ib), lambda g: (g + ofs, 0, 0), memory_space=pltpu.VMEM)
+    bulk_shape = jax.ShapeDtypeStruct((S, Jt, Ib), dtype)
+    if nj == 1:
+        jt_arg = None
+        grid = (nk,)
+        e_win = pl.BlockSpec(
+            (pl.Element(tk + 2 * s, (0, s)), pl.Element(J1), pl.Element(Ib)),
+            lambda g: ((g + ofs) * tk - s, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        h_win = pl.BlockSpec(
+            (pl.Element(tk + 2 * s - 1, (0, s - 1)), pl.Element(J1), pl.Element(Ib)),
+            lambda g: ((g + ofs) * tk - s, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        c_win = pl.BlockSpec(
+            (pl.Element(tk + 2 * s - 1, (0, s - 1)), pl.Element(J1), pl.Element(W)),
+            lambda g: ((g + ofs) * tk - s, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        drv_spec = pl.BlockSpec((nd, J1, Ib), lambda g: (0, 0, 0), memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
+        out_spec = pl.BlockSpec((tk, J1, Ib), lambda g: (g + ofs, 0, 0), memory_space=pltpu.VMEM)
+    else:
+        assert s <= HJ, (s, HJ)
+        jt_arg = tj
+        grid = (nk, nj)
+        tjw = tj + 2 * HJ
+
+        def jstart(jb):
+            return pl.multiple_of(jb * tj + DJ - HJ, 8)
+
+        def jwin(rows, pad, width):
+            return pl.BlockSpec(
+                (pl.Element(rows, (0, pad)), pl.Element(tjw), pl.Element(width)),
+                lambda g, jb: ((g + ofs) * tk - s, jstart(jb), 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        e_win = jwin(tk + 2 * s, s, Ib)
+        h_win = jwin(tk + 2 * s - 1, s - 1, Ib)
+        c_win = jwin(tk + 2 * s - 1, s - 1, W)
+        drv_spec = pl.BlockSpec(
+            (pl.Element(nd), pl.Element(tjw), pl.Element(Ib)),
+            lambda g, jb: (0, jstart(jb), 0),
+            memory_space=pltpu.VMEM,
+        )
+        smem = pl.BlockSpec((1, 1), lambda g, jb: (0, 0), memory_space=pltpu.SMEM)
+        out_spec = pl.BlockSpec(
+            (pl.Element(tk), pl.Element(tj), pl.Element(Ib)),
+            lambda g, jb: (pl.multiple_of((g + ofs) * tk, 8),
+                           pl.multiple_of(jb * tj + DJ, 8), 0),
+            memory_space=pltpu.VMEM,
+        )
 
     return pl.pallas_call(
-        functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, tk, s),
-        grid=(nk,),
+        functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, tk, s, jt_arg),
+        grid=grid,
         in_specs=[smem] + [e_win] * 3 + [h_win] * 3 + [c_win] * 2 + [drv_spec] * 2,
         out_specs=[out_spec] * 6,
         out_shape=(bulk_shape,) * 6,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=126 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET),
         interpret=interpret,
     ), nd
 
 
+def jextend(p: Params, st, nj: int):
+    """Pad every (S, J1, *) array of a StrippedState into the j-extended
+    layout: DJ dead rows below j=0, inert rows above (all zeros)."""
+    if nj == 1:
+        return st
+    _, J1, _ = dims(p)
+    _, Jt = jt_extents(p, nj)
+    pad = lambda a: jnp.pad(a, ((0, 0), (DJ, Jt - DJ - J1), (0, 0)))
+    return jax.tree.map(pad, st)
+
+
+def jrestore(p: Params, st, nj: int):
+    """Inverse of :func:`jextend` (drop the dead band and top pad rows)."""
+    if nj == 1:
+        return st
+    _, J1, _ = dims(p)
+    unpad = lambda a: a[:, DJ : DJ + J1]
+    return jax.tree.map(unpad, st)
+
+
 def make_temporal_pair_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None,
-                            s: int = 2):
+                            s: int = 2, nj: int | None = None):
     """Build ``group_step(state, xs_group) -> state`` advancing ``s`` steps.
 
     ``xs_group`` = (t_vec, amp_vec) with s entries each (from lax.scan over
-    reshaped inputs)."""
-    if not supported(p, coefs):
+    reshaped inputs).  ``nj``: j-tiling (None = smallest that fits VMEM);
+    with nj > 1 the state must be converted with :func:`jextend` before the
+    scan and :func:`jrestore` after.  The chosen tiling is exposed as
+    ``group_step.nj``."""
+    if not supported(p, coefs, s):
         raise NotImplementedError("temporal blocking unsupported for this config")
     assert 2 <= s <= TKT, s
+    if nj is None:
+        nj = plan_nj(p, s)
     if interpret is None:
         dd = jax.config.jax_default_device
         interpret = (dd.platform != "tpu") if dd is not None else (jax.default_backend() != "tpu")
 
     S, J1, Ib = dims(p)
+    _, Jt = jt_extents(p, nj)
+    dj = DJ if nj > 1 else 0
     nk = (S - D) // TKT
     dtype = jnp.dtype(p.dtype)
     compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
     f_h = compute_dtype.type(coefs.h_factor)
     inject = p.mode == Mode.COMPUTATION
     plan = make_source_plan(p) if inject else None
-    call, nd = build_temporal_call(p, coefs, S, nk, s, interpret)
+    call, nd = build_temporal_call(p, coefs, S, nk, s, interpret, nj=nj)
 
     K, J = p.maxk, p.maxj
     zoff = jnp.zeros((1, 1), jnp.int32)
-    zero_drv = jnp.zeros((nd, J1, Ib), dtype)
+    zero_drv = jnp.zeros((nd, Jt, Ib), dtype)
 
     def drive_patch(amp):
         amp_j = jnp.asarray(amp)
@@ -294,7 +445,7 @@ def make_temporal_pair_step(p: Params, coefs: UpdateCoefs, interpret: bool | Non
 
     def inject_state(st: StrippedState, pv) -> StrippedState:
         zero = jnp.zeros_like(pv).astype(dtype)
-        sl = (D, slice(plan.j0, plan.j1), slice(plan.i0, plan.i1))
+        sl = (D, slice(dj + plan.j0, dj + plan.j1), slice(plan.i0, plan.i1))
         return dataclasses.replace(
             st,
             ez=st.ez.at[sl].set(pv.astype(dtype)),
@@ -309,7 +460,7 @@ def make_temporal_pair_step(p: Params, coefs: UpdateCoefs, interpret: bool | Non
             st = inject_state(st, drive_patch(amps_g[0]))
             de2 = zero_drv
             dh2 = zero_drv
-            sl = (slice(0, nd), slice(plan.j0, plan.j1), slice(plan.i0, plan.i1))
+            sl = (slice(0, nd), slice(dj + plan.j0, dj + plan.j1), slice(plan.i0, plan.i1))
             pvs = jnp.stack([drive_patch(amps_g[m]) for m in range(1, s)])  # (s-1, nj, ni)
             de2 = de2.at[sl].set(pvs.astype(dtype))
             dh2 = dh2.at[sl].set((-plan.inv_z_te * pvs).astype(dtype))
@@ -322,13 +473,14 @@ def make_temporal_pair_step(p: Params, coefs: UpdateCoefs, interpret: bool | Non
         # Hx strip: s steps' worth (frozen Ey/Ez strips -> same curl each step)
         ey_s2 = st.ey_s[:, :, 0]
         ez_s2 = st.ez_s[:, :, 0]
-        sl2 = (slice(D, D + K), slice(0, J))
-        curl = (ey_s2[D + 1 : D + K + 1, :J] - ey_s2[sl2]) - (
-            ez_s2[D : D + K, 1 : J + 1] - ez_s2[sl2]
+        sl2 = (slice(D, D + K), slice(dj, dj + J))
+        curl = (ey_s2[D + 1 : D + K + 1, dj : dj + J] - ey_s2[sl2]) - (
+            ez_s2[D : D + K, dj + 1 : dj + J + 1] - ez_s2[sl2]
         )
         hx_s = st.hx_s
         for _ in range(s):
             hx_s = hx_s.at[sl2[0], sl2[1], 0].add((f_h * curl).astype(st.hx_s.dtype))
         return dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
 
+    group_step.nj = nj
     return group_step

@@ -225,7 +225,9 @@ def make_sharded_fast_step(p: Params, mesh: Mesh, interpret: bool | None = None,
 
     def shard_body(ex, ey, ez, hx, hy, hz, chy, chz, *cf):
         r = lax.axis_index("z")
-        koff2 = (r * Klp).astype(jnp.int32).reshape(1, 1)
+        koff2 = jnp.stack(
+            [(r * Klp).astype(jnp.int32), jnp.zeros((), jnp.int32)]
+        ).reshape(1, 2)
         return local_step(koff2, ex, ey, ez, hx, hy, hz, chy, chz, *cf)
 
     bspec = P("z", None, None)
@@ -294,6 +296,244 @@ def make_sharded_fast_runner(p: Params, mesh: Mesh, interpret: bool | None = Non
     return run
 
 
+DJ2 = 8  # j-side pad rows per shard under 2-D decomposition (halo slots)
+
+
+def _geometry2d(p: Params, nz: int, ny: int):
+    S_c, J1p, Ib = dims(p)
+    K1, J1, _ = p.padded_shape
+    Klp = ((-(-K1 // nz)) + D - 1) // D * D   # tile-aligned local k rows
+    S_sh = D + Klp + D
+    Jlp = ((-(-J1 // ny)) + 7) // 8 * 8       # sublane-aligned local j rows
+    Jt_sh = DJ2 + Jlp + DJ2
+    return S_c, J1p, Ib, K1, J1, Klp, S_sh, Jlp, Jt_sh
+
+
+def _reshard_j(a, ny, Jlp, Jt_sh):
+    """(K, J1, X) -> (K, ny*Jt_sh, X): split j into ny chunks, pad each with
+    DJ2 halo-slot rows below and above (zero-filled; refreshed per step)."""
+    J1 = a.shape[1]
+    a = jnp.pad(a, ((0, 0), (0, ny * Jlp - J1), (0, 0)))
+    a = a.reshape(a.shape[0], ny, Jlp, *a.shape[2:])
+    a = jnp.pad(a, ((0, 0), (0, 0), (DJ2, DJ2), (0, 0)))
+    return a.reshape(a.shape[0], ny * Jt_sh, *a.shape[3:])
+
+
+def to_sharded_fast_2d(p: Params, s: FieldState, mesh: Mesh, coefs=None) -> ShardedFastState:
+    """Build the 2-D (z x y) sharded fast state.  ``mesh`` axes: ("z", "y")."""
+    nz, ny = mesh.shape["z"], mesh.shape["y"]
+    S_c, J1p, Ib, K1, J1, Klp, S_sh, Jlp, Jt_sh = _geometry2d(p, nz, ny)
+    st = to_stripped(p, s, coefs=coefs)
+
+    bulk_sh = NamedSharding(mesh, P("z", "y", None))
+    rep = NamedSharding(mesh, P(None, None, None))
+
+    def emb(a):
+        a = _reshard_j(a[D : D + K1], ny, Jlp, Jt_sh)
+        return jax.device_put(_reshard(a, nz, K1, Klp, S_sh), bulk_sh)
+
+    out = ShardedFastState(
+        ex=emb(st.ex), ey=emb(st.ey), ez=emb(st.ez),
+        hx=emb(st.hx), hy=emb(st.hy), hz=emb(st.hz),
+        corr_hy=emb(st.corr_hy), corr_hz=emb(st.corr_hz),
+        ey_s=jax.device_put(st.ey_s, rep),
+        ez_s=jax.device_put(st.ez_s, rep),
+        hx_s=jax.device_put(st.hx_s, rep),
+    )
+    if st.ca_x is not None:
+        out = dataclasses.replace(
+            out,
+            ca_x=emb(st.ca_x), ca_y=emb(st.ca_y), ca_z=emb(st.ca_z),
+            cb_x=emb(st.cb_x), cb_y=emb(st.cb_y), cb_z=emb(st.cb_z),
+        )
+    return out
+
+
+def from_sharded_fast_2d(p: Params, st: ShardedFastState, mesh: Mesh) -> FieldState:
+    nz, ny = mesh.shape["z"], mesh.shape["y"]
+    S_c, J1p, Ib, K1, J1, Klp, S_sh, Jlp, Jt_sh = _geometry2d(p, nz, ny)
+
+    def unshard(a):
+        a = a.reshape(nz, S_sh, *a.shape[1:])[:, D : D + Klp]
+        a = a.reshape(nz * Klp, *a.shape[2:])[:K1]
+        a = a.reshape(a.shape[0], ny, Jt_sh, *a.shape[2:])[:, :, DJ2 : DJ2 + Jlp]
+        return a.reshape(a.shape[0], ny * Jlp, *a.shape[3:])[:, :J1]
+
+    def canon(a):
+        out = jnp.zeros((S_c, J1p, a.shape[-1]), a.dtype)
+        return out.at[D : D + K1, :J1].set(unshard(a))
+
+    st2 = StrippedState(
+        ex=canon(st.ex), ey=canon(st.ey), ez=canon(st.ez),
+        hx=canon(st.hx), hy=canon(st.hy), hz=canon(st.hz),
+        ey_s=st.ey_s, ez_s=st.ez_s, hx_s=st.hx_s,
+        corr_hy=jnp.zeros((S_c, J1p, corr_width(Ib)), st.ex.dtype),
+        corr_hz=jnp.zeros((S_c, J1p, corr_width(Ib)), st.ex.dtype),
+    )
+    return to_full(p, st2)
+
+
+def make_sharded_fast_2d_step(p: Params, mesh: Mesh, interpret: bool | None = None,
+                              materials=None):
+    """2-D (z x y) spatial decomposition with the Pallas two-pass kernels.
+
+    Extends the 1-D slab exchange (the reference MPI branch's pattern,
+    description.pdf section 2.2) with j-axis halo planes, mirroring the k
+    pattern along the second grid axis:
+
+    - before the H pass: Ex/Ey one-row k-planes move toward -z AND Ez/Ex
+      one-row j-planes move toward -y (the H update reads E at k+1 and j+1);
+    - before the E pass: Hx'/Hy' k-planes move toward +z AND Hz'/Hx'
+      j-planes move toward +y (the E update reads H at k-1 and j-1).
+
+    The kernels see global (k, j) via the SMEM offset pair and write only
+    locally-owned j rows (``jwin``), so halo slots keep exchanged values.
+    """
+    if interpret is None:
+        dd = jax.config.jax_default_device
+        interpret = (dd.platform != "tpu") if dd is not None else (jax.default_backend() != "tpu")
+    nz, ny = mesh.shape["z"], mesh.shape["y"]
+    if mesh.shape.get("x", 1) != 1:
+        raise NotImplementedError(
+            "the fast path shards (z, y); i-axis sharding is on the jnp path "
+            "(parallel.sharded_step)"
+        )
+    coefs = update_coefs(p, materials)
+    lossy = not isinstance(coefs.ca_x, (int, float))
+    S_c, J1p, Ib, K1, J1, Klp, S_sh, Jlp, Jt_sh = _geometry2d(p, nz, ny)
+    tk = tile_k(p, lossy)
+    nk_local = Klp // tk
+    h_call, e_call, tk = build_twopass_calls(
+        p, coefs, S_sh, nk_local, interpret, tk=tk,
+        J_rows=Jt_sh, jwin=(DJ2, DJ2 + Jlp),
+    )
+
+    dtype = jnp.dtype(p.dtype)
+    compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
+    f_h = compute_dtype.type(coefs.h_factor)
+    inject = p.mode == Mode.COMPUTATION
+    if inject:
+        import numpy as _np
+
+        from ..source import make_source_plan
+
+        plan = make_source_plan(p)
+        # physical j -> per-shard storage row (j rows may straddle y shards)
+        jrows = _np.arange(plan.j0, plan.j1)
+        jstore = (jrows // Jlp) * Jt_sh + DJ2 + (jrows % Jlp)
+        jstore = jnp.asarray(jstore)
+
+    def permute(a, axis_name, perm):
+        return lax.ppermute(a, axis_name, perm) if perm else jnp.zeros_like(a)
+
+    up_z = [(i, i - 1) for i in range(1, nz)]
+    down_z = [(i, i + 1) for i in range(nz - 1)]
+    up_y = [(i, i - 1) for i in range(1, ny)]
+    down_y = [(i, i + 1) for i in range(ny - 1)]
+
+    def shard_body(ex, ey, ez, hx, hy, hz, chy, chz, *cf):
+        rz = lax.axis_index("z")
+        ry = lax.axis_index("y")
+        koff2 = jnp.stack(
+            [(rz * Klp).astype(jnp.int32), (ry * Jlp - DJ2).astype(jnp.int32)]
+        ).reshape(1, 2)
+
+        # k halos: next shard's first physical Ex/Ey rows -> slot D+Klp
+        for name, arr in (("ex", ex), ("ey", ey)):
+            first = lax.slice_in_dim(arr, D, D + 1, axis=0)
+            h = permute(first, "z", up_z)
+            arr = lax.dynamic_update_slice_in_dim(arr, h, D + Klp, axis=0)
+            ex, ey = (arr, ey) if name == "ex" else (ex, arr)
+        # j halos: next y shard's first physical Ez/Ex rows -> slot DJ2+Jlp
+        for name, arr in (("ez", ez), ("ex", ex)):
+            first = lax.slice_in_dim(arr, DJ2, DJ2 + 1, axis=1)
+            h = permute(first, "y", up_y)
+            arr = lax.dynamic_update_slice_in_dim(arr, h, DJ2 + Jlp, axis=1)
+            ez, ex = (arr, ex) if name == "ez" else (ez, arr)
+
+        hx, hy, hz = h_call(koff2, ex, ey, ez, hx, hy, hz, chy, chz)
+
+        # k halos: previous shard's last physical Hx/Hy rows -> row D-1
+        for name, arr in (("hx", hx), ("hy", hy)):
+            last = lax.slice_in_dim(arr, D + Klp - 1, D + Klp, axis=0)
+            h = permute(last, "z", down_z)
+            arr = lax.dynamic_update_slice_in_dim(arr, h, D - 1, axis=0)
+            hx, hy = (arr, hy) if name == "hx" else (hx, arr)
+        # j halos: previous y shard's last physical Hz/Hx rows -> row DJ2-1
+        for name, arr in (("hz", hz), ("hx", hx)):
+            last = lax.slice_in_dim(arr, DJ2 + Jlp - 1, DJ2 + Jlp, axis=1)
+            h = permute(last, "y", down_y)
+            arr = lax.dynamic_update_slice_in_dim(arr, h, DJ2 - 1, axis=1)
+            hz, hx = (arr, hx) if name == "hz" else (hz, arr)
+
+        ex, ey, ez = e_call(koff2, hx, hy, hz, ex, ey, ez, *cf)
+        return ex, ey, ez, hx, hy, hz
+
+    bspec = P("z", "y", None)
+    n_in = 8 + (6 if lossy else 0)
+    smap = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(bspec,) * n_in,
+        out_specs=(bspec,) * 6,
+        check_vma=False,
+    )
+
+    K, J = p.maxk, p.maxj
+
+    def step(st: ShardedFastState, x) -> ShardedFastState:
+        _t, amp = x
+        if inject:
+            amp_j = jnp.asarray(amp)
+            prof_row = jnp.asarray(plan.profile, dtype=jnp.result_type(amp_j))
+            row = amp_j * prof_row
+            npj, ni = plan.j1 - plan.j0, len(plan.profile)
+            pv = jnp.broadcast_to(row[None, :], (npj, ni))
+            zero = jnp.zeros((npj, ni), dtype)
+            sl = (D, jstore, slice(plan.i0, plan.i1))
+            st = dataclasses.replace(
+                st,
+                ez=st.ez.at[sl].set(pv.astype(dtype)),
+                ex=st.ex.at[sl].set(zero),
+                hz=st.hz.at[sl].set(zero),
+                hx=st.hx.at[sl].set((-plan.inv_z_te * pv).astype(dtype)),
+            )
+        cf = (
+            (st.ca_x, st.ca_y, st.ca_z, st.cb_x, st.cb_y, st.cb_z)
+            if lossy
+            else ()
+        )
+        ex, ey, ez, hx, hy, hz = smap(
+            st.ex, st.ey, st.ez, st.hx, st.hy, st.hz, st.corr_hy, st.corr_hz, *cf
+        )
+        ey_s2 = st.ey_s[:, :, 0]
+        ez_s2 = st.ez_s[:, :, 0]
+        sl = (slice(D, D + K), slice(0, J))
+        curl = (ey_s2[D + 1 : D + K + 1, :J] - ey_s2[sl]) - (
+            ez_s2[D : D + K, 1 : J + 1] - ez_s2[sl]
+        )
+        hx_s = st.hx_s.at[sl[0], sl[1], 0].add((f_h * curl).astype(st.hx_s.dtype))
+        return dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
+
+    return step
+
+
+def make_sharded_fast_2d_runner(p: Params, mesh: Mesh, interpret: bool | None = None,
+                                materials=None):
+    """Jitted ``run(state, xs) -> state`` scanning the 2-D sharded fast step."""
+    step = make_sharded_fast_2d_step(p, mesh, interpret, materials=materials)
+
+    @jax.jit
+    def run(st, xs):
+        def body(st, x):
+            return step(st, x), None
+
+        st, _ = lax.scan(body, st, xs)
+        return st
+
+    return run
+
+
 def make_sharded_temporal_step(p: Params, mesh: Mesh, s: int = 4,
                                interpret: bool | None = None):
     """Temporal blocking composed with 1-D spatial sharding.
@@ -307,10 +547,12 @@ def make_sharded_temporal_step(p: Params, mesh: Mesh, s: int = 4,
 
     Returns ``group_step(state, xs_group) -> state`` advancing s steps.
     """
-    from ..ops.pallas_temporal import TKT, build_temporal_call, supported
+    from ..ops.pallas_temporal import TKT, build_temporal_call, plan_nj, supported
 
     coefs = update_coefs(p, None)
-    if not supported(p, coefs):
+    # the sharded composition uses full-plane windows (nj=1): the per-shard
+    # layout shrinks k, not the (j, i) window planes that drive VMEM
+    if not (supported(p, coefs, s) and plan_nj(p, s) == 1):
         raise NotImplementedError("temporal blocking unsupported for this config")
     assert 2 <= s <= D
     if interpret is None:

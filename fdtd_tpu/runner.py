@@ -53,10 +53,10 @@ def resolve_backend(
 ) -> str:
     """Fall back from unsupported backend/feature combinations with a notice.
 
-    pallas_temporal is fp32-vacuum-only and cannot accumulate per-step power
-    (it advances several steps per HBM sweep); such runs use pallas_fused,
-    which supports lossy media and SAR.  Heterogeneous mu_r needs the
-    per-component H factors only the xla backend applies.
+    pallas_temporal is vacuum-only (fp32 or bf16) and cannot accumulate
+    per-step power (it advances several steps per HBM sweep); such runs use
+    pallas_fused, which supports lossy media and SAR.  Heterogeneous mu_r
+    needs the per-component H factors only the xla backend applies.
     """
     if (
         backend != "xla"
@@ -82,7 +82,7 @@ def resolve_backend(
         if not supported(p, _uc(p, materials)):
             log(
                 "notice: temporal blocking unsupported for this config "
-                "(needs fp32, vacuum, tile-aligned grid); falling back to "
+                "(needs vacuum and a VMEM-feasible tiling); falling back to "
                 "pallas_fused"
             )
             return "pallas_fused"

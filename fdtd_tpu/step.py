@@ -77,6 +77,20 @@ def make_step(
     return step
 
 
+def default_temporal_s(p: Params) -> int:
+    """Measured sweet spots on v5e (see docs/DESIGN.md kernel table).
+
+    fp32: s=5 when full-plane windows fit (s=2..6 measured 10.7/14.9/17.8/
+    20.2/[j-tiled] Gcells/s at 256^3); bf16 peaks at s=4 (31.5 Gcells/s at
+    256^3 — VMEM pressure makes s=5/6 slower).  When the planner must
+    j-tile even at this s, the halo refetch shifts the optimum, but s stays
+    a good default (the planner picks the tiling, not the s).
+    """
+    import jax.numpy as _jnp
+
+    return 4 if _jnp.dtype(p.dtype) == _jnp.bfloat16 else 5
+
+
 def scan_inputs(p: Params, times):
     """Per-step scan inputs: (t, drive_amp) arrays for ``lax.scan``.
 
@@ -125,13 +139,16 @@ def make_chunk_runner(
             raise NotImplementedError("power accumulation needs per-step states; use pallas_fused")
         import os as _os
 
-        from .ops.pallas_temporal import make_temporal_pair_step
+        from .ops.pallas_temporal import (
+            jextend,
+            jrestore,
+            make_temporal_pair_step,
+            plan_nj,
+        )
 
-        # s=5 fits VMEM only when the lane dim is exact (no 128-padding
-        # waste); other grids get s=4 (measured: 250^3 s=5 overruns by 1.7MB)
-        default_s = 5 if p.maxi % 128 == 0 else 4
-        sgrp = int(_os.environ.get("FDTD_TEMPORAL_STEPS", str(default_s)))
+        sgrp = int(_os.environ.get("FDTD_TEMPORAL_STEPS", "0")) or default_temporal_s(p)
         group_step = make_temporal_pair_step(p, coefs, s=sgrp)
+        nj = group_step.nj  # j-tiling chosen by the VMEM planner
         odd_step = make_step(p, coefs=coefs, backend="pallas_fused")
 
         @jax.jit
@@ -144,7 +161,11 @@ def make_chunk_runner(
                 def body(s, x):
                     return group_step(s, x), None
 
+                # j-extension round-trips once per chunk (two pads/slices of
+                # the state), amortized over the whole scan.
+                s = jextend(p, s, nj)
                 s, _ = jax.lax.scan(body, s, gts)
+                s = jrestore(p, s, nj)
             for r in range(n % sgrp):
                 idx = sgrp * n_grp + r
                 s = odd_step(s, (ts[idx], amps[idx]))

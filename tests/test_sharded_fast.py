@@ -80,6 +80,74 @@ def test_sharded_temporal_matches_single_device(tiny_params, mode, sgrp):
         np.testing.assert_allclose(g, w, atol=atol, rtol=0, err_msg=f"s={sgrp}/{c}")
 
 
+@pytest.mark.parametrize("mesh_zy", [(2, 2), (4, 2), (1, 4)])
+@pytest.mark.parametrize("mode", [Mode.VALIDATION, Mode.COMPUTATION])
+def test_sharded_fast_2d_matches_single_device(tiny_params, mode, mesh_zy):
+    """2-D (z x y) decomposition on the Pallas fast path == single-device
+    run, bit-for-bit (VERDICT r1 next-item #6)."""
+    from fdtd_tpu.parallel.sharded_fast import (
+        from_sharded_fast_2d,
+        make_sharded_fast_2d_runner,
+        to_sharded_fast_2d,
+    )
+
+    nz, ny = mesh_zy
+    p = dataclasses.replace(tiny_params, dtype="float32", mode=mode)
+    n_steps = 10
+    s0 = init_validation(p) if mode == Mode.VALIDATION else zeros(p)
+    run_ref = make_chunk_runner(p)
+    xs = scan_inputs(p, time_values(p)[:n_steps])
+    want, _ = run_ref(s0, xs, None)
+
+    mesh = make_mesh(nz * ny, (nz, ny, 1), devices=jax.devices("cpu"))
+    st = to_sharded_fast_2d(p, s0, mesh)
+    run = make_sharded_fast_2d_runner(p, mesh, interpret=True)
+    st = run(st, xs)
+    got = from_sharded_fast_2d(p, st, mesh)
+    for c in COMPONENTS:
+        g = np.asarray(getattr(got, c))
+        w = np.asarray(getattr(want, c))
+        if c == "hx":
+            # same i=maxi strip-column FMA caveat as the 1-D test above
+            np.testing.assert_array_equal(g[:, :, : p.maxi], w[:, :, : p.maxi], err_msg=c)
+            np.testing.assert_allclose(g[:, :, p.maxi], w[:, :, p.maxi], atol=1e-22, err_msg=c)
+        else:
+            np.testing.assert_array_equal(g, w, err_msg=c)
+
+
+def test_sharded_fast_2d_lossy_matches_single_device(tiny_params):
+    """Water block through the 2-D sharded fast path == single-device
+    pallas_fused lossy run, bit-for-bit."""
+    from fdtd_tpu.parallel.sharded_fast import (
+        from_sharded_fast_2d,
+        make_sharded_fast_2d_runner,
+        to_sharded_fast_2d,
+    )
+    from fdtd_tpu.state import update_coefs, water_block
+    from fdtd_tpu.step import backend_adapters
+
+    p = dataclasses.replace(tiny_params, dtype="float32", mode=Mode.COMPUTATION)
+    mats = water_block(p, lo=(0.2, 0.2, 0.2), hi=(0.8, 0.8, 0.8))
+    n_steps = 10
+    s0 = zeros(p)
+    xs = scan_inputs(p, time_values(p)[:n_steps])
+
+    run_ref = make_chunk_runner(p, materials=mats, backend="pallas_fused")
+    prep, restore = backend_adapters(p, "pallas_fused", mats)
+    want, _ = run_ref(prep(s0), xs, None)
+    want = restore(want)
+
+    mesh = make_mesh(4, (2, 2, 1), devices=jax.devices("cpu"))
+    st = to_sharded_fast_2d(p, s0, mesh, coefs=update_coefs(p, mats))
+    run = make_sharded_fast_2d_runner(p, mesh, interpret=True, materials=mats)
+    st = run(st, xs)
+    got = from_sharded_fast_2d(p, st, mesh)
+    for c in COMPONENTS:
+        g = np.asarray(getattr(got, c))[:, :, : p.maxi]
+        w = np.asarray(getattr(want, c))[:, :, : p.maxi]
+        np.testing.assert_array_equal(g, w, err_msg=c)
+
+
 def test_sharded_fast_lossy_matches_single_device(tiny_params):
     """Water block through the sharded Pallas fast path == single-device
     pallas_fused lossy run, bit-for-bit (VERDICT r1 next-item #4)."""

@@ -58,20 +58,23 @@ def test_params_rejects_nonpositive_dt(tiny_params):
 
 
 def test_unsupported_temporal_combos_fall_back(tiny_params, tmp_path):
-    """bf16 / --sar with pallas_temporal run via pallas_fused with a notice
-    instead of raising (VERDICT r1 weak-item #4)."""
+    """--sar / materials with pallas_temporal run via a supported backend
+    with a notice instead of raising (VERDICT r1 weak-item #4); bf16 now
+    stays on pallas_temporal (the round-1 Mosaic fault gate is lifted)."""
     from fdtd_tpu.params import Mode
     from fdtd_tpu.runner import resolve_backend
+    from fdtd_tpu.state import water_block
 
     notices = []
     p32 = dataclasses.replace(tiny_params, dtype="float32", mode=Mode.COMPUTATION)
     pbf = dataclasses.replace(tiny_params, dtype="bfloat16", mode=Mode.COMPUTATION)
 
-    assert resolve_backend(pbf, "pallas_temporal", None, False, notices.append) == "pallas_fused"
+    assert resolve_backend(pbf, "pallas_temporal", None, False, notices.append) == "pallas_temporal"
     assert resolve_backend(p32, "pallas_temporal", None, True, notices.append) == "pallas_fused"
+    mats = water_block(p32, lo=(0.2, 0.2, 0.2), hi=(0.8, 0.8, 0.8))
+    assert resolve_backend(p32, "pallas_temporal", mats, False, notices.append) == "pallas_fused"
     assert len(notices) == 2 and all("falling back" in n for n in notices)
-    # and the full runner path completes (tiny grid is also unsupported ->
-    # falls back rather than raising)
+    # and the full runner path completes on the bf16 temporal backend
     r = run_simulation(pbf, out_dir=str(tmp_path / "bf"), backend="pallas_temporal",
                        write_snapshots=False, log=lambda s: None)
     assert r.iterations > 0
@@ -85,4 +88,4 @@ def test_cli_rejects_out_of_range_temporal_steps(tmp_path, capsys):
     params = tmp_path / "p.txt"
     params.write_text("0.01 0.01 0.01 0.001 1e-12 2e-11 5 0")
     with pytest.raises(SystemExit):
-        main([str(params), "--temporal-steps", "7"])
+        main([str(params), "--temporal-steps", "9"])  # valid range is 2-8
