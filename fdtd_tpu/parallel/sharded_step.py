@@ -230,13 +230,18 @@ def make_sharded_chunk_runner(p: Params, mesh: Mesh, materials=None):
     return run
 
 
-def dryrun(n_devices: int) -> None:
-    """One full sharded step on tiny shapes over an n_devices mesh."""
+def dryrun(n_devices: int, devices=None) -> None:
+    """One full sharded step on tiny shapes over an n_devices mesh.
+
+    ``devices``: explicit device list (``__graft_entry__`` passes the
+    virtual CPU devices so the hermetic child never touches the TPU plugin
+    even at n=1, where ``make_mesh``'s too-few-devices CPU fallback would
+    not trigger)."""
     from ..params import Params as _P, SourceConfig
     from ..state import zeros
     from .mesh import make_mesh, pad_state_for_mesh
 
-    mesh = make_mesh(n_devices)
+    mesh = make_mesh(n_devices, devices=devices)
     n = 16
     dx = 0.001
     p = _P(
@@ -278,3 +283,21 @@ def dryrun(n_devices: int) -> None:
     run_tmp = make_sharded_temporal_runner(p, mesh_z, s=2, interpret=interp)
     st2 = run_tmp(st2, xs)
     jax.block_until_ready(st2.ex)
+
+    # and the 2-D (z x y) fast path when the device count splits
+    if n_devices >= 4 and n_devices % 2 == 0:
+        from .sharded_fast import (
+            from_sharded_fast_2d,
+            make_sharded_fast_2d_runner,
+            to_sharded_fast_2d,
+        )
+
+        mesh_zy = make_mesh(
+            n_devices, (n_devices // 2, 2, 1), devices=mesh.devices.ravel().tolist()
+        )
+        st3 = to_sharded_fast_2d(p, zeros(p), mesh_zy)
+        run_2d = make_sharded_fast_2d_runner(p, mesh_zy, interpret=interp)
+        st3 = run_2d(st3, xs)
+        jax.block_until_ready(st3.ex)
+        out3 = from_sharded_fast_2d(p, st3, mesh_zy)
+        assert bool(jnp.isfinite(jnp.sum(jnp.square(out3.ez)))), "2-D fast path"

@@ -15,6 +15,13 @@ Two sweep axes are supported out of the box:
   scan inputs only.
 - ``material_sweep``: N material coefficient sets (e.g. load positions).
   Coefficient arrays gain a leading batch axis; vacuum scalars broadcast.
+
+Both accept ``mesh=``: a 1-D ``jax.sharding.Mesh`` (axis ``"b"``, see
+:func:`batch_mesh`) over which the batch axis shards — each device runs
+N/n_devices members with zero cross-device traffic during the scan (the
+energy reductions at the end are per-member, so they stay local too).
+The reference's analogue is launching one process per parameter point;
+here it is one sharded program (BASELINE config #5, "optionally sharded").
 """
 
 from __future__ import annotations
@@ -41,11 +48,41 @@ class SweepResult:
     h_energy: jax.Array  # (N,)
 
 
+def batch_mesh(n_devices: int | None = None, devices=None):
+    """1-D mesh with axis ``"b"`` for sharding a sweep's batch dimension."""
+    from jax.sharding import Mesh
+
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None and len(devices) < n_devices:
+            devices = jax.devices("cpu")
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), ("b",))
+
+
+def _shard_batch(tree, mesh, n: int):
+    """device_put every array leaf with its leading batch axis over ``mesh``."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    nb = mesh.shape["b"]
+    if n % nb:
+        raise ValueError(f"sweep size {n} must divide over {nb} mesh devices")
+
+    def put(a):
+        a = jnp.asarray(a)
+        spec = P("b", *([None] * (a.ndim - 1)))
+        return jax.device_put(a, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, tree)
+
+
 def frequency_sweep(
     p: Params,
     frequencies: Sequence[float],
     n_steps: int | None = None,
     backend: str = "xla",
+    mesh=None,
 ) -> SweepResult:
     """Run one simulation per source frequency, batched with vmap."""
     if p.mode != Mode.COMPUTATION:
@@ -69,7 +106,10 @@ def frequency_sweep(
         s, _ = jax.lax.scan(body, s, (jnp.asarray(ts), amp_row))
         return s
 
-    states = jax.jit(jax.vmap(run_one))(jnp.asarray(amps))
+    amps_in = jnp.asarray(amps)
+    if mesh is not None:
+        amps_in = _shard_batch(amps_in, mesh, len(freqs))
+    states = jax.jit(jax.vmap(run_one))(amps_in)
     e = jax.vmap(lambda s: diagnostics.e_energy(p, s))(states)
     h = jax.vmap(lambda s: diagnostics.h_energy(p, s))(states)
     return SweepResult(states, e, h)
@@ -79,6 +119,7 @@ def material_sweep(
     p: Params,
     materials_list: Sequence[Materials],
     n_steps: int | None = None,
+    mesh=None,
 ) -> SweepResult:
     """Run one simulation per material configuration, batched with vmap."""
     from .step import scan_inputs
@@ -106,6 +147,8 @@ def material_sweep(
         s, _ = jax.lax.scan(body, s, (jnp.asarray(xs[0]), jnp.asarray(xs[1])))
         return s
 
+    if mesh is not None:
+        stacked = _shard_batch(stacked, mesh, len(materials_list))
     states = jax.jit(jax.vmap(run_one))(stacked)
     e = jax.vmap(lambda s: diagnostics.e_energy(p, s))(states)
     h = jax.vmap(lambda s: diagnostics.h_energy(p, s))(states)

@@ -39,6 +39,56 @@ def test_frequency_sweep_matches_individual_runs(tiny_params):
     assert not np.allclose(np.asarray(res.states.ez)[0], np.asarray(res.states.ez)[2])
 
 
+def test_frequency_sweep_sharded_matches_unsharded(tiny_params):
+    """Batch axis over an 8-way mesh == unsharded vmap, bit-for-bit
+    (BASELINE config #5 'optionally sharded'; VERDICT r1 next-item #9)."""
+    from fdtd_tpu.sweep import batch_mesh
+
+    p = dataclasses.replace(tiny_params, mode=Mode.COMPUTATION, dtype="float32")
+    freqs = [2.45e10 * (1 + 0.05 * i) for i in range(8)]
+    want = frequency_sweep(p, freqs, n_steps=8)
+    mesh = batch_mesh(8, devices=jax.devices("cpu"))
+    got = frequency_sweep(p, freqs, n_steps=8, mesh=mesh)
+    # the batch really is distributed over all 8 devices
+    assert len(got.states.ez.sharding.device_set) == 8
+    for c in ["ez", "hx", "ey"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got.states, c)), np.asarray(getattr(want.states, c)),
+            err_msg=c,
+        )
+    np.testing.assert_array_equal(np.asarray(got.e_energy), np.asarray(want.e_energy))
+
+
+def test_frequency_sweep_sharded_rejects_ragged_batch(tiny_params):
+    from fdtd_tpu.sweep import batch_mesh
+
+    p = dataclasses.replace(tiny_params, mode=Mode.COMPUTATION, dtype="float32")
+    mesh = batch_mesh(8, devices=jax.devices("cpu"))
+    import pytest
+
+    with pytest.raises(ValueError, match="must divide"):
+        frequency_sweep(p, [2.45e10] * 3, n_steps=4, mesh=mesh)
+
+
+def test_material_sweep_sharded_matches_unsharded(tiny_params):
+    from fdtd_tpu.sweep import batch_mesh
+
+    p = dataclasses.replace(tiny_params, dtype="float32")
+    mats = [
+        water_block(p, lo=(0.1, 0.1, 0.1), hi=(0.5, 0.5, 0.5), eps_r=1.0, sigma=s)
+        for s in (0.25, 0.5, 1.0, 2.0)
+    ]
+    want = material_sweep(p, mats, n_steps=8)
+    mesh = batch_mesh(4, devices=jax.devices("cpu"))
+    got = material_sweep(p, mats, n_steps=8, mesh=mesh)
+    assert len(got.states.ez.sharding.device_set) == 4
+    for c in ["ez", "hx", "ey"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got.states, c)), np.asarray(getattr(want.states, c)),
+            err_msg=c,
+        )
+
+
 def test_material_sweep(tiny_params):
     p = dataclasses.replace(tiny_params, dtype="float32")
     mats = [
