@@ -62,7 +62,11 @@ def bench(n=256, steps=1000, dtype="float32", backend=None, warmup_steps=50):
     from fdtd_tpu.step import backend_adapters
 
     prep, _ = backend_adapters(p, backend)
-    state = prep(zeros(p))
+
+    def make_state():
+        # fresh per call: the fast-path runners donate their input state
+        return jax.block_until_ready(prep(zeros(p)))
+
     ts = np.arange(steps, dtype=np.float64) * p.time_step
     xs = scan_inputs(p, ts)
 
@@ -70,12 +74,13 @@ def bench(n=256, steps=1000, dtype="float32", backend=None, warmup_steps=50):
     # real device->host materialization: through remote-device tunnels,
     # block_until_ready alone can return before execution completes and
     # identical repeat calls can be served from a cache.
-    out, _ = run(state, xs, None)
+    out, _ = run(make_state(), xs, None)
     _ = float(np.asarray(out.ex.ravel()[12345]))
 
     wall = float("inf")
     for rep in range(3):
         xs_u = (xs[0], xs[1] + 1e-7 * (rep + 1))  # unique values, same shapes
+        state = make_state()
         t0 = time.perf_counter()
         out, _ = run(state, xs_u, None)
         _ = float(np.asarray(out.ex.ravel()[12345]))
@@ -99,4 +104,14 @@ if __name__ == "__main__":
     steps = int(os.environ.get("FDTD_BENCH_STEPS", "1000"))
     dtype = os.environ.get("FDTD_BENCH_DTYPE", "float32")
     result = bench(n=n, steps=steps, dtype=dtype)
+    # secondary data point: bf16 storage (fp32 in-kernel compute) — the
+    # serving-precision figure; headline metric stays fp32 for a like-for-
+    # like accuracy story vs the fp64 C reference
+    aux = os.environ.get("FDTD_BENCH_AUX", "bfloat16")
+    if aux and aux != dtype:
+        try:
+            r2 = bench(n=n, steps=steps, dtype=aux)
+            result[f"aux_{aux}_mcells_per_s"] = r2["value"]
+        except Exception:
+            pass
     print(json.dumps(result))

@@ -13,6 +13,7 @@ reference's exact fp64 accumulation, see :func:`fdtd_tpu.params.time_values`).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable
 
 import jax
@@ -151,7 +152,11 @@ def make_chunk_runner(
         nj = group_step.nj  # j-tiling chosen by the VMEM planner
         odd_step = make_step(p, coefs=coefs, backend="pallas_fused")
 
-        @jax.jit
+        # Donating the state halves steady-state HBM for the largest grids
+        # (512^3 fp32 temporal needs ~11 GB live: 2x the j-extended pingpong
+        # + the restore; an undonated input adds 3.4 GB and OOMs a 16 GB
+        # v5e through the tunnel).  Callers pass prep(...)-fresh states.
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def run_groups(s, xs, power_acc=None):
             ts, amps = xs
             n = ts.shape[0]
@@ -176,7 +181,13 @@ def make_chunk_runner(
     step = make_step(p, materials, backend, coefs=coefs)
     _, restore = backend_adapters(p, backend)  # restore is materials-agnostic
 
-    @jax.jit
+    # Stripped-layout states are prep(...)-fresh per run: donate them so the
+    # in-kernel aliasing actually runs in place at the HBM level too (a
+    # 1024^3 bf16 state is 12.9 GB — an undonated copy cannot exist).  The
+    # xla/canonical path keeps caller semantics (tests reuse raw states).
+    donate = (0,) if backend in ("pallas", "pallas_fused", "pallas_inplace") else ()
+
+    @functools.partial(jax.jit, donate_argnums=donate)
     def run(s, xs, power_acc=None):
         def body(carry, x):
             s, acc = carry

@@ -185,3 +185,60 @@ def test_sharded_fast_lossy_matches_single_device(tiny_params):
         g = np.asarray(getattr(got, c))[:, :, : p.maxi]
         w = np.asarray(getattr(want_x, c))[:, :, : p.maxi]
         np.testing.assert_allclose(g, w, atol=2e-7, rtol=1e-5, err_msg=c)
+
+
+def test_sharded_2d_1024cubed_compile_only():
+    """BASELINE config #4's upper end: 1024^3 bf16 over a (4, 2) virtual
+    mesh AOT-compiles with no buffer materialization (VERDICT r1 next-item
+    #8).  Per-shard state is ~1.7 GB << 16 GB v5e HBM; the HBM budget is
+    documented in docs/DESIGN.md.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from fdtd_tpu.params import Mode, Params
+    from fdtd_tpu.parallel.sharded_fast import (
+        make_sharded_fast_2d_step,
+        to_sharded_fast_2d,
+    )
+
+    n, dx = 1024, 0.001
+    p = Params(
+        length=n * dx, width=n * dx, height=n * dx, spatial_step=dx,
+        time_step=1e-12, simulation_time=4e-12, sampling_rate=10**9,
+        mode=Mode.COMPUTATION, dtype="bfloat16",
+    )
+    assert p.maxi == n
+    mesh = make_mesh(8, (4, 2, 1), devices=jax.devices("cpu"))
+    step = make_sharded_fast_2d_step(p, mesh, interpret=True)
+
+    # abstract state: eval_shape the layout conversion, then attach shardings
+    shapes = jax.eval_shape(
+        lambda s: to_sharded_fast_2d(p, s, mesh), jax.eval_shape(lambda: zeros(p))
+    )
+    bulk = NamedSharding(mesh, P("z", "y", None))
+    rep = NamedSharding(mesh, P(None, None, None))
+
+    def abstract(sds, name):
+        sh = rep if name in ("ey_s", "ez_s", "hx_s") else bulk
+        return jax.ShapeDtypeStruct(sds.shape, sds.dtype, sharding=sh)
+
+    st_abs = dataclasses.replace(
+        shapes,
+        **{
+            f.name: abstract(getattr(shapes, f.name), f.name)
+            for f in dataclasses.fields(shapes)
+            if getattr(shapes, f.name) is not None
+        },
+    )
+    x_abs = (
+        jax.ShapeDtypeStruct((), np.dtype("float64")),
+        jax.ShapeDtypeStruct((), np.dtype("float32")),
+    )
+    compiled = jax.jit(step).lower(st_abs, x_abs).compile()
+
+    # the sharded bulks really split 8 ways: one shard's bf16 field bytes
+    field_bytes = sum(
+        np.prod(getattr(st_abs, c).shape) * 2 for c in COMPONENTS
+    )
+    assert field_bytes / 8 < 2.0 * 2**30  # < 2 GB per device
+    assert compiled.as_text()  # executable exists
