@@ -63,9 +63,14 @@ def bench(n=256, steps=1000, dtype="float32", backend=None, warmup_steps=50):
 
     prep, _ = backend_adapters(p, backend)
 
+    # One jit for zeros+layout-prep: at 1024^3 the canonical (12.9 GB bf16)
+    # and stripped (13.7 GB) states cannot coexist in 16 GB HBM; fused, XLA
+    # materializes only the stripped zeros.  Fresh per call: the fast-path
+    # runners donate their input state.
+    build = jax.jit(lambda: prep(zeros(p)))
+
     def make_state():
-        # fresh per call: the fast-path runners donate their input state
-        return jax.block_until_ready(prep(zeros(p)))
+        return jax.block_until_ready(build())
 
     ts = np.arange(steps, dtype=np.float64) * p.time_step
     xs = scan_inputs(p, ts)

@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -114,18 +115,34 @@ def plan_nj(p: Params, s: int) -> int | None:
         nj = nj + 1 if nj == 1 else nj * 2
 
 
+HBM_BUDGET = int(float(os.environ.get("FDTD_HBM_BYTES", 15e9)))
+
+
+def state_bytes(p: Params) -> int:
+    """HBM footprint of one stripped state (bulks + corr; strips are tiny)."""
+    S, J1, Ib = dims(p)
+    item = jnp.dtype(p.dtype).itemsize
+    return S * J1 * (6 * Ib + 2 * corr_width(Ib)) * item
+
+
 def supported(p: Params, coefs: UpdateCoefs, s: int = 4) -> bool:
-    """Vacuum, >=2 k-tiles, and a VMEM-feasible j-tiling for this ``s``.
+    """Vacuum, >=2 k-tiles, a VMEM-feasible j-tiling, and HBM headroom.
 
     bf16 is supported (fp32 in-kernel compute): the round-1 Mosaic runtime
     fault at 256^3 windows no longer reproduces on current libtpu and the
     bf16 path is pinned by tests/test_temporal.py.
+
+    The HBM gate: temporal sweeps must ping-pong the state (docs/DESIGN.md
+    alias-safety calculus), so ~2.2x the state must fit; a 1024^3 bf16
+    state (12.8 GB) is single-chip feasible only on the in-place two-pass
+    path, and ``resolve_backend`` falls back there with a notice.
     """
     return (
         isinstance(coefs.ca_x, (int, float))
         and coefs.ca_x == 1.0
         and (dims(p)[0] - D) // TKT >= 2
         and plan_nj(p, s) is not None
+        and 2.2 * state_bytes(p) < HBM_BUDGET
     )
 
 

@@ -78,6 +78,17 @@ def make_step(
     return step
 
 
+def _huge_state(p: Params) -> bool:
+    """True when 2x the stripped state would overflow HBM (scan carries
+    double-buffer around aliased pallas calls; see make_chunk_runner)."""
+    import os as _os
+
+    from .ops.pallas_temporal import HBM_BUDGET, state_bytes
+
+    limit = int(float(_os.environ.get("FDTD_SCAN_STATE_LIMIT", HBM_BUDGET // 2)))
+    return state_bytes(p) > limit
+
+
 def default_temporal_s(p: Params) -> int:
     """Measured sweet spots on v5e (see docs/DESIGN.md kernel table).
 
@@ -186,6 +197,34 @@ def make_chunk_runner(
     # 1024^3 bf16 state is 12.9 GB — an undonated copy cannot exist).  The
     # xla/canonical path keeps caller semantics (tests reuse raw states).
     donate = (0,) if backend in ("pallas", "pallas_fused", "pallas_inplace") else ()
+
+    if donate and _huge_state(p):
+        # XLA's copy-insertion around aliased custom-calls in a while/scan
+        # body is conservative: the scanned chunk double-buffers the carry
+        # and OOMs when 2x the state exceeds HBM (measured at 1024^3 bf16:
+        # scan RESOURCE_EXHAUSTED, single donated steps run at 14 Gcells/s).
+        # Drive the same donated step from the host instead; dispatch is
+        # negligible against a multi-GB-state step's device time.
+        @functools.partial(jax.jit, donate_argnums=(0, 1) if accumulate_power else (0,))
+        def one(s, acc, t, amp):
+            s = step(s, (t, amp))
+            if accumulate_power:
+                if backend in ("pallas_fused", "pallas_inplace"):
+                    inc = diagnostics.power_deposition_stripped(p, s, sigma)
+                else:
+                    inc = diagnostics.power_deposition(p, restore(s), sigma)
+                acc = acc + (inc * dt_step).astype(acc.dtype)
+            return s, acc
+
+        def run_host(s, xs, power_acc=None):
+            import numpy as _np
+
+            ts, amps = _np.asarray(xs[0]), _np.asarray(xs[1])
+            for i in range(ts.shape[0]):
+                s, power_acc = one(s, power_acc, ts[i], amps[i])
+            return s, power_acc
+
+        return run_host
 
     @functools.partial(jax.jit, donate_argnums=donate)
     def run(s, xs, power_acc=None):
