@@ -63,11 +63,17 @@ def bench(n=256, steps=1000, dtype="float32", backend=None, warmup_steps=50):
 
     prep, _ = backend_adapters(p, backend)
 
-    # One jit for zeros+layout-prep: at 1024^3 the canonical (12.9 GB bf16)
-    # and stripped (13.7 GB) states cannot coexist in 16 GB HBM; fused, XLA
-    # materializes only the stripped zeros.  Fresh per call: the fast-path
-    # runners donate their input state.
-    build = jax.jit(lambda: prep(zeros(p)))
+    # Build directly in the hot-path layout: at 1024^3 the canonical
+    # (12.9 GB bf16) and stripped states cannot coexist in 16 GB HBM, and
+    # even the jitted conversion's intermediates are borderline; plain
+    # stripped zero fills are exact for a computation-mode start.  Fresh
+    # per call: the fast-path runners donate their input state.
+    if backend in ("pallas_fused", "pallas_inplace", "pallas_temporal"):
+        from fdtd_tpu.ops.pallas_fused import stripped_zeros
+
+        build = jax.jit(lambda: stripped_zeros(p))
+    else:
+        build = jax.jit(lambda: prep(zeros(p)))
 
     def make_state():
         return jax.block_until_ready(build())

@@ -46,6 +46,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     help="source patch width a' (reference hardcodes 0.005, main.c:720)")
     ap.add_argument("--source-bprime", type=float, default=None, metavar="M",
                     help="source patch depth b' (reference hardcodes 0.005, main.c:721)")
+    ap.add_argument("--shard", default=None, metavar="ZxY",
+                    help="spatial decomposition over devices, e.g. 4 (z-slabs) "
+                         "or 4x2 (z*y) — the reference MPI branch's 'mpirun -np N' "
+                         "as a flag; needs that many JAX devices")
     return ap
 
 
@@ -113,11 +117,16 @@ def main(argv=None) -> int:
             resume=args.resume,
             quirk_compat=not args.physics_correct,
             diagnostics_log=args.diag_log,
+            shard=args.shard,
         )
     except NotImplementedError as e:
         # unsupported backend/feature combination that has no fallback
         print(f"error: backend {args.backend!r} does not support this "
               f"configuration: {e}", file=sys.stderr)
+        return 1
+    except ValueError as e:
+        # e.g. bad --shard spec, too few devices, --sar with --shard
+        print(f"error: {e}", file=sys.stderr)
         return 1
     if args.profile:
         import jax

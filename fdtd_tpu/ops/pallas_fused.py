@@ -118,6 +118,28 @@ class StrippedState:
     cb_z: jax.Array | None = None
 
 
+def stripped_zeros(p: Params) -> StrippedState:
+    """All-zero vacuum state directly in the hot-path layout.
+
+    Equivalent to ``to_stripped(p, zeros(p))`` but allocates only the
+    stripped buffers: at 1024^3 bf16 the layout-conversion graph's
+    intermediates can tip a 16 GB chip over the edge even under jit, while
+    six plain zero fills cannot.  (Computation-mode runs start from zeros —
+    reference main.c:294-364 — so this is the standard large-grid start.)"""
+    S, J1p, Ib = dims(p)
+    dtype = jnp.dtype(p.dtype)
+    W = corr_width(Ib)
+    bulk = lambda: jnp.zeros((S, J1p, Ib), dtype)
+    return StrippedState(
+        ex=bulk(), ey=bulk(), ez=bulk(), hx=bulk(), hy=bulk(), hz=bulk(),
+        ey_s=jnp.zeros((S, J1p, 1), dtype),
+        ez_s=jnp.zeros((S, J1p, 1), dtype),
+        hx_s=jnp.zeros((S, J1p, 1), dtype),
+        corr_hy=jnp.zeros((S, J1p, W), dtype),
+        corr_hz=jnp.zeros((S, J1p, W), dtype),
+    )
+
+
 def embed_coef(p: Params, a, fill):
     """Embed a (K1, J1, I1) coefficient array into the stripped bulk box."""
     S, J1p, Ib = dims(p)

@@ -89,6 +89,59 @@ def resolve_backend(
     return backend
 
 
+def parse_shard_spec(spec: str) -> tuple[int, int]:
+    """'4' -> (4, 1) z-slabs; '4x2' -> (4, 2) z*y decomposition.
+
+    The CLI analogue of the reference's ``mpirun -np N ./microwave``
+    (description.pdf section 2.2): the grid shards over devices instead of
+    ranks.  i-axis (third factor) sharding is API-only
+    (``parallel.sharded_step``); the Pallas fast paths shard (z, y).
+    """
+    parts = str(spec).lower().split("x")
+    try:
+        dims_ = [int(x) for x in parts]
+    except ValueError:
+        raise ValueError(f"bad --shard spec {spec!r}: use e.g. 4 or 4x2")
+    if not 1 <= len(dims_) <= 2 or any(d < 1 for d in dims_):
+        raise ValueError(f"bad --shard spec {spec!r}: use e.g. 4 or 4x2")
+    nz = dims_[0]
+    ny = dims_[1] if len(dims_) > 1 else 1
+    return nz, ny
+
+
+def _sharded_chunk_runner(p: Params, shard, materials: Materials | None):
+    """(prep, restore, run_chunk) running chunks on a (nz, ny) device mesh
+    through the Pallas-in-shard_map fast paths."""
+    from .parallel import sharded_fast as sf
+    from .parallel.mesh import make_mesh
+    from .state import update_coefs
+
+    nz, ny = parse_shard_spec(shard)
+    n = nz * ny
+    devs = jax.devices()
+    if len(devs) < n:
+        devs = jax.devices("cpu")
+    if len(devs) < n:
+        raise ValueError(
+            f"--shard {shard} needs {n} devices; {len(devs)} available"
+        )
+    mesh = make_mesh(n, (nz, ny, 1), devices=devs[:n])
+    coefs = update_coefs(p, materials) if materials is not None else None
+    if ny == 1:
+        prep = lambda s: sf.to_sharded_fast(p, s, mesh, coefs=coefs)
+        restore = lambda st: sf.from_sharded_fast(p, st, mesh)
+        run_sh = sf.make_sharded_fast_runner(p, mesh, materials=materials)
+    else:
+        prep = lambda s: sf.to_sharded_fast_2d(p, s, mesh, coefs=coefs)
+        restore = lambda st: sf.from_sharded_fast_2d(p, st, mesh)
+        run_sh = sf.make_sharded_fast_2d_runner(p, mesh, materials=materials)
+
+    def run_chunk(st, chunk, power):
+        return run_sh(st, chunk), power
+
+    return prep, restore, run_chunk
+
+
 def run_simulation(
     p: Params,
     out_dir: str = "r",
@@ -101,12 +154,30 @@ def run_simulation(
     quirk_compat: bool = True,
     log: Callable[[str], None] = print,
     diagnostics_log: str | None = None,
+    shard: str | None = None,
 ) -> RunResult:
     p.validate()
-    backend = resolve_backend(p, backend, materials, accumulate_power, log)
     ts = time_values(p)
     xs_t, xs_a = scan_inputs(p, ts)
-    run_chunk = make_chunk_runner(p, materials, backend, accumulate_power)
+    if shard is not None:
+        # multi-device spatial decomposition (the reference MPI branch's
+        # CLI story, description.pdf section 2.2); see parse_shard_spec
+        if accumulate_power:
+            raise ValueError(
+                "--sar is not supported with --shard yet; run SAR "
+                "accumulation single-device"
+            )
+        if materials is not None and getattr(materials, "mu_r", None) is not None:
+            raise ValueError(
+                "heterogeneous mu_r is xla-backend-only and cannot shard"
+            )
+        if backend not in ("xla", "pallas_fused"):
+            log(f"notice: --shard uses the sharded fast path; --backend "
+                f"{backend} ignored")
+        sh_prep, sh_restore, run_chunk = _sharded_chunk_runner(p, shard, materials)
+    else:
+        backend = resolve_backend(p, backend, materials, accumulate_power, log)
+        run_chunk = make_chunk_runner(p, materials, backend, accumulate_power)
 
     state = initial_state(p)
     power = zero_power_acc(p) if accumulate_power else None
@@ -128,7 +199,10 @@ def run_simulation(
             log(f"Resuming from {ck} (after step {it_done})")
 
     # hot-path layout conversion (identity for the xla backend)
-    prep, restore = backend_adapters(p, backend, materials)
+    if shard is not None:
+        prep, restore = sh_prep, sh_restore
+    else:
+        prep, restore = backend_adapters(p, backend, materials)
     state = prep(state)
 
     if checkpoint_every:

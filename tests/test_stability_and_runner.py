@@ -89,3 +89,46 @@ def test_cli_rejects_out_of_range_temporal_steps(tmp_path, capsys):
     params.write_text("0.01 0.01 0.01 0.001 1e-12 2e-11 5 0")
     with pytest.raises(SystemExit):
         main([str(params), "--temporal-steps", "9"])  # valid range is 2-8
+
+
+def test_runner_sharded_matches_single_device(tiny_params, tmp_path):
+    """--shard runs (1-D and 2-D meshes, via run_simulation) produce .vtr
+    snapshots identical to the single-device fast path, and work with a
+    water load; bad specs / too many devices give clean ValueErrors."""
+    import pytest
+
+    from fdtd_tpu.io.vtr import read_vtr_cell_arrays
+    from fdtd_tpu.params import Mode
+
+    p = dataclasses.replace(
+        tiny_params, dtype="float32", sampling_rate=10, mode=Mode.COMPUTATION
+    )
+    run_simulation(p, out_dir=str(tmp_path / "one"), backend="pallas_fused",
+                   log=lambda s: None)
+    for spec, sub in [("4", "z4"), ("2x2", "zy22")]:
+        run_simulation(p, out_dir=str(tmp_path / sub), shard=spec,
+                       log=lambda s: None)
+        a = read_vtr_cell_arrays(str(tmp_path / "one" / "result0020.vtr"))
+        b = read_vtr_cell_arrays(str(tmp_path / sub / "result0020.vtr"))
+        for k in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=f"{spec}/{k}")
+
+    from fdtd_tpu.state import water_block
+
+    mats = water_block(p, lo=(0.2, 0.2, 0.2), hi=(0.8, 0.8, 0.8))
+    run_simulation(p, out_dir=str(tmp_path / "wone"), materials=mats,
+                   backend="pallas_fused", log=lambda s: None)
+    run_simulation(p, out_dir=str(tmp_path / "wsh"), materials=mats,
+                   shard="2x2", log=lambda s: None)
+    a = read_vtr_cell_arrays(str(tmp_path / "wone" / "result0020.vtr"))
+    b = read_vtr_cell_arrays(str(tmp_path / "wsh" / "result0020.vtr"))
+    for k in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        np.testing.assert_array_equal(a[k], b[k], err_msg=f"lossy/{k}")
+
+    with pytest.raises(ValueError, match="bad --shard"):
+        run_simulation(p, out_dir=str(tmp_path / "x"), shard="4xx2")
+    with pytest.raises(ValueError, match="devices"):
+        run_simulation(p, out_dir=str(tmp_path / "x"), shard="64")
+    with pytest.raises(ValueError, match="sar"):
+        run_simulation(p, out_dir=str(tmp_path / "x"), shard="4",
+                       accumulate_power=True)
