@@ -90,12 +90,22 @@ def vmem_estimate(p: Params, s: int, nj: int) -> int:
     item = jnp.dtype(p.dtype).itemsize
     W = corr_width(Ib)
     nd = max(s - 1, 1)
+    # VMEM rows are lane-padded to 128: a 250-wide bulk occupies 256 lanes
+    # (the round-1 "250^3 s=5 overruns by 1.7MB" finding, now modeled)
+    Ibp = -(-Ib // 128) * 128
+    Wp = -(-W // 128) * 128
     win_rows = 3 * (TKT + 2 * s) + 3 * (TKT + 2 * s - 1)
-    windows = win_rows * tjw * Ib * item
-    corr = 2 * (TKT + 2 * s - 1) * tjw * W * item
-    drive = 2 * nd * tjw * Ib * item
-    out = 6 * TKT * tj * Ib * item
-    return 2 * (windows + corr + drive + out) + win_rows * tjw * Ib * 4
+    windows = win_rows * tjw * Ibp * item
+    corr = 2 * (TKT + 2 * s - 1) * tjw * Wp * item
+    drive = 2 * nd * tjw * Ibp * item
+    out = 6 * TKT * tj * Ibp * item
+    return 2 * (windows + corr + drive + out) + win_rows * tjw * Ibp * 4
+
+
+PLAN_MARGIN = 4 * 1024 * 1024  # model slack: 250^3 s=5 estimates 123.7 MB
+# but measurably overruns the 126 MB budget, while 256^3 s=5 (118.9 MB)
+# runs; plan against budget-margin so borderline configs j-tile instead
+# of faulting at run time.
 
 
 def plan_nj(p: Params, s: int) -> int | None:
@@ -110,7 +120,7 @@ def plan_nj(p: Params, s: int) -> int | None:
         tj, _ = jt_extents(p, nj)
         if nj > 1 and tj < 32:
             return None
-        if vmem_estimate(p, s, nj) <= VMEM_BUDGET:
+        if vmem_estimate(p, s, nj) <= VMEM_BUDGET - PLAN_MARGIN:
             return nj
         nj = nj + 1 if nj == 1 else nj * 2
 
