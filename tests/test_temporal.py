@@ -117,3 +117,22 @@ def test_temporal_full_validation_physics(default_params, monkeypatch):
     got = rest(run(prep(s0), xs, None)[0])
     perrs = analytic.peak_normalized_error(p, got, float(ts[-1]))
     assert perrs["ey"] < 0.01 and perrs["hx"] < 0.01 and perrs["hz"] < 0.01, perrs
+
+
+def test_vmem_planner_lane_padding_and_margin(tiny_params):
+    """250^3-class grids (lane dim not a 128 multiple) must j-tile at s=5:
+    the VMEM model counts lane-padded widths and plans with a margin (the
+    config passed the round-2 pre-fix model but faulted on hardware).
+    256^3 s=5 must stay full-plane (the proven headline config)."""
+    from fdtd_tpu.ops.pallas_temporal import plan_nj
+
+    def grid(n):
+        return dataclasses.replace(
+            tiny_params, dtype="float32",
+            length=n * 0.001, width=n * 0.001, height=n * 0.001,
+        )
+
+    assert plan_nj(grid(256), 5) == 1
+    assert plan_nj(grid(250), 5) == 2
+    assert plan_nj(grid(256), 6) == 2
+    assert plan_nj(grid(512), 4) == 4
