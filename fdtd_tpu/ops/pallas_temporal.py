@@ -77,16 +77,21 @@ def jt_extents(p: Params, nj: int) -> tuple[int, int]:
     return tj, DJ + nj * tj + HJ
 
 
-def vmem_estimate(p: Params, s: int, nj: int) -> int:
+def vmem_estimate(p: Params, s: int, nj: int, rows: int | None = None) -> int:
     """Bytes of VMEM the s-step kernel needs at ``nj``-way j-tiling.
 
     Calibrated against Mosaic's own allocator (see module docstring):
     double-buffered input windows + outputs, plus one fp32-sized window set
     for compute intermediates (which are also the bf16 upcast copies).
+    ``rows``: full-plane window j rows override (per-shard layouts under
+    2-D spatial sharding pass their local storage rows).
     """
     _, J1, Ib = dims(p)
-    tj, _ = jt_extents(p, nj)
-    tjw = tj + (2 * HJ if nj > 1 else 0)
+    if rows is not None:
+        tj = tjw = rows
+    else:
+        tj, _ = jt_extents(p, nj)
+        tjw = tj + (2 * HJ if nj > 1 else 0)
     item = jnp.dtype(p.dtype).itemsize
     W = corr_width(Ib)
     nd = max(s - 1, 1)
@@ -230,7 +235,11 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, tk, s, jt,
     g_id = pl.program_id(0)
     K, J = p.maxk, p.maxj
     L = g_id * tk + koff_ref[0, 0]
-    if jt is None:
+    if jt == "smem":
+        # 2-D spatial sharding: full-plane per-shard windows whose global-j
+        # origin rides in the SMEM offset pair (storage row 0 = this j)
+        j_off = koff_ref[0, 1]
+    elif jt is None:
         j_off = 0
     else:
         j_off = pl.program_id(1) * jt - HJ
@@ -309,7 +318,7 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, tk, s, jt,
             hy = hy[1:]
             hz = hz[1:]
 
-    if jt is not None:
+    if isinstance(jt, int):
         ji = slice(HJ, HJ + jt)  # keep the tile interior; halo rows are stale
         ex, ey, ez = ex[:, ji], ey[:, ji], ez[:, ji]
         hx, hy, hz = hx[:, ji], hy[:, ji], hz[:, ji]
@@ -322,14 +331,18 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, tk, s, jt,
 
 
 def build_temporal_call(p: Params, coefs: UpdateCoefs, S: int, nk: int,
-                        s: int, interpret: bool, nj: int = 1):
+                        s: int, interpret: bool, nj: int = 1,
+                        J_rows: int | None = None):
     """The s-step pallas_call for a storage layout with ``S`` rows and ``nk``
-    output tiles (used by the single-chip step and the sharded fast path).
+    output tiles (used by the single-chip step and the sharded fast paths).
 
     Signature: call(koff, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2) -> 6
     output fields.  ``koff`` is the (1,1) int32 global-k offset.  With
     ``nj`` > 1 all arrays must be in the j-extended layout (see
-    :func:`jextend`) and the grid adds a j-tile dimension."""
+    :func:`jextend`) and the grid adds a j-tile dimension.  ``J_rows``
+    (mutually exclusive with nj > 1): per-shard storage j rows under 2-D
+    spatial sharding — full-plane windows of that many rows, with the
+    global (k, j) origin in a (1, 2) SMEM ``koff``."""
     _, J1, Ib = dims(p)
     W = corr_width(Ib)
     tk = TKT
@@ -344,10 +357,13 @@ def build_temporal_call(p: Params, coefs: UpdateCoefs, S: int, nk: int,
         patch = (plan.j0, plan.j1, plan.i0, plan.i1)
 
     tj, Jt = jt_extents(p, nj)
+    if J_rows is not None:
+        assert nj == 1, (nj, J_rows)
+        J1 = tj = Jt = J_rows
     nd = max(s - 1, 1)
     bulk_shape = jax.ShapeDtypeStruct((S, Jt, Ib), dtype)
     if nj == 1:
-        jt_arg = None
+        jt_arg = None if J_rows is None else "smem"
         grid = (nk,)
         e_win = pl.BlockSpec(
             (pl.Element(tk + 2 * s, (0, s)), pl.Element(J1), pl.Element(Ib)),
@@ -365,7 +381,8 @@ def build_temporal_call(p: Params, coefs: UpdateCoefs, S: int, nk: int,
             memory_space=pltpu.VMEM,
         )
         drv_spec = pl.BlockSpec((nd, J1, Ib), lambda g: (0, 0, 0), memory_space=pltpu.VMEM)
-        smem = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
+        smem = pl.BlockSpec((1, 1 if J_rows is None else 2),
+                            lambda g: (0, 0), memory_space=pltpu.SMEM)
         out_spec = pl.BlockSpec((tk, J1, Ib), lambda g: (g + ofs, 0, 0), memory_space=pltpu.VMEM)
     else:
         assert s <= HJ, (s, HJ)

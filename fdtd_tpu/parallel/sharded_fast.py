@@ -309,14 +309,23 @@ def _geometry2d(p: Params, nz: int, ny: int):
     return S_c, J1p, Ib, K1, J1, Klp, S_sh, Jlp, Jt_sh
 
 
-def _reshard_j(a, ny, Jlp, Jt_sh):
+def _reshard_j(a, ny, Jlp, Jt_sh, halo: bool = False):
     """(K, J1, X) -> (K, ny*Jt_sh, X): split j into ny chunks, pad each with
-    DJ2 halo-slot rows below and above (zero-filled; refreshed per step)."""
+    DJ2 halo-slot rows below and above.  ``halo=False``: zero-filled slots
+    (fields; refreshed by exchange every step/sweep).  ``halo=True``: slots
+    pre-filled with the neighbor chunks' edge rows (constant arrays like the
+    corr streams, whose halos the temporal sweeps read but never refresh)."""
     J1 = a.shape[1]
     a = jnp.pad(a, ((0, 0), (0, ny * Jlp - J1), (0, 0)))
-    a = a.reshape(a.shape[0], ny, Jlp, *a.shape[2:])
-    a = jnp.pad(a, ((0, 0), (0, 0), (DJ2, DJ2), (0, 0)))
-    return a.reshape(a.shape[0], ny * Jt_sh, *a.shape[3:])
+    ch = a.reshape(a.shape[0], ny, Jlp, *a.shape[2:])
+    if not halo:
+        ch = jnp.pad(ch, ((0, 0), (0, 0), (DJ2, DJ2), (0, 0)))
+    else:
+        zch = jnp.zeros_like(ch[:, :1])
+        below = jnp.concatenate([zch, ch[:, :-1]], axis=1)[:, :, Jlp - DJ2:]
+        above = jnp.concatenate([ch[:, 1:], zch], axis=1)[:, :, :DJ2]
+        ch = jnp.concatenate([below, ch, above], axis=2)
+    return ch.reshape(ch.shape[0], ny * Jt_sh, *ch.shape[3:])
 
 
 def to_sharded_fast_2d(p: Params, s: FieldState, mesh: Mesh, coefs=None) -> ShardedFastState:
@@ -328,14 +337,14 @@ def to_sharded_fast_2d(p: Params, s: FieldState, mesh: Mesh, coefs=None) -> Shar
     bulk_sh = NamedSharding(mesh, P("z", "y", None))
     rep = NamedSharding(mesh, P(None, None, None))
 
-    def emb(a):
-        a = _reshard_j(a[D : D + K1], ny, Jlp, Jt_sh)
-        return jax.device_put(_reshard(a, nz, K1, Klp, S_sh), bulk_sh)
+    def emb(a, halo=False):
+        a = _reshard_j(a[D : D + K1], ny, Jlp, Jt_sh, halo=halo)
+        return jax.device_put(_reshard(a, nz, K1, Klp, S_sh, halo=halo), bulk_sh)
 
     out = ShardedFastState(
         ex=emb(st.ex), ey=emb(st.ey), ez=emb(st.ez),
         hx=emb(st.hx), hy=emb(st.hy), hz=emb(st.hz),
-        corr_hy=emb(st.corr_hy), corr_hz=emb(st.corr_hz),
+        corr_hy=emb(st.corr_hy, halo=True), corr_hz=emb(st.corr_hz, halo=True),
         ey_s=jax.device_put(st.ey_s, rep),
         ez_s=jax.device_put(st.ez_s, rep),
         hx_s=jax.device_put(st.hx_s, rep),
@@ -657,6 +666,197 @@ def make_sharded_temporal_runner(p: Params, mesh: Mesh, s: int = 4,
     single-step sharded fast path."""
     group_step = make_sharded_temporal_step(p, mesh, s, interpret)
     single_step = make_sharded_fast_step(p, mesh, interpret)
+
+    @jax.jit
+    def run(st, xs):
+        ts, amps = xs
+        nsteps = ts.shape[0]
+        n_grp = nsteps // s
+        if n_grp:
+            g = (ts[: s * n_grp].reshape(n_grp, s), amps[: s * n_grp].reshape(n_grp, s))
+
+            def body(st, x):
+                return group_step(st, x), None
+
+            st, _ = lax.scan(body, st, g)
+        for r in range(nsteps % s):
+            idx = s * n_grp + r
+            st = single_step(st, (ts[idx], amps[idx]))
+        return st
+
+    return run
+
+
+def make_sharded_temporal_2d_step(p: Params, mesh: Mesh, s: int = 4,
+                                  interpret: bool | None = None):
+    """Temporal blocking composed with 2-D (z x y) spatial sharding.
+
+    Per s-step sweep each shard imports s-row halo bands along BOTH grid
+    axes (j bands first, then k bands, so the k bands carry fresh corner
+    rows), then runs the s-step kernel on full-plane per-shard windows
+    whose global (k, j) origin rides in the SMEM offset pair.  The per-
+    shard j extent is what makes this fit VMEM at 512^3+ — full planes
+    shrink by ~ny — checked against the calibrated model.  Corr streams
+    are constant: their j/k halo rows are baked at prep
+    (``to_sharded_fast_2d`` embeds them with neighbor rows).
+
+    Returns ``group_step(state, xs_group) -> state`` advancing s steps.
+    """
+    from ..ops.pallas_temporal import (
+        PLAN_MARGIN,
+        TKT,
+        VMEM_BUDGET,
+        build_temporal_call,
+        vmem_estimate,
+    )
+    from ..state import update_coefs
+
+    coefs = update_coefs(p, None)
+    nz, ny = mesh.shape["z"], mesh.shape["y"]
+    S_c, J1p, Ib, K1, J1, Klp, S_sh, Jlp, Jt_sh = _geometry2d(p, nz, ny)
+    lossy = not isinstance(coefs.ca_x, (int, float))
+    if (
+        lossy
+        or coefs.ca_x != 1.0
+        or (dims(p)[0] - D) // TKT < 2
+        or s > DJ2
+        or vmem_estimate(p, s, 1, rows=Jt_sh) > VMEM_BUDGET - PLAN_MARGIN
+    ):
+        raise NotImplementedError("sharded temporal 2-D unsupported for this config")
+    assert 2 <= s <= D
+    if interpret is None:
+        dd = jax.config.jax_default_device
+        interpret = (dd.platform != "tpu") if dd is not None else (jax.default_backend() != "tpu")
+    nk_local = Klp // TKT
+    call, nd = build_temporal_call(p, coefs, S_sh, nk_local, s, interpret,
+                                   J_rows=Jt_sh)
+
+    dtype = jnp.dtype(p.dtype)
+    compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
+    f_h = compute_dtype.type(coefs.h_factor)
+    inject = p.mode == Mode.COMPUTATION
+    if inject:
+        import numpy as _np
+
+        from ..source import make_source_plan
+
+        plan = make_source_plan(p)
+        jrows = _np.arange(plan.j0, plan.j1)
+        jstore = jnp.asarray((jrows // Jlp) * Jt_sh + DJ2 + (jrows % Jlp))
+
+    up_z = [(i, i - 1) for i in range(1, nz)]
+    down_z = [(i, i + 1) for i in range(nz - 1)]
+    up_y = [(i, i - 1) for i in range(1, ny)]
+    down_y = [(i, i + 1) for i in range(ny - 1)]
+
+    def exchange_j(a):
+        if ny == 1:
+            return a
+        first = lax.slice_in_dim(a, DJ2, DJ2 + s, axis=1)
+        last = lax.slice_in_dim(a, DJ2 + Jlp - s, DJ2 + Jlp, axis=1)
+        from_next = lax.ppermute(first, "y", up_y)
+        from_prev = lax.ppermute(last, "y", down_y)
+        a = lax.dynamic_update_slice_in_dim(a, from_prev, DJ2 - s, axis=1)
+        a = lax.dynamic_update_slice_in_dim(a, from_next, DJ2 + Jlp, axis=1)
+        return a
+
+    def exchange_k(a):
+        if nz == 1:
+            return a
+        first = lax.slice_in_dim(a, D, D + s, axis=0)
+        last = lax.slice_in_dim(a, D + Klp - s, D + Klp, axis=0)
+        from_next = lax.ppermute(first, "z", up_z)
+        from_prev = lax.ppermute(last, "z", down_z)
+        a = lax.dynamic_update_slice_in_dim(a, from_prev, D - s, axis=0)
+        a = lax.dynamic_update_slice_in_dim(a, from_next, D + Klp, axis=0)
+        return a
+
+    def shard_body(ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2):
+        rz = lax.axis_index("z")
+        ry = lax.axis_index("y")
+        koff2 = jnp.stack(
+            [(rz * Klp).astype(jnp.int32), (ry * Jlp - DJ2).astype(jnp.int32)]
+        ).reshape(1, 2)
+        # j bands first, then k bands: the k bands span the full local j
+        # extent including just-filled j halos, so corner rows propagate
+        ex, ey, ez = exchange_j(ex), exchange_j(ey), exchange_j(ez)
+        hx, hy, hz = exchange_j(hx), exchange_j(hy), exchange_j(hz)
+        ex, ey, ez = exchange_k(ex), exchange_k(ey), exchange_k(ez)
+        hx, hy, hz = exchange_k(hx), exchange_k(hy), exchange_k(hz)
+        return call(koff2, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2)
+
+    bspec = P("z", "y", None)
+    dspec = P(None, "y", None)
+    smap = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(bspec,) * 8 + (dspec, dspec),
+        out_specs=(bspec,) * 6,
+        check_vma=False,
+    )
+
+    K, J = p.maxk, p.maxj
+    zero_drv = jnp.zeros((nd, ny * Jt_sh, Ib), dtype)
+    zero_drv_canon = jnp.zeros((nd, J1p, Ib), dtype)
+
+    def drive_patch(amp):
+        amp_j = jnp.asarray(amp)
+        prof_row = jnp.asarray(plan.profile, dtype=jnp.result_type(amp_j))
+        row = amp_j * prof_row
+        npj, ni = plan.j1 - plan.j0, len(plan.profile)
+        return jnp.broadcast_to(row[None, :], (npj, ni))
+
+    def drive_extended(pvs):
+        """(nd, npj, ni) patch values -> per-shard extended layout WITH the
+        halo rows duplicated: the kernel applies the k=0 drive inside the
+        sweep on halo copies of patch rows too, and a zero there would
+        corrupt the halo band (these arrays are never re-exchanged)."""
+        c = zero_drv_canon.at[
+            :, plan.j0 : plan.j1, plan.i0 : plan.i1
+        ].set(pvs.astype(dtype))
+        return _reshard_j(c, ny, Jlp, Jt_sh, halo=True)
+
+    def group_step(st: ShardedFastState, xs_group) -> ShardedFastState:
+        ts_g, amps_g = xs_group
+        if inject:
+            pv1 = drive_patch(amps_g[0])
+            zero = jnp.zeros_like(pv1).astype(dtype)
+            sl = (D, jstore, slice(plan.i0, plan.i1))
+            st = dataclasses.replace(
+                st,
+                ez=st.ez.at[sl].set(pv1.astype(dtype)),
+                ex=st.ex.at[sl].set(zero),
+                hz=st.hz.at[sl].set(zero),
+                hx=st.hx.at[sl].set((-plan.inv_z_te * pv1).astype(dtype)),
+            )
+            pvs = jnp.stack([drive_patch(amps_g[m]) for m in range(1, s)])
+            de2 = drive_extended(pvs)
+            dh2 = drive_extended(-plan.inv_z_te * pvs)
+        else:
+            de2 = dh2 = zero_drv
+        ex, ey, ez, hx, hy, hz = smap(
+            st.ex, st.ey, st.ez, st.hx, st.hy, st.hz, st.corr_hy, st.corr_hz, de2, dh2
+        )
+        ey_s2 = st.ey_s[:, :, 0]
+        ez_s2 = st.ez_s[:, :, 0]
+        slk = (slice(D, D + K), slice(0, J))
+        curl = (ey_s2[D + 1 : D + K + 1, :J] - ey_s2[slk]) - (
+            ez_s2[D : D + K, 1 : J + 1] - ez_s2[slk]
+        )
+        hx_s = st.hx_s
+        for _ in range(s):
+            hx_s = hx_s.at[slk[0], slk[1], 0].add((f_h * curl).astype(st.hx_s.dtype))
+        return dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
+
+    return group_step
+
+
+def make_sharded_temporal_2d_runner(p: Params, mesh: Mesh, s: int = 4,
+                                    interpret: bool | None = None):
+    """Jitted ``run(state, xs) -> state``; trailing steps (n % s) use the
+    single-step 2-D sharded fast path."""
+    group_step = make_sharded_temporal_2d_step(p, mesh, s, interpret)
+    single_step = make_sharded_fast_2d_step(p, mesh, interpret)
 
     @jax.jit
     def run(st, xs):

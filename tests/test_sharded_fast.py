@@ -242,3 +242,47 @@ def test_sharded_2d_1024cubed_compile_only():
     )
     assert field_bytes / 8 < 2.0 * 2**30  # < 2 GB per device
     assert compiled.as_text()  # executable exists
+
+
+@pytest.mark.parametrize("mesh_zy", [(2, 2), (1, 4)])
+@pytest.mark.parametrize("mode", [Mode.VALIDATION, Mode.COMPUTATION])
+def test_sharded_temporal_2d_matches_single_device(tiny_params, mode, mesh_zy):
+    """Temporal blocking composed with 2-D (z x y) sharding matches the
+    single-device temporal path to FMA-reassociation tolerance."""
+    from fdtd_tpu.parallel.sharded_fast import (
+        from_sharded_fast_2d,
+        make_sharded_temporal_2d_runner,
+        to_sharded_fast_2d,
+    )
+
+    nz, ny = mesh_zy
+    s = 3
+    p = dataclasses.replace(tiny_params, dtype="float32", mode=mode)
+    n_steps = 10  # 3 sweeps of s=3 + 1 trailing single step
+    s0 = init_validation(p) if mode == Mode.VALIDATION else zeros(p)
+
+    import os
+
+    os.environ["FDTD_TEMPORAL_STEPS"] = str(s)
+    try:
+        run_ref = make_chunk_runner(p, backend="pallas_temporal")
+    finally:
+        del os.environ["FDTD_TEMPORAL_STEPS"]
+    from fdtd_tpu.step import backend_adapters
+
+    prep, rest = backend_adapters(p, "pallas_temporal")
+    xs = scan_inputs(p, time_values(p)[:n_steps])
+    want = rest(run_ref(prep(s0), xs, None)[0])
+
+    mesh = make_mesh(nz * ny, (nz, ny, 1), devices=jax.devices("cpu"))
+    st = to_sharded_fast_2d(p, s0, mesh)
+    run = make_sharded_temporal_2d_runner(p, mesh, s=s, interpret=True)
+    st = run(st, xs)
+    got = from_sharded_fast_2d(p, st, mesh)
+    for c in COMPONENTS:
+        g = np.asarray(getattr(got, c))[:, :, : p.maxi]
+        w = np.asarray(getattr(want, c))[:, :, : p.maxi]
+        # interpret mode lets XLA:CPU pick shape-dependent FMA groupings
+        # (per-shard windows differ in shape from full planes); on real
+        # TPU Mosaic emits identical vector ops
+        np.testing.assert_allclose(g, w, atol=2e-7, rtol=1e-6, err_msg=c)
