@@ -301,3 +301,10 @@ def dryrun(n_devices: int, devices=None) -> None:
         jax.block_until_ready(st3.ex)
         out3 = from_sharded_fast_2d(p, st3, mesh_zy)
         assert bool(jnp.isfinite(jnp.sum(jnp.square(out3.ez)))), "2-D fast path"
+
+        from .sharded_fast import make_sharded_temporal_2d_runner
+
+        st4 = to_sharded_fast_2d(p, zeros(p), mesh_zy)
+        run_t2d = make_sharded_temporal_2d_runner(p, mesh_zy, s=2, interpret=interp)
+        st4 = run_t2d(st4, xs)
+        jax.block_until_ready(st4.ex)
