@@ -101,8 +101,24 @@ def vmem_estimate(p: Params, s: int, nj: int, rows: int | None = None) -> int:
     Wp = -(-W // 128) * 128
     win_rows = 3 * (TKT + 2 * s) + 3 * (TKT + 2 * s - 1)
     windows = win_rows * tjw * Ibp * item
-    corr = 2 * (TKT + 2 * s - 1) * tjw * Wp * item
-    drive = 2 * nd * tjw * Ibp * item
+    # window slimming (build_temporal_call): computation mode carries no
+    # corr windows, and full-plane single-chip layouts slim the two drive
+    # arrays to an 8-aligned band around the source patch; validation
+    # carries corr but no drive at all
+    if p.mode == Mode.COMPUTATION:
+        corr = 0
+        if nj == 1 and rows is None:
+            from ..source import make_source_plan
+
+            plan = make_source_plan(p)
+            row0 = plan.j0 // 8 * 8
+            dw = min(-(-(plan.j1 - row0) // 8) * 8, J1 - row0)
+        else:
+            dw = tjw
+        drive = 2 * nd * dw * Ibp * item
+    else:
+        corr = 2 * (TKT + 2 * s - 1) * tjw * Wp * item
+        drive = 0
     out = 6 * TKT * tj * Ibp * item
     return 2 * (windows + corr + drive + out) + win_rows * tjw * Ibp * 4
 
@@ -119,13 +135,17 @@ def plan_nj(p: Params, s: int) -> int | None:
     Read amplification grows as (tj + 16)/tj, so tilings below 32-row tiles
     are rejected — past that the halo refetch eats the temporal win.
     """
-    _, J1, _ = dims(p)
+    _, J1, Ib = dims(p)
+    # lane-unaligned grids (250-class) measurably cost more than the model
+    # counts (validation 250^3 s=5 est 120 MB still faulted on device) —
+    # plan them with double the slack
+    margin = PLAN_MARGIN * (2 if Ib % 128 else 1)
     nj = 1
     while True:
         tj, _ = jt_extents(p, nj)
         if nj > 1 and tj < 32:
             return None
-        if vmem_estimate(p, s, nj) <= VMEM_BUDGET - PLAN_MARGIN:
+        if vmem_estimate(p, s, nj) <= VMEM_BUDGET - margin:
             return nj
         nj = nj + 1 if nj == 1 else nj * 2
 
@@ -163,7 +183,12 @@ def supported(p: Params, coefs: UpdateCoefs, s: int = 4) -> bool:
 
 def _curl_h(tk_rows, f_h, Ib, W, lane, gk, jj, K, J, patch,
             ex, ex1, ey, ey1, ez, chy, chz):
-    """H update on ``tk_rows`` rows given same-row E and E at k+1."""
+    """H update on ``tk_rows`` rows given same-row E and E at k+1.
+
+    ``chy``/``chz`` may be None: the corr streams carry the frozen
+    Ey/Ez boundary strips' coupling, which is identically zero in
+    computation mode (strips start zero and are PEC-frozen/interior-
+    source), so the windows are dropped entirely to save VMEM."""
     zf = jnp.zeros((), ex.dtype)
     ey_px = jnp.where(lane == Ib - 1, zf, jnp.roll(ey, -1, axis=2))
     ez_px = jnp.where(lane == Ib - 1, zf, jnp.roll(ez, -1, axis=2))
@@ -173,7 +198,9 @@ def _curl_h(tk_rows, f_h, Ib, W, lane, gk, jj, K, J, patch,
     inc_hx = (ey1 - ey) - (ez_py - ez)
     inc_hy = (ez_px - ez) - (ex1 - ex)
     inc_hz = (ex_py - ex) - (ey_px - ey)
-    if W == Ib:
+    if chy is None:
+        pass
+    elif W == Ib:
         inc_hy = inc_hy + chy
         inc_hz = inc_hz + chz
     else:
@@ -213,10 +240,8 @@ def _iotas(shape, L0, J0=0):
     return gk, jj, lane
 
 
-def _kernel(p: Params, f_h, f_e, patch, Ib, W, tk, s, jt,
-            koff_ref, ex_ref, ey_ref, ez_ref, hx_ref, hy_ref, hz_ref,
-            chy_ref, chz_ref, de2_ref, dh2_ref,
-            oex, oey, oez, ohx, ohy, ohz):
+def _kernel(p: Params, f_h, f_e, patch, Ib, W, tk, s, jt, use_corr, dwin,
+            *refs):
     """s leapfrog steps per sweep, statically unrolled (tight spans).
 
     Invariant entering pair m (1-based): E spans k rows [g, g+n_e-1] with
@@ -231,7 +256,29 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, tk, s, jt,
     bounds edge corruption to one j row per pair, and the final write keeps
     only the tile interior.  All j iotas are global (offset by the tile
     start), so the staggered/PEC masks and the source patch are unchanged.
+
+    ``refs`` (window slimming — the input set is mode-dependent):
+    koff, the six field windows, [chy, chz when use_corr], [de2, dh2 when
+    a source patch exists; ``dwin`` = (row0, rows) when they are slimmed
+    to an 8-aligned row band around the patch instead of full planes —
+    values are host-built either way, so source cells stay bit-exact vs
+    the xla path], then the six outputs.
     """
+    koff_ref = refs[0]
+    ex_ref, ey_ref, ez_ref, hx_ref, hy_ref, hz_ref = refs[1:7]
+    idx = 7
+    if use_corr:
+        chy_ref, chz_ref = refs[idx : idx + 2]
+        idx += 2
+    else:
+        chy_ref = chz_ref = None
+    if patch is not None:
+        de2_ref, dh2_ref = refs[idx : idx + 2]
+        idx += 2
+    else:
+        de2_ref = dh2_ref = None
+    oex, oey, oez, ohx, ohy, ohz = refs[idx : idx + 6]
+
     g_id = pl.program_id(0)
     K, J = p.maxk, p.maxj
     L = g_id * tk + koff_ref[0, 0]
@@ -252,12 +299,23 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, tk, s, jt,
     hx = hx_ref[:].astype(cd)   # rows L-s .. H+s-1    (tk+2s-1)
     hy = hy_ref[:].astype(cd)
     hz = hz_ref[:].astype(cd)
-    chy_w = chy_ref[:].astype(cd)  # rows L-s .. H+s-1
-    chz_w = chz_ref[:].astype(cd)
+    if use_corr:
+        chy_w = chy_ref[:].astype(cd)  # rows L-s .. H+s-1
+        chz_w = chz_ref[:].astype(cd)
+    else:
+        chy_w = chz_w = None
 
     if patch is not None:
-        de2 = de2_ref[:].astype(cd)  # (s-1 or 1, J1, Ib): drive rows t+m*dt
+        de2 = de2_ref[:].astype(cd)  # (s-1 or 1, J_rows_or_band, Ib)
         dh2 = dh2_ref[:].astype(cd)
+        if dwin is not None:
+            # slimmed band -> full-plane rows (static pad; values land at
+            # the same global j rows the full-plane arrays carried)
+            row0, rows_w = dwin
+            full = ex.shape[1]
+            padj = ((0, 0), (row0, full - row0 - rows_w), (0, 0))
+            de2 = jnp.pad(de2, padj)
+            dh2 = jnp.pad(dh2, padj)
         j0, j1, i0, i1 = patch
         jrow = jax.lax.broadcasted_iota(jnp.int32, ex.shape[1:], 0) + j_off
         mrow = (
@@ -278,7 +336,8 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, tk, s, jt,
         m_hx, m_hy, m_hz, ix, iy, iz = _curl_h(
             n_h, f_h, Ib, W, lnh, gkh, jjh, K, J, patch,
             ex[:n_h], ex[1 : n_h + 1], ey[:n_h], ey[1 : n_h + 1], ez[:n_h],
-            chy_w[coff : coff + n_h], chz_w[coff : coff + n_h],
+            chy_w[coff : coff + n_h] if use_corr else None,
+            chz_w[coff : coff + n_h] if use_corr else None,
         )
         hx = jnp.where(m_hx, hx + ix, hx)
         hy = jnp.where(m_hy, hy + iy, hy)
@@ -352,9 +411,20 @@ def build_temporal_call(p: Params, coefs: UpdateCoefs, S: int, nk: int,
     f_h = compute_dtype.type(coefs.h_factor)
     f_e = compute_dtype.type(coefs.cb_x)
     patch = None
+    dwin = None
     if p.mode == Mode.COMPUTATION:
         plan = make_source_plan(p)
         patch = (plan.j0, plan.j1, plan.i0, plan.i1)
+        if nj == 1 and J_rows is None:
+            # slim the drive inputs to an 8-aligned row band around the
+            # patch (full planes in the j-tiled / per-shard layouts, whose
+            # windows are already narrow)
+            row0 = plan.j0 // 8 * 8
+            dwin = (row0, -(-(plan.j1 - row0) // 8) * 8)
+    # window slimming: computation mode has identically-zero corr streams
+    # (frozen boundary strips start and stay zero) and validation mode has
+    # no drive — drop the unused windows to buy back VMEM for larger s
+    use_corr = p.mode != Mode.COMPUTATION
 
     tj, Jt = jt_extents(p, nj)
     if J_rows is not None:
@@ -380,7 +450,12 @@ def build_temporal_call(p: Params, coefs: UpdateCoefs, S: int, nk: int,
             lambda g: ((g + ofs) * tk - s, 0, 0),
             memory_space=pltpu.VMEM,
         )
-        drv_spec = pl.BlockSpec((nd, J1, Ib), lambda g: (0, 0, 0), memory_space=pltpu.VMEM)
+        if dwin is not None:
+            dwin = (dwin[0], min(dwin[1], J1 - dwin[0]))
+            drv_rows = dwin[1]
+        else:
+            drv_rows = J1
+        drv_spec = pl.BlockSpec((nd, drv_rows, Ib), lambda g: (0, 0, 0), memory_space=pltpu.VMEM)
         smem = pl.BlockSpec((1, 1 if J_rows is None else 2),
                             lambda g: (0, 0), memory_space=pltpu.SMEM)
         out_spec = pl.BlockSpec((tk, J1, Ib), lambda g: (g + ofs, 0, 0), memory_space=pltpu.VMEM)
@@ -416,15 +491,38 @@ def build_temporal_call(p: Params, coefs: UpdateCoefs, S: int, nk: int,
             memory_space=pltpu.VMEM,
         )
 
-    return pl.pallas_call(
-        functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, tk, s, jt_arg),
+    in_specs = (
+        [smem] + [e_win] * 3 + [h_win] * 3
+        + ([c_win] * 2 if use_corr else [])
+        + ([drv_spec] * 2 if patch is not None else [])
+    )
+    inner = pl.pallas_call(
+        functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, tk, s, jt_arg,
+                          use_corr, dwin),
         grid=grid,
-        in_specs=[smem] + [e_win] * 3 + [h_win] * 3 + [c_win] * 2 + [drv_spec] * 2,
+        in_specs=in_specs,
         out_specs=[out_spec] * 6,
         out_shape=(bulk_shape,) * 6,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET),
         interpret=interpret,
-    ), nd
+    )
+
+    def call(koff, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2):
+        # stable caller signature; unused operands (zero corr in computation
+        # mode, zero drive in validation) are dropped, and full-plane drive
+        # arrays are sliced to the band the kernel re-pads
+        args = [koff, ex, ey, ez, hx, hy, hz]
+        if use_corr:
+            args += [chy, chz]
+        if patch is not None:
+            if dwin is not None:
+                row0, rows_w = dwin
+                de2 = de2[:, row0 : row0 + rows_w]
+                dh2 = dh2[:, row0 : row0 + rows_w]
+            args += [de2, dh2]
+        return inner(*args)
+
+    return call, nd
 
 
 def jextend(p: Params, st, nj: int):

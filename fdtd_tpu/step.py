@@ -92,15 +92,23 @@ def _huge_state(p: Params) -> bool:
 def default_temporal_s(p: Params) -> int:
     """Measured sweet spots on v5e (see docs/DESIGN.md kernel table).
 
-    fp32: s=5 when full-plane windows fit (s=2..6 measured 10.7/14.9/17.8/
-    20.2/[j-tiled] Gcells/s at 256^3); bf16 peaks at s=4 (31.5 Gcells/s at
-    256^3 — VMEM pressure makes s=5/6 slower).  When the planner must
-    j-tile even at this s, the halo refetch shifts the optimum, but s stays
-    a good default (the planner picks the tiling, not the s).
+    bf16 peaks at s=4 (33.8 Gcells/s at 256^3; s=5 measured slower — the
+    deeper halo recompute, not VMEM, binds).  fp32 prefers the largest s
+    whose windows still fit full-plane (s=6 -> 22.7 G at 256^3 with the
+    slimmed windows; j-tiled s=6/7 lose to full-plane s=5 via the halo
+    refetch, measured 17.1-17.4 G), falling back to s=5 when every s
+    j-tiles (512^3-class: measured 19.5 G at s=5).
     """
     import jax.numpy as _jnp
 
-    return 4 if _jnp.dtype(p.dtype) == _jnp.bfloat16 else 5
+    if _jnp.dtype(p.dtype) == _jnp.bfloat16:
+        return 4
+    from .ops.pallas_temporal import plan_nj
+
+    for s in (6, 5):
+        if plan_nj(p, s) == 1:
+            return s
+    return 5
 
 
 def scan_inputs(p: Params, times):

@@ -27,8 +27,11 @@ def test_temporal_matches_xla(tiny_params, monkeypatch, sgrp, mode):
     for c in COMPONENTS:
         g = np.asarray(getattr(got, c))[:, :, : p.maxi]
         w = np.asarray(getattr(want, c))[:, :, : p.maxi]
-        # s<=3 is bit-exact; deeper unrolls reassociate at the 1-ulp level
-        atol = 0.0 if sgrp <= 3 else 1e-6
+        # s=2 is bit-exact even on XLA:CPU interpret; deeper unrolls let the
+        # CPU backend pick shape-dependent FMA groupings (1-ulp); on real
+        # TPU Mosaic the kernels are pinned bit-exact vs pallas_fused by
+        # the on-device spot checks (docs/DESIGN.md parity strategy)
+        atol = 0.0 if sgrp <= 2 else 1e-6
         np.testing.assert_allclose(g, w, atol=atol, rtol=0, err_msg=f"s={sgrp}/{c}")
 
 
@@ -120,19 +123,27 @@ def test_temporal_full_validation_physics(default_params, monkeypatch):
 
 
 def test_vmem_planner_lane_padding_and_margin(tiny_params):
-    """250^3-class grids (lane dim not a 128 multiple) must j-tile at s=5:
-    the VMEM model counts lane-padded widths and plans with a margin (the
-    config passed the round-2 pre-fix model but faulted on hardware).
-    256^3 s=5 must stay full-plane (the proven headline config)."""
+    """Pin the VMEM planner to its hardware-verified decisions.
+
+    The model counts lane-padded window widths, plans with a safety
+    margin (doubled for lane-unaligned 250-class grids, where validation
+    s=5 at est 120 MB still faulted on device), and accounts the
+    mode-dependent window slimming: computation mode drops the corr
+    streams (identically zero) and slims the drive arrays to a patch
+    band, which unlocks full-plane s=6 at 256^3 (TPU-verified bit-exact
+    vs pallas_fused, incl. the formerly faulting 250^3 s=5)."""
     from fdtd_tpu.ops.pallas_temporal import plan_nj
 
-    def grid(n):
+    def grid(n, mode):
         return dataclasses.replace(
-            tiny_params, dtype="float32",
+            tiny_params, dtype="float32", mode=mode,
             length=n * 0.001, width=n * 0.001, height=n * 0.001,
         )
 
-    assert plan_nj(grid(256), 5) == 1
-    assert plan_nj(grid(250), 5) == 2
-    assert plan_nj(grid(256), 6) == 2
-    assert plan_nj(grid(512), 4) == 4
+    comp, vali = Mode.COMPUTATION, Mode.VALIDATION
+    assert plan_nj(grid(256, comp), 5) == 1
+    assert plan_nj(grid(256, comp), 6) == 1   # unlocked by slimming
+    assert plan_nj(grid(250, comp), 5) == 1   # unlocked by slimming
+    assert plan_nj(grid(250, vali), 5) == 2   # faulted at nj=1 on device
+    assert plan_nj(grid(256, vali), 6) == 2
+    assert plan_nj(grid(512, comp), 4) == 4
