@@ -280,10 +280,104 @@ def make_sharded_fast_step(p: Params, mesh: Mesh, interpret: bool | None = None,
     return step
 
 
+def make_sharded_power_inc(p: Params, mesh: Mesh, materials):
+    """``inc(st) -> (n*Klp, J, I) sharded instantaneous power`` for SAR
+    accumulation under 1-D z sharding.
+
+    Mirrors ``diagnostics.power_deposition_stripped`` cell by cell (same
+    operands, same arithmetic order -> bit-equal to the single-chip
+    accumulator), with one extra post-E-pass halo exchange: the cell-center
+    means at a shard's top row read Ex/Ey at k+1, which live on the next
+    shard (the state's halo slot holds pre-update values at that point).
+    Rows past maxk carry sigma = 0, so no masking is needed.
+    """
+    from ..state import update_coefs
+
+    n = mesh.shape["z"]
+    S_c, J1p, Ib, K1, Klp, S_sh = _geometry(p, n)
+    K, J, I = p.maxk, p.maxj, p.maxi
+    coefs = update_coefs(p, materials)
+    if coefs.sigma_cells is None:
+        raise NotImplementedError("power accumulation needs lossy materials")
+
+    sig = jnp.asarray(coefs.sigma_cells)  # (K, J, I); dtype as single-chip
+    sig = jnp.pad(sig, ((0, n * Klp - K), (0, 0), (0, 0)))
+    sig = jax.device_put(sig, NamedSharding(mesh, P("z", None, None)))
+    # frozen Ey/Ez strips, padded so every shard's (Klp+1)-row slice is in
+    # bounds (n*Klp can exceed the canonical padded k extent)
+    strip_pad = max(0, D + n * Klp + 1 - S_c)
+
+    up = [(i, i - 1) for i in range(1, n)]
+
+    def body(ex, ey, ez, eys, ezs, sg):
+        r = lax.axis_index("z")
+        for name in ("ex", "ey"):
+            a = ex if name == "ex" else ey
+            first = lax.slice_in_dim(a, D, D + 1, axis=0)
+            h = lax.ppermute(first, "z", up) if n > 1 else jnp.zeros_like(first)
+            a = lax.dynamic_update_slice_in_dim(a, h, D + Klp, axis=0)
+            ex, ey = (a, ey) if name == "ex" else (ex, a)
+        at = jnp.float64 if ex.dtype == jnp.float64 else jnp.float32
+        k0 = D + r * Klp
+        exl = ex[D : D + Klp + 1, : J + 1, :I].astype(at)
+        eyl = jnp.concatenate(
+            [ey[D : D + Klp + 1, :J, :], lax.dynamic_slice_in_dim(eys, k0, Klp + 1, axis=0)[:, :J]],
+            axis=2,
+        ).astype(at)
+        ezl = jnp.concatenate(
+            [ez[D : D + Klp, : J + 1, :], lax.dynamic_slice_in_dim(ezs, k0, Klp, axis=0)[:, : J + 1]],
+            axis=2,
+        ).astype(at)
+        Kl = Klp
+        mean_ex = 0.25 * (exl[:Kl, :J, :I] + exl[1 : Kl + 1, :J, :I] + exl[:Kl, 1 : J + 1, :I] + exl[1 : Kl + 1, 1 : J + 1, :I])
+        mean_ey = 0.25 * (eyl[:Kl, :J, :I] + eyl[:Kl, :J, 1 : I + 1] + eyl[1 : Kl + 1, :J, :I] + eyl[1 : Kl + 1, :J, 1 : I + 1])
+        mean_ez = 0.25 * (ezl[:Kl, :J, :I] + ezl[:Kl, 1 : J + 1, :I] + ezl[:Kl, :J, 1 : I + 1] + ezl[:Kl, 1 : J + 1, 1 : I + 1])
+        return sg * (mean_ex**2 + mean_ey**2 + mean_ez**2)
+
+    bspec = P("z", None, None)
+    rspec = P(None, None, None)
+    smap = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(bspec,) * 3 + (rspec,) * 2 + (bspec,),
+        out_specs=bspec,
+        check_vma=False,
+    )
+
+    def inc(st: ShardedFastState):
+        eys = jnp.pad(st.ey_s, ((0, strip_pad), (0, 0), (0, 0)))
+        ezs = jnp.pad(st.ez_s, ((0, strip_pad), (0, 0), (0, 0)))
+        return smap(st.ex, st.ey, st.ez, eys, ezs, sig)
+
+    return inc
+
+
 def make_sharded_fast_runner(p: Params, mesh: Mesh, interpret: bool | None = None,
-                             materials=None):
-    """Jitted ``run(state, xs) -> state`` scanning the sharded fast step."""
+                             materials=None, accumulate_power: bool = False):
+    """Jitted runner scanning the sharded fast step.
+
+    Without SAR: ``run(state, xs) -> state``.  With ``accumulate_power``:
+    ``run(state, xs, acc) -> (state, acc)`` where ``acc`` is the sharded
+    (n*Klp, J, I) fp32 accumulator of sigma*|E|^2*dt (J/m^3); rows [:maxk]
+    are the canonical heating map.
+    """
     step = make_sharded_fast_step(p, mesh, interpret, materials=materials)
+    if accumulate_power:
+        inc_fn = make_sharded_power_inc(p, mesh, materials)
+        dt = p.time_step
+
+        @jax.jit
+        def run_acc(st, xs, acc):
+            def body(carry, x):
+                st, acc = carry
+                st = step(st, x)
+                acc = acc + (inc_fn(st) * dt).astype(acc.dtype)
+                return (st, acc), None
+
+            (st, acc), _ = lax.scan(body, (st, acc), xs)
+            return st, acc
+
+        return run_acc
 
     @jax.jit
     def run(st, xs):

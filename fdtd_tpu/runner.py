@@ -22,6 +22,7 @@ import time
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 
 from . import diagnostics
 from .io.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
@@ -109,9 +110,15 @@ def parse_shard_spec(spec: str) -> tuple[int, int]:
     return nz, ny
 
 
-def _sharded_chunk_runner(p: Params, shard, materials: Materials | None):
+def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
+                          accumulate_power: bool = False):
     """(prep, restore, run_chunk) running chunks on a (nz, ny) device mesh
-    through the Pallas-in-shard_map fast paths."""
+    through the Pallas-in-shard_map fast paths.
+
+    With ``accumulate_power`` (1-D z meshes): the SAR accumulator is kept
+    sharded across chunks' scan, converted to/from the runner's canonical
+    (maxk, maxj, maxi) layout at chunk boundaries (checkpoint-compatible
+    with single-chip runs)."""
     from .parallel import sharded_fast as sf
     from .parallel.mesh import make_mesh
     from .state import update_coefs
@@ -130,11 +137,35 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None):
     if ny == 1:
         prep = lambda s: sf.to_sharded_fast(p, s, mesh, coefs=coefs)
         restore = lambda st: sf.from_sharded_fast(p, st, mesh)
-        run_sh = sf.make_sharded_fast_runner(p, mesh, materials=materials)
+        run_sh = sf.make_sharded_fast_runner(
+            p, mesh, materials=materials, accumulate_power=accumulate_power
+        )
     else:
+        if accumulate_power:
+            raise ValueError(
+                "--sar with --shard needs a 1-D z decomposition (e.g. "
+                f"--shard {n}); 2-D SAR sharding is not supported yet"
+            )
         prep = lambda s: sf.to_sharded_fast_2d(p, s, mesh, coefs=coefs)
         restore = lambda st: sf.from_sharded_fast_2d(p, st, mesh)
         run_sh = sf.make_sharded_fast_2d_runner(p, mesh, materials=materials)
+
+    if accumulate_power:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        _, _, _, _, Klp, _ = sf._geometry(p, nz)
+        K = p.maxk
+        acc_sh = NamedSharding(mesh, P("z", None, None))
+
+        def run_chunk(st, chunk, power):
+            acc = jax.device_put(
+                jnp.pad(jnp.asarray(power), ((0, nz * Klp - K), (0, 0), (0, 0))),
+                acc_sh,
+            )
+            st, acc = run_sh(st, chunk, acc)
+            return st, acc[:K]
+
+        return prep, restore, run_chunk
 
     def run_chunk(st, chunk, power):
         return run_sh(st, chunk), power
@@ -162,11 +193,8 @@ def run_simulation(
     if shard is not None:
         # multi-device spatial decomposition (the reference MPI branch's
         # CLI story, description.pdf section 2.2); see parse_shard_spec
-        if accumulate_power:
-            raise ValueError(
-                "--sar is not supported with --shard yet; run SAR "
-                "accumulation single-device"
-            )
+        if accumulate_power and materials is None:
+            raise ValueError("--sar needs lossy materials (e.g. --water-block)")
         if materials is not None and getattr(materials, "mu_r", None) is not None:
             raise ValueError(
                 "heterogeneous mu_r is xla-backend-only and cannot shard"
@@ -174,7 +202,9 @@ def run_simulation(
         if backend not in ("xla", "pallas_fused"):
             log(f"notice: --shard uses the sharded fast path; --backend "
                 f"{backend} ignored")
-        sh_prep, sh_restore, run_chunk = _sharded_chunk_runner(p, shard, materials)
+        sh_prep, sh_restore, run_chunk = _sharded_chunk_runner(
+            p, shard, materials, accumulate_power
+        )
     else:
         backend = resolve_backend(p, backend, materials, accumulate_power, log)
         run_chunk = make_chunk_runner(p, materials, backend, accumulate_power)
