@@ -621,10 +621,119 @@ def make_sharded_fast_2d_step(p: Params, mesh: Mesh, interpret: bool | None = No
     return step
 
 
+def make_sharded_power_inc_2d(p: Params, mesh: Mesh, materials):
+    """``inc(st) -> (nz*Klp, ny*Jlp, I) sharded instantaneous power`` under
+    2-D (z x y) sharding; see :func:`make_sharded_power_inc`.
+
+    Two extra post-E-pass halo planes: Ex/Ey one k-plane up (cell-center
+    means read k+1) and Ex/Ez one j-plane up (they read j+1); j planes move
+    first so the k planes carry fresh corner values (the mean's diagonal
+    ex[k+1, j+1] term).
+    """
+    from ..state import update_coefs
+
+    nz, ny = mesh.shape["z"], mesh.shape["y"]
+    S_c, J1p, Ib, K1, J1, Klp, S_sh, Jlp, Jt_sh = _geometry2d(p, nz, ny)
+    K, J, I = p.maxk, p.maxj, p.maxi
+    coefs = update_coefs(p, materials)
+    if coefs.sigma_cells is None:
+        raise NotImplementedError("power accumulation needs lossy materials")
+
+    sig = jnp.asarray(coefs.sigma_cells)
+    sig = jnp.pad(sig, ((0, nz * Klp - K), (0, ny * Jlp - J), (0, 0)))
+    sig = jax.device_put(sig, NamedSharding(mesh, P("z", "y", None)))
+    strip_pad_k = max(0, D + nz * Klp + 1 - S_c)
+    strip_pad_j = max(0, ny * Jlp + 1 - J1p)
+
+    up_z = [(i, i - 1) for i in range(1, nz)]
+    up_y = [(i, i - 1) for i in range(1, ny)]
+
+    def body(ex, ey, ez, eys, ezs, sg):
+        rz = lax.axis_index("z")
+        ry = lax.axis_index("y")
+        # j halos first (ex, ez), then k halos (ex, ey) whose full-j-width
+        # band includes the fresh j halo slot -> corners propagate
+        for name in ("ex", "ez"):
+            a = ex if name == "ex" else ez
+            first = lax.slice_in_dim(a, DJ2, DJ2 + 1, axis=1)
+            h = lax.ppermute(first, "y", up_y) if ny > 1 else jnp.zeros_like(first)
+            a = lax.dynamic_update_slice_in_dim(a, h, DJ2 + Jlp, axis=1)
+            ex, ez = (a, ez) if name == "ex" else (ex, a)
+        for name in ("ex", "ey"):
+            a = ex if name == "ex" else ey
+            first = lax.slice_in_dim(a, D, D + 1, axis=0)
+            h = lax.ppermute(first, "z", up_z) if nz > 1 else jnp.zeros_like(first)
+            a = lax.dynamic_update_slice_in_dim(a, h, D + Klp, axis=0)
+            ex, ey = (a, ey) if name == "ex" else (ex, a)
+        at = jnp.float64 if ex.dtype == jnp.float64 else jnp.float32
+        k0 = (D + rz * Klp).astype(jnp.int32)
+        j0 = (ry * Jlp).astype(jnp.int32)
+        zero = jnp.zeros((), jnp.int32)
+        Kl, Jl = Klp, Jlp
+        exl = ex[D : D + Kl + 1, DJ2 : DJ2 + Jl + 1, :I].astype(at)
+        eyl = jnp.concatenate(
+            [
+                ey[D : D + Kl + 1, DJ2 : DJ2 + Jl, :],
+                lax.dynamic_slice(eys, (k0, j0, zero), (Kl + 1, Jl, 1)),
+            ],
+            axis=2,
+        ).astype(at)
+        ezl = jnp.concatenate(
+            [
+                ez[D : D + Kl, DJ2 : DJ2 + Jl + 1, :],
+                lax.dynamic_slice(ezs, (k0, j0, zero), (Kl, Jl + 1, 1)),
+            ],
+            axis=2,
+        ).astype(at)
+        mean_ex = 0.25 * (exl[:Kl, :Jl, :I] + exl[1 : Kl + 1, :Jl, :I] + exl[:Kl, 1 : Jl + 1, :I] + exl[1 : Kl + 1, 1 : Jl + 1, :I])
+        mean_ey = 0.25 * (eyl[:Kl, :Jl, :I] + eyl[:Kl, :Jl, 1 : I + 1] + eyl[1 : Kl + 1, :Jl, :I] + eyl[1 : Kl + 1, :Jl, 1 : I + 1])
+        mean_ez = 0.25 * (ezl[:Kl, :Jl, :I] + ezl[:Kl, 1 : Jl + 1, :I] + ezl[:Kl, :Jl, 1 : I + 1] + ezl[:Kl, 1 : Jl + 1, 1 : I + 1])
+        return sg * (mean_ex**2 + mean_ey**2 + mean_ez**2)
+
+    bspec = P("z", "y", None)
+    rspec = P(None, None, None)
+    smap = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(bspec,) * 3 + (rspec,) * 2 + (bspec,),
+        out_specs=bspec,
+        check_vma=False,
+    )
+
+    def inc(st: ShardedFastState):
+        eys = jnp.pad(st.ey_s, ((0, strip_pad_k), (0, strip_pad_j), (0, 0)))
+        ezs = jnp.pad(st.ez_s, ((0, strip_pad_k), (0, strip_pad_j), (0, 0)))
+        return smap(st.ex, st.ey, st.ez, eys, ezs, sig)
+
+    return inc
+
+
 def make_sharded_fast_2d_runner(p: Params, mesh: Mesh, interpret: bool | None = None,
-                                materials=None):
-    """Jitted ``run(state, xs) -> state`` scanning the 2-D sharded fast step."""
+                                materials=None, accumulate_power: bool = False):
+    """Jitted runner scanning the 2-D sharded fast step.
+
+    Without SAR: ``run(state, xs) -> state``.  With ``accumulate_power``:
+    ``run(state, xs, acc) -> (state, acc)`` with ``acc`` the sharded
+    (nz*Klp, ny*Jlp, I) fp32 sigma*|E|^2*dt accumulator; rows [:maxk] x
+    cols [:maxj] are the canonical heating map.
+    """
     step = make_sharded_fast_2d_step(p, mesh, interpret, materials=materials)
+    if accumulate_power:
+        inc_fn = make_sharded_power_inc_2d(p, mesh, materials)
+        dt = p.time_step
+
+        @jax.jit
+        def run_acc(st, xs, acc):
+            def body(carry, x):
+                st, acc = carry
+                st = step(st, x)
+                acc = acc + (inc_fn(st) * dt).astype(acc.dtype)
+                return (st, acc), None
+
+            (st, acc), _ = lax.scan(body, (st, acc), xs)
+            return st, acc
+
+        return run_acc
 
     @jax.jit
     def run(st, xs):

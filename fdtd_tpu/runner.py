@@ -141,29 +141,33 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
             p, mesh, materials=materials, accumulate_power=accumulate_power
         )
     else:
-        if accumulate_power:
-            raise ValueError(
-                "--sar with --shard needs a 1-D z decomposition (e.g. "
-                f"--shard {n}); 2-D SAR sharding is not supported yet"
-            )
         prep = lambda s: sf.to_sharded_fast_2d(p, s, mesh, coefs=coefs)
         restore = lambda st: sf.from_sharded_fast_2d(p, st, mesh)
-        run_sh = sf.make_sharded_fast_2d_runner(p, mesh, materials=materials)
+        run_sh = sf.make_sharded_fast_2d_runner(
+            p, mesh, materials=materials, accumulate_power=accumulate_power
+        )
 
     if accumulate_power:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        _, _, _, _, Klp, _ = sf._geometry(p, nz)
-        K = p.maxk
-        acc_sh = NamedSharding(mesh, P("z", None, None))
+        K, J = p.maxk, p.maxj
+        if ny == 1:
+            _, _, _, _, Klp, _ = sf._geometry(p, nz)
+            Jlp = J
+        else:
+            _, _, _, _, _, Klp, _, Jlp, _ = sf._geometry2d(p, nz, ny)
+        acc_sh = NamedSharding(mesh, P("z", "y" if ny > 1 else None, None))
 
         def run_chunk(st, chunk, power):
             acc = jax.device_put(
-                jnp.pad(jnp.asarray(power), ((0, nz * Klp - K), (0, 0), (0, 0))),
+                jnp.pad(
+                    jnp.asarray(power),
+                    ((0, nz * Klp - K), (0, ny * Jlp - J), (0, 0)),
+                ),
                 acc_sh,
             )
             st, acc = run_sh(st, chunk, acc)
-            return st, acc[:K]
+            return st, acc[:K, :J]
 
         return prep, restore, run_chunk
 
