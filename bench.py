@@ -68,7 +68,7 @@ def bench(n=256, steps=1000, dtype="float32", backend=None, warmup_steps=50):
     # even the jitted conversion's intermediates are borderline; plain
     # stripped zero fills are exact for a computation-mode start.  Fresh
     # per call: the fast-path runners donate their input state.
-    if backend in ("pallas_fused", "pallas_inplace", "pallas_temporal"):
+    if backend in ("pallas_fused", "pallas_temporal"):
         from fdtd_tpu.ops.pallas_fused import stripped_zeros
 
         build = jax.jit(lambda: stripped_zeros(p))
@@ -123,6 +123,6 @@ if __name__ == "__main__":
         try:
             r2 = bench(n=n, steps=steps, dtype=aux)
             result[f"aux_{aux}_mcells_per_s"] = r2["value"]
-        except Exception:
-            pass
+        except Exception as e:  # record, don't hide (ADVICE r2)
+            result["aux_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))

@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..params import Mode, Params
 from ..state import UpdateCoefs
-from .pallas_fused import D, StrippedState, corr_width, dims
+from ..ops.pallas_fused import D, StrippedState, corr_width, dims
 
 N_RING = 3
 

@@ -25,7 +25,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("params", help="parameters file (.txt), 8 ordered scalars")
     ap.add_argument("--out", default="r", help="output directory (default: r, like the reference)")
     ap.add_argument("--dtype", default="float32", choices=["float32", "float64", "bfloat16"])
-    ap.add_argument("--backend", default="xla", choices=["xla", "pallas", "pallas_fused", "pallas_temporal"])
+    ap.add_argument(
+        "--backend", default="auto",
+        choices=["auto", "xla", "pallas", "pallas_fused", "pallas_temporal"],
+        help="update-kernel path (default auto: fastest supported for the "
+             "platform/config; explicit choices are honored or noticed)")
     ap.add_argument("--no-output", action="store_true", help="skip snapshots (benchmark mode)")
     ap.add_argument("--water-block", action="store_true", help="place a water load in the cavity")
     ap.add_argument("--sar", action="store_true", help="accumulate power deposition (J/m^3)")

@@ -84,10 +84,15 @@ class SnapshotWriter:
         fname = self.pattern % iteration
         path = os.path.join(self.out_dir, fname)
         self._series.append((t, fname))
-        self._inflight.append(self._pool.submit(self._write, path, dict(variables)))
-
-    def _write(self, path: str, variables: dict[str, jax.Array]) -> None:
+        # The device->host transfer happens HERE, on the main thread: a
+        # worker thread fetching device buffers concurrently with the main
+        # thread's dispatches intermittently deadlocks the remote axon
+        # tunnel (measured r3).  The expensive part that stays async is the
+        # encode + file write; on local hardware D2H is DMA-fast anyway.
         host = {k: np.asarray(v) for k, v in variables.items()}
+        self._inflight.append(self._pool.submit(self._write, path, host))
+
+    def _write(self, path: str, host: dict[str, np.ndarray]) -> None:
         from .native import write_vtr_native
 
         if not write_vtr_native(path, self.coords, host):

@@ -86,6 +86,7 @@ def corr_width(Ib: int) -> int:
     data_fields=[
         "ex", "ey", "ez", "hx", "hy", "hz", "ey_s", "ez_s", "hx_s",
         "corr_hy", "corr_hz", "ca_x", "ca_y", "ca_z", "cb_x", "cb_y", "cb_z",
+        "sigma_c",
     ],
     meta_fields=[],
 )
@@ -116,6 +117,7 @@ class StrippedState:
     cb_x: jax.Array | None = None
     cb_y: jax.Array | None = None
     cb_z: jax.Array | None = None
+    sigma_c: jax.Array | None = None  # cell sigma (SAR; embedded layout)
 
 
 def stripped_zeros(p: Params) -> StrippedState:
@@ -181,6 +183,18 @@ def to_stripped(p: Params, s: FieldState, coefs: UpdateCoefs | None = None) -> S
             cb_y=embed_coef(p, coefs.cb_y, 0.0),
             cb_z=embed_coef(p, coefs.cb_z, 0.0),
         )
+        if coefs.sigma_cells is not None:
+            # cell-centered sigma rides in the state too (the SAR kernels
+            # read it in the storage layout; a closure array would embed as
+            # an HLO constant — compile bloat + axon-tunnel hazards)
+            dty = jnp.dtype(p.dtype)
+            full = jnp.zeros((S, J1p, Ib), dty)
+            st = dataclasses.replace(
+                st,
+                sigma_c=full.at[D : D + p.maxk, : p.maxj].set(
+                    jnp.asarray(coefs.sigma_cells, dty)[:, :, :Ib]
+                ),
+            )
     return st
 
 
@@ -536,12 +550,16 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
             compiler_params=cp,
             interpret=interpret,
         )
-        zoff = jnp.zeros((1, 2), jnp.int32)
+        # HOST numpy constant, not a closed-over jax.Array: device-array
+        # closures embed as HLO constants whose lowering fetches
+        # device->host — intermittently deadlocks through the remote axon
+        # tunnel (r3)
+        zoff = np.zeros((1, 2), np.int32)
 
         def call(st, ex, ey, ez, hx, hy, hz, chy, chz):
-            hx, hy, hz = h_call(zoff, ex, ey, ez, hx, hy, hz, chy, chz)
+            hx, hy, hz = h_call(jnp.asarray(zoff), ex, ey, ez, hx, hy, hz, chy, chz)
             extra = (st.ca_x, st.ca_y, st.ca_z, st.cb_x, st.cb_y, st.cb_z) if lossy else ()
-            ex, ey, ez = e_call(zoff, hx, hy, hz, ex, ey, ez, *extra)
+            ex, ey, ez = e_call(jnp.asarray(zoff), hx, hy, hz, ex, ey, ez, *extra)
             return ex, ey, ez, hx, hy, hz
 
         # exported for the sharded fast path (parallel/sharded_fast.py)

@@ -77,7 +77,8 @@ def jt_extents(p: Params, nj: int) -> tuple[int, int]:
     return tj, DJ + nj * tj + HJ
 
 
-def vmem_estimate(p: Params, s: int, nj: int, rows: int | None = None) -> int:
+def vmem_estimate(p: Params, s: int, nj: int, rows: int | None = None,
+                  lossy: bool = False, sar: bool = False) -> int:
     """Bytes of VMEM the s-step kernel needs at ``nj``-way j-tiling.
 
     Calibrated against Mosaic's own allocator (see module docstring):
@@ -85,6 +86,9 @@ def vmem_estimate(p: Params, s: int, nj: int, rows: int | None = None) -> int:
     for compute intermediates (which are also the bf16 upcast copies).
     ``rows``: full-plane window j rows override (per-shard layouts under
     2-D spatial sharding pass their local storage rows).
+    ``lossy``/``sar``: the lossy kernel's windows are one row taller and
+    add six coefficient windows (E geometry); SAR adds the sigma tile and
+    the fp32 accumulator tile pair.
     """
     _, J1, Ib = dims(p)
     if rows is not None:
@@ -99,7 +103,10 @@ def vmem_estimate(p: Params, s: int, nj: int, rows: int | None = None) -> int:
     # (the round-1 "250^3 s=5 overruns by 1.7MB" finding, now modeled)
     Ibp = -(-Ib // 128) * 128
     Wp = -(-W // 128) * 128
-    win_rows = 3 * (TKT + 2 * s) + 3 * (TKT + 2 * s - 1)
+    ext = 1 if lossy else 0
+    win_rows = 3 * (TKT + 2 * s + ext) + 3 * (TKT + 2 * s - 1 + ext)
+    if lossy:
+        win_rows += 6 * (TKT + 2 * s + 1)  # ca/cb windows, E geometry
     windows = win_rows * tjw * Ibp * item
     # window slimming (build_temporal_call): computation mode carries no
     # corr windows, and full-plane single-chip layouts slim the two drive
@@ -120,6 +127,9 @@ def vmem_estimate(p: Params, s: int, nj: int, rows: int | None = None) -> int:
         corr = 2 * (TKT + 2 * s - 1) * tjw * Wp * item
         drive = 0
     out = 6 * TKT * tj * Ibp * item
+    if sar:
+        out += TKT * tj * Ibp * item          # sigma tile
+        out += 2 * TKT * tj * Ibp * 4         # fp32 acc in + out tiles
     return 2 * (windows + corr + drive + out) + win_rows * tjw * Ibp * 4
 
 
@@ -129,7 +139,7 @@ PLAN_MARGIN = 4 * 1024 * 1024  # model slack: 250^3 s=5 estimates 123.7 MB
 # of faulting at run time.
 
 
-def plan_nj(p: Params, s: int) -> int | None:
+def plan_nj(p: Params, s: int, lossy: bool = False, sar: bool = False) -> int | None:
     """Smallest j-tiling for which the s-step kernel fits VMEM (None if none).
 
     Read amplification grows as (tj + 16)/tj, so tilings below 32-row tiles
@@ -145,7 +155,7 @@ def plan_nj(p: Params, s: int) -> int | None:
         tj, _ = jt_extents(p, nj)
         if nj > 1 and tj < 32:
             return None
-        if vmem_estimate(p, s, nj) <= VMEM_BUDGET - margin:
+        if vmem_estimate(p, s, nj, lossy=lossy, sar=sar) <= VMEM_BUDGET - margin:
             return nj
         nj = nj + 1 if nj == 1 else nj * 2
 
@@ -160,8 +170,12 @@ def state_bytes(p: Params) -> int:
     return S * J1 * (6 * Ib + 2 * corr_width(Ib)) * item
 
 
-def supported(p: Params, coefs: UpdateCoefs, s: int = 4) -> bool:
-    """Vacuum, >=2 k-tiles, a VMEM-feasible j-tiling, and HBM headroom.
+def supported(p: Params, coefs: UpdateCoefs, s: int = 4, n_shards: int = 1,
+              sar: bool = False) -> bool:
+    """Temporal-blocking feasibility: >=2 k-tiles, a VMEM-feasible tiling,
+    and HBM headroom.  Vacuum in both modes; lossy media (per-cell ca/cb,
+    homogeneous mu) in computation mode — with optional in-kernel SAR
+    (``sar``) — via the lossy kernel family (r3).
 
     bf16 is supported (fp32 in-kernel compute): the round-1 Mosaic runtime
     fault at 256^3 windows no longer reproduces on current libtpu and the
@@ -171,13 +185,32 @@ def supported(p: Params, coefs: UpdateCoefs, s: int = 4) -> bool:
     alias-safety calculus), so ~2.2x the state must fit; a 1024^3 bf16
     state (12.8 GB) is single-chip feasible only on the in-place two-pass
     path, and ``resolve_backend`` falls back there with a notice.
+    ``n_shards``: device count a sharded temporal path will spread the state
+    over — each shard holds only ~state/n, so the gate scales down (a
+    1024^3 bf16 state over 8 chips is 1.6 GB/shard and perfectly feasible).
     """
+    lossy = not isinstance(coefs.ca_x, (int, float))
+    if coefs.heterogeneous_mu:
+        return False
+    if lossy:
+        if p.mode != Mode.COMPUTATION or n_shards > 1:
+            return False  # lossy temporal is single-chip for now
+    else:
+        if coefs.ca_x != 1.0:
+            return False
+        if sar:
+            return False  # vacuum has no dissipation; nothing to accumulate
+    # HBM: ping-pong needs ~2.2x the field state; lossy adds the embedded
+    # ca/cb + sigma slabs (7/6 of a field set) and SAR an fp32 accumulator
+    need = 2.2 * state_bytes(p)
+    if lossy:
+        need += state_bytes(p) * 7 // 6
+        if sar:
+            need += state_bytes(p) * 4 // (6 * jnp.dtype(p.dtype).itemsize)
     return (
-        isinstance(coefs.ca_x, (int, float))
-        and coefs.ca_x == 1.0
-        and (dims(p)[0] - D) // TKT >= 2
-        and plan_nj(p, s) is not None
-        and 2.2 * state_bytes(p) < HBM_BUDGET
+        (dims(p)[0] - D) // TKT >= 2
+        and plan_nj(p, s, lossy=lossy, sar=sar) is not None
+        and need / max(1, n_shards) < HBM_BUDGET
     )
 
 
@@ -554,6 +587,9 @@ def make_temporal_pair_step(p: Params, coefs: UpdateCoefs, interpret: bool | Non
     with nj > 1 the state must be converted with :func:`jextend` before the
     scan and :func:`jrestore` after.  The chosen tiling is exposed as
     ``group_step.nj``."""
+    if not isinstance(coefs.ca_x, (int, float)):
+        # lossy media route to the coefficient-window kernel family
+        return make_temporal_lossy_pair_step(p, coefs, interpret, s, nj)
     if not supported(p, coefs, s):
         raise NotImplementedError("temporal blocking unsupported for this config")
     assert 2 <= s <= TKT, s
@@ -575,8 +611,14 @@ def make_temporal_pair_step(p: Params, coefs: UpdateCoefs, interpret: bool | Non
     call, nd = build_temporal_call(p, coefs, S, nk, s, interpret, nj=nj)
 
     K, J = p.maxk, p.maxj
-    zoff = jnp.zeros((1, 1), jnp.int32)
-    zero_drv = jnp.zeros((nd, Jt, Ib), dtype)
+    # NOTE: zoff/zero_drv are HOST numpy constants, never closed-over
+    # jax.Arrays: device-array closures embed as HLO constants whose
+    # lowering does a device->host fetch — measured to deadlock
+    # intermittently through the remote axon tunnel (r3).  numpy closures
+    # embed directly (and keep the exact same HLO as r2, preserving the
+    # bit-exact s=2 interpret parity the tests pin).
+    zoff = np.zeros((1, 1), np.int32)
+    zero_drv = np.zeros((nd, Jt, Ib), dtype)
 
     def drive_patch(amp):
         amp_j = jnp.asarray(amp)
@@ -600,16 +642,16 @@ def make_temporal_pair_step(p: Params, coefs: UpdateCoefs, interpret: bool | Non
         ts_g, amps_g = xs_group  # each of length s
         if inject:
             st = inject_state(st, drive_patch(amps_g[0]))
-            de2 = zero_drv
-            dh2 = zero_drv
+            de2 = jnp.asarray(zero_drv)
+            dh2 = jnp.asarray(zero_drv)
             sl = (slice(0, nd), slice(dj + plan.j0, dj + plan.j1), slice(plan.i0, plan.i1))
             pvs = jnp.stack([drive_patch(amps_g[m]) for m in range(1, s)])  # (s-1, nj, ni)
             de2 = de2.at[sl].set(pvs.astype(dtype))
             dh2 = dh2.at[sl].set((-plan.inv_z_te * pvs).astype(dtype))
         else:
-            de2 = dh2 = zero_drv
+            de2 = dh2 = jnp.asarray(zero_drv)
         ex, ey, ez, hx, hy, hz = call(
-            zoff, st.ex, st.ey, st.ez, st.hx, st.hy, st.hz,
+            jnp.asarray(zoff), st.ex, st.ey, st.ez, st.hx, st.hy, st.hz,
             st.corr_hy, st.corr_hz, de2, dh2,
         )
         # Hx strip: s steps' worth (frozen Ey/Ez strips -> same curl each step)
@@ -626,3 +668,459 @@ def make_temporal_pair_step(p: Params, coefs: UpdateCoefs, interpret: bool | Non
 
     group_step.nj = nj
     return group_step
+
+
+# ---------------------------------------------------------------------------
+# Lossy-media temporal blocking (+ in-kernel SAR) — VERDICT r2 next #1.
+#
+# The heating workload (dielectric load, BASELINE configs #2/#3) previously
+# ran the two-pass path at ~6 Gcells/s (3.4 with --sar) while empty-cavity
+# temporal did 22.7.  This kernel family extends temporal blocking to the
+# lossy E update E' = ca*E + cb*curl(H) by streaming the six ca/cb
+# coefficient windows (the same embedded arrays the two-pass lossy kernel
+# blocks, ops/pallas_fused.py), and accumulates sigma*|E_cell|^2*dt
+# *in-kernel* across the s intermediate steps into an aliased fp32
+# accumulator — eliminating the separate per-step jnp SAR pass
+# (step.py power path).  Reference analogue: the vacuum scalar factors at
+# main.c:441,479 are what the coefficient windows generalize.
+#
+# Geometry: one row taller than the vacuum kernel.  The cell-centered SAR
+# means need E at k+1 for the top output cell row, so E windows carry
+# tk+2s+1 rows and H windows tk+2s: entering pair m, H spans n_h =
+# tk+2(s-m+1) rows [g, g+n_h-1] and E spans [g, g+n_h]; the H update
+# covers H's full span, the E update covers [g+1, g+n_h-1], and H trims a
+# row at both ends for the next pair.  After pair m the valid E span is
+# [L-s+m, L+tk+s-m] — so rows [L, L+tk] (everything the cell means for
+# output rows [L, L+tk) touch) are valid at every m, and after pair s the
+# bottom tk E rows and H rows [L, L+tk-1] are the outputs.
+#
+# SAR exactness: the means/squares/accumulation reproduce
+# diagnostics.power_deposition_stripped term-for-term in fp32 (same
+# association order), evaluated after each pair's E update and before the
+# next step's source injection — exactly where the two-pass runner samples
+# power.  The i=maxi boundary terms use the Ey/Ez strips, which are
+# identically zero in computation mode (PEC-frozen, interior source), the
+# only mode this kernel serves.
+# ---------------------------------------------------------------------------
+
+
+def _curl_e_raw(gk, jj, lane, K, J, hx, hx_m1, hy, hy_m1, hz):
+    """Masks and raw curls for the E update (no vacuum factor applied)."""
+    hz_my = jnp.roll(hz, 1, axis=1)
+    hz_mx = jnp.roll(hz, 1, axis=2)
+    hy_mx = jnp.roll(hy, 1, axis=2)
+    hx_my = jnp.roll(hx, 1, axis=1)
+    m_ex = (gk >= 1) & (gk < K) & (jj >= 1) & (jj < J)
+    m_ey = (gk >= 1) & (gk < K) & (jj < J) & (lane >= 1)
+    m_ez = (gk < K) & (jj >= 1) & (jj < J) & (lane >= 1)
+    curl_x = (hz - hz_my) - (hy - hy_m1)
+    curl_y = (hx - hx_m1) - (hz - hz_mx)
+    curl_z = (hy - hy_mx) - (hx - hx_my)
+    return m_ex, m_ey, m_ez, curl_x, curl_y, curl_z
+
+
+def _kernel_lossy(p: Params, f_h, patch, Ib, tk, s, jt, sar, dt_step, dwin,
+                  *refs):
+    """s lossy leapfrog steps per sweep (+ optional SAR accumulation).
+
+    ``refs``: koff, six field windows, six coefficient windows
+    (ca_x, ca_y, ca_z, cb_x, cb_y, cb_z), [de2, dh2 when a source patch
+    exists], [sigma, acc_in when ``sar``], then six field outputs
+    [+ acc_out when ``sar``]."""
+    koff_ref = refs[0]
+    ex_ref, ey_ref, ez_ref, hx_ref, hy_ref, hz_ref = refs[1:7]
+    cax_r, cay_r, caz_r, cbx_r, cby_r, cbz_r = refs[7:13]
+    idx = 13
+    if patch is not None:
+        de2_ref, dh2_ref = refs[idx : idx + 2]
+        idx += 2
+    else:
+        de2_ref = dh2_ref = None
+    if sar:
+        sg_ref, acc_ref = refs[idx : idx + 2]
+        idx += 2
+    outs = refs[idx : idx + 6]
+    oex, oey, oez, ohx, ohy, ohz = outs
+    if sar:
+        oacc = refs[idx + 6]
+
+    g_id = pl.program_id(0)
+    K, J = p.maxk, p.maxj
+    L = g_id * tk + koff_ref[0, 0]
+    if jt is None:
+        j_off = 0
+    else:
+        j_off = pl.program_id(1) * jt - HJ
+
+    st = ex_ref.dtype
+    cd = jnp.float32 if st == jnp.bfloat16 else st
+    ex = ex_ref[:].astype(cd)   # rows L-s .. L+tk+s   (tk+2s+1)
+    ey = ey_ref[:].astype(cd)
+    ez = ez_ref[:].astype(cd)
+    hx = hx_ref[:].astype(cd)   # rows L-s .. L+tk+s-1 (tk+2s)
+    hy = hy_ref[:].astype(cd)
+    hz = hz_ref[:].astype(cd)
+    caxw = cax_r[:].astype(cd)  # same rows as E
+    cayw = cay_r[:].astype(cd)
+    cazw = caz_r[:].astype(cd)
+    cbxw = cbx_r[:].astype(cd)
+    cbyw = cby_r[:].astype(cd)
+    cbzw = cbz_r[:].astype(cd)
+
+    if patch is not None:
+        de2 = de2_ref[:].astype(cd)
+        dh2 = dh2_ref[:].astype(cd)
+        if dwin is not None:
+            row0, rows_w = dwin
+            full = ex.shape[1]
+            padj = ((0, 0), (row0, full - row0 - rows_w), (0, 0))
+            de2 = jnp.pad(de2, padj)
+            dh2 = jnp.pad(dh2, padj)
+        j0, j1, i0, i1 = patch
+        jrow = jax.lax.broadcasted_iota(jnp.int32, ex.shape[1:], 0) + j_off
+        mrow = (
+            (jrow >= j0)
+            & (jrow < j1)
+            & (jax.lax.broadcasted_iota(jnp.int32, ex.shape[1:], 1) >= i0)
+            & (jax.lax.broadcasted_iota(jnp.int32, ex.shape[1:], 1) < i1)
+        )
+    if sar:
+        # sigma/acc windows are j-tile INTERIOR only (halo rows belong to
+        # the neighboring tiles' aliased accumulator writes)
+        sg = sg_ref[:].astype(jnp.float32)       # (tk, tj, Ib) cell sigma
+        acc = acc_ref[:]                          # (tk, tj, Ib) fp32
+        dt_f = jnp.float32(dt_step)
+        splane = (tk,) + sg.shape[1:]
+        j_int = 0 if jt is None else pl.program_id(1) * jt
+        gks = jax.lax.broadcasted_iota(jnp.int32, splane, 0) + L
+        jjs = jax.lax.broadcasted_iota(jnp.int32, splane, 1) + j_int
+        m_sar = (gks < K) & (jjs < J)
+        lane_s = jax.lax.broadcasted_iota(jnp.int32, (tk,) + ex.shape[1:], 2)
+
+    zr = jnp.zeros((), cd)
+    g_lo = L - s
+
+    for m in range(1, s + 1):
+        n_h = hx.shape[0]
+        # ---- H update on H's full span (homogeneous mu) ----
+        gkh, jjh, lnh = _iotas((n_h,) + ex.shape[1:], g_lo, j_off)
+        m_hx, m_hy, m_hz, ix, iy, iz = _curl_h(
+            n_h, f_h, Ib, Ib, lnh, gkh, jjh, K, J, patch,
+            ex[:n_h], ex[1 : n_h + 1], ey[:n_h], ey[1 : n_h + 1], ez[:n_h],
+            None, None,
+        )
+        hx = jnp.where(m_hx, hx + ix, hx)
+        hy = jnp.where(m_hy, hy + iy, hy)
+        hz = jnp.where(m_hz, hz + iz, hz)
+
+        # ---- lossy E update on rows [g_lo+1 .. g_lo+n_h-1] ----
+        n_e = n_h - 1
+        gke, jje, lne = _iotas((n_e,) + ex.shape[1:], g_lo + 1, j_off)
+        m_ex, m_ey, m_ez, cx, cy, cz = _curl_e_raw(
+            gke, jje, lne, K, J,
+            hx[1:n_h], hx[: n_h - 1], hy[1:n_h], hy[: n_h - 1], hz[1:n_h],
+        )
+        e0x = ex[1 : n_e + 1]
+        e0y = ey[1 : n_e + 1]
+        e0z = ez[1 : n_e + 1]
+        co = slice(m, m + n_e)  # coefficient rows for this pair's E rows
+        ex = jnp.where(m_ex, caxw[co] * e0x + cbxw[co] * cx, e0x)
+        ey = jnp.where(m_ey, cayw[co] * e0y + cbyw[co] * cy, e0y)
+        ez = jnp.where(m_ez, cazw[co] * e0z + cbzw[co] * cz, e0z)
+
+        # H trim: valid span shrinks one row at each end
+        hx = hx[1 : n_h - 1]
+        hy = hy[1 : n_h - 1]
+        hz = hz[1 : n_h - 1]
+        g_lo = g_lo + 1
+
+        if sar:
+            # sigma*|E_cell|^2*dt for output cell rows [L, L+tk), evaluated
+            # after this pair's E update, before the next injection — the
+            # exact sampling point of the two-pass SAR path.  Term order
+            # mirrors diagnostics.power_deposition_stripped.
+            off = s - m  # row L's offset in the current (updated) E arrays
+            exs = ex[off : off + tk + 1]
+            eys = ey[off : off + tk + 1]
+            ezs = ez[off : off + tk + 1]
+            a = exs[:tk]
+            b = exs[1 : tk + 1]
+            mex = 0.25 * (a + b + jnp.roll(a, -1, axis=1) + jnp.roll(b, -1, axis=1))
+            a = eys[:tk]
+            b = eys[1 : tk + 1]
+            a_i = jnp.where(lane_s == Ib - 1, zr, jnp.roll(a, -1, axis=2))
+            b_i = jnp.where(lane_s == Ib - 1, zr, jnp.roll(b, -1, axis=2))
+            mey = 0.25 * (a + a_i + b + b_i)
+            a = ezs[:tk]
+            a_j = jnp.roll(a, -1, axis=1)
+            a_i = jnp.where(lane_s == Ib - 1, zr, jnp.roll(a, -1, axis=2))
+            a_ji = jnp.where(lane_s == Ib - 1, zr, jnp.roll(a_j, -1, axis=2))
+            mez = 0.25 * (a + a_j + a_i + a_ji)
+            if isinstance(jt, int):  # keep the tile interior only
+                ji_s = slice(HJ, HJ + jt)
+                mex, mey, mez = mex[:, ji_s], mey[:, ji_s], mez[:, ji_s]
+            inc = sg * (
+                (mex * mex).astype(jnp.float32)
+                + (mey * mey).astype(jnp.float32)
+                + (mez * mez).astype(jnp.float32)
+            )
+            acc = acc + jnp.where(m_sar, inc * dt_f, jnp.float32(0.0))
+
+        if m < s and patch is not None:
+            # source application for t + m*dt on the k==0 rows
+            m0e = (gke == 0) & mrow[None, :, :]
+            ez = jnp.where(m0e, de2[m - 1][None, :, :], ez)
+            ex = jnp.where(m0e, zr, ex)
+            gkh2, _, _ = _iotas((hx.shape[0],) + ex.shape[1:], g_lo, j_off)
+            m0h = (gkh2 == 0) & mrow[None, :, :]
+            hx = jnp.where(m0h, dh2[m - 1][None, :, :], hx)
+            hz = jnp.where(m0h, zr, hz)
+
+    # after s pairs: E spans [L, L+tk] (tk+1 rows), H spans [L, L+tk-1]
+    ex, ey, ez = ex[:tk], ey[:tk], ez[:tk]
+    if isinstance(jt, int):
+        ji = slice(HJ, HJ + jt)
+        ex, ey, ez = ex[:, ji], ey[:, ji], ez[:, ji]
+        hx, hy, hz = hx[:, ji], hy[:, ji], hz[:, ji]
+    oex[:] = ex.astype(st)
+    oey[:] = ey.astype(st)
+    oez[:] = ez.astype(st)
+    ohx[:] = hx.astype(st)
+    ohy[:] = hy.astype(st)
+    ohz[:] = hz.astype(st)
+    if sar:
+        oacc[:] = acc  # already tile-interior width
+
+
+def build_temporal_lossy_call(p: Params, coefs: UpdateCoefs, S: int, nk: int,
+                              s: int, interpret: bool, nj: int = 1,
+                              sar: bool = False):
+    """The s-step lossy pallas_call (single-chip layouts).
+
+    Signature: call(koff, ex, ey, ez, hx, hy, hz, cax, cay, caz, cbx, cby,
+    cbz, de2, dh2, sigma, acc) -> (ex, ey, ez, hx, hy, hz[, acc]).
+    ``sigma``/``acc`` are required only when ``sar`` (pass None otherwise);
+    acc is fp32 in the same storage layout and aliases its output."""
+    _, J1, Ib = dims(p)
+    tk = TKT
+    ofs = D // tk
+    dtype = jnp.dtype(p.dtype)
+    compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
+    f_h = compute_dtype.type(coefs.h_factor)
+    assert p.mode == Mode.COMPUTATION, "lossy temporal serves computation mode"
+    plan = make_source_plan(p)
+    patch = (plan.j0, plan.j1, plan.i0, plan.i1)
+    dwin = None
+    if nj == 1:
+        row0 = plan.j0 // 8 * 8
+        dwin = (row0, min(-(-(plan.j1 - row0) // 8) * 8, J1 - row0))
+
+    tj, Jt = jt_extents(p, nj)
+    nd = max(s - 1, 1)
+    bulk_shape = jax.ShapeDtypeStruct((S, Jt, Ib), dtype)
+    acc_shape = jax.ShapeDtypeStruct((S, Jt, Ib), jnp.float32)
+
+    if nj == 1:
+        jt_arg = None
+        grid = (nk,)
+        e_win = pl.BlockSpec(
+            (pl.Element(tk + 2 * s + 1, (0, s + 1)), pl.Element(J1), pl.Element(Ib)),
+            lambda g: ((g + ofs) * tk - s, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        h_win = pl.BlockSpec(
+            (pl.Element(tk + 2 * s, (0, s)), pl.Element(J1), pl.Element(Ib)),
+            lambda g: ((g + ofs) * tk - s, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        drv_rows = dwin[1] if dwin is not None else J1
+        drv_spec = pl.BlockSpec((nd, drv_rows, Ib), lambda g: (0, 0, 0),
+                                memory_space=pltpu.VMEM)
+        smem = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
+        out_spec = pl.BlockSpec((tk, J1, Ib), lambda g: (g + ofs, 0, 0),
+                                memory_space=pltpu.VMEM)
+        cell_spec = out_spec  # sigma / acc tiles
+    else:
+        assert s <= HJ, (s, HJ)
+        jt_arg = tj
+        grid = (nk, nj)
+        tjw = tj + 2 * HJ
+
+        def jstart(jb):
+            return pl.multiple_of(jb * tj + DJ - HJ, 8)
+
+        def jwin(rows, pad, width):
+            return pl.BlockSpec(
+                (pl.Element(rows, (0, pad)), pl.Element(tjw), pl.Element(width)),
+                lambda g, jb: ((g + ofs) * tk - s, jstart(jb), 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        e_win = jwin(tk + 2 * s + 1, s + 1, Ib)
+        h_win = jwin(tk + 2 * s, s, Ib)
+        drv_spec = pl.BlockSpec(
+            (pl.Element(nd), pl.Element(tjw), pl.Element(Ib)),
+            lambda g, jb: (0, jstart(jb), 0),
+            memory_space=pltpu.VMEM,
+        )
+        smem = pl.BlockSpec((1, 1), lambda g, jb: (0, 0), memory_space=pltpu.SMEM)
+        out_spec = pl.BlockSpec(
+            (pl.Element(tk), pl.Element(tj), pl.Element(Ib)),
+            lambda g, jb: (pl.multiple_of((g + ofs) * tk, 8),
+                           pl.multiple_of(jb * tj + DJ, 8), 0),
+            memory_space=pltpu.VMEM,
+        )
+        cell_spec = out_spec
+
+    in_specs = (
+        [smem] + [e_win] * 3 + [h_win] * 3
+        + [e_win] * 6            # ca/cb coefficient windows (E geometry)
+        + [drv_spec] * 2
+        + ([cell_spec] * 2 if sar else [])
+    )
+    out_specs = [out_spec] * 6 + ([cell_spec] if sar else [])
+    out_shape = (bulk_shape,) * 6 + ((acc_shape,) if sar else ())
+    # acc aliases its output (the only operand whose windows are disjoint
+    # per grid step in BOTH passes of the ping-pong; fields must ping-pong)
+    aliases = {} if (interpret or not sar) else {16: 6}
+    inner = pl.pallas_call(
+        functools.partial(_kernel_lossy, p, f_h, patch, Ib, tk, s, jt_arg,
+                          sar, p.time_step, dwin),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET),
+        interpret=interpret,
+    )
+
+    def call(koff, ex, ey, ez, hx, hy, hz, cax, cay, caz, cbx, cby, cbz,
+             de2, dh2, sigma=None, acc=None):
+        if dwin is not None:
+            row0, rows_w = dwin
+            de2 = de2[:, row0 : row0 + rows_w]
+            dh2 = dh2[:, row0 : row0 + rows_w]
+        args = [koff, ex, ey, ez, hx, hy, hz,
+                cax, cay, caz, cbx, cby, cbz, de2, dh2]
+        if sar:
+            args += [sigma, acc]
+        return inner(*args)
+
+    return call, nd
+
+
+def make_temporal_lossy_pair_step(p: Params, coefs: UpdateCoefs,
+                                  interpret: bool | None = None, s: int = 2,
+                                  nj: int | None = None,
+                                  accumulate_power: bool = False):
+    """Build the lossy s-step group advance (heating workload fast path).
+
+    Returns ``group_step``: ``(state, xs_group) -> state`` without SAR, or
+    ``((state, acc), xs_group) -> (state, acc)`` with ``accumulate_power``
+    (acc: fp32 in the same storage layout; convert with
+    :func:`embed_power_acc` / :func:`crop_power_acc`).  The state must be
+    built with coefficients embedded (``to_stripped(p, s, coefs=coefs)``,
+    which also embeds ``sigma_c`` for SAR).  Chosen j-tiling on
+    ``group_step.nj``."""
+    if not supported(p, coefs, s, sar=accumulate_power):
+        raise NotImplementedError("lossy temporal blocking unsupported here")
+    assert 2 <= s <= TKT, s
+    if nj is None:
+        nj = plan_nj(p, s, lossy=True, sar=accumulate_power)
+    if interpret is None:
+        dd = jax.config.jax_default_device
+        interpret = (dd.platform != "tpu") if dd is not None else (jax.default_backend() != "tpu")
+
+    S, J1, Ib = dims(p)
+    _, Jt = jt_extents(p, nj)
+    dj = DJ if nj > 1 else 0
+    nk = (S - D) // TKT
+    dtype = jnp.dtype(p.dtype)
+    compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
+    f_h = compute_dtype.type(coefs.h_factor)
+    plan = make_source_plan(p)
+    call, nd = build_temporal_lossy_call(
+        p, coefs, S, nk, s, interpret, nj=nj, sar=accumulate_power
+    )
+
+    K, J = p.maxk, p.maxj
+    zoff = np.zeros((1, 1), np.int32)
+    zero_drv = np.zeros((nd, Jt, Ib), dtype)
+
+    def drive_patch(amp):
+        amp_j = jnp.asarray(amp)
+        prof_row = jnp.asarray(plan.profile, dtype=jnp.result_type(amp_j))
+        row = amp_j * prof_row
+        npj, ni = plan.j1 - plan.j0, len(plan.profile)
+        return jnp.broadcast_to(row[None, :], (npj, ni))
+
+    def inject_state(st: StrippedState, pv) -> StrippedState:
+        zero = jnp.zeros_like(pv).astype(dtype)
+        sl = (D, slice(dj + plan.j0, dj + plan.j1), slice(plan.i0, plan.i1))
+        return dataclasses.replace(
+            st,
+            ez=st.ez.at[sl].set(pv.astype(dtype)),
+            ex=st.ex.at[sl].set(zero),
+            hz=st.hz.at[sl].set(zero),
+            hx=st.hx.at[sl].set((-plan.inv_z_te * pv).astype(dtype)),
+        )
+
+    def advance(st: StrippedState, acc, xs_group):
+        ts_g, amps_g = xs_group
+        st = inject_state(st, drive_patch(amps_g[0]))
+        sl = (slice(0, nd), slice(dj + plan.j0, dj + plan.j1), slice(plan.i0, plan.i1))
+        pvs = jnp.stack([drive_patch(amps_g[m]) for m in range(1, s)])
+        de2 = jnp.asarray(zero_drv).at[sl].set(pvs.astype(dtype))
+        dh2 = jnp.asarray(zero_drv).at[sl].set((-plan.inv_z_te * pvs).astype(dtype))
+        outs = call(
+            jnp.asarray(zoff), st.ex, st.ey, st.ez, st.hx, st.hy, st.hz,
+            st.ca_x, st.ca_y, st.ca_z, st.cb_x, st.cb_y, st.cb_z,
+            de2, dh2,
+            st.sigma_c if accumulate_power else None,
+            acc,
+        )
+        if accumulate_power:
+            ex, ey, ez, hx, hy, hz, acc = outs
+        else:
+            ex, ey, ez, hx, hy, hz = outs
+        # Hx strip: s steps' worth (frozen Ey/Ez strips -> same curl each step)
+        ey_s2 = st.ey_s[:, :, 0]
+        ez_s2 = st.ez_s[:, :, 0]
+        sl2 = (slice(D, D + K), slice(dj, dj + J))
+        curl = (ey_s2[D + 1 : D + K + 1, dj : dj + J] - ey_s2[sl2]) - (
+            ez_s2[D : D + K, dj + 1 : dj + J + 1] - ez_s2[sl2]
+        )
+        hx_s = st.hx_s
+        for _ in range(s):
+            hx_s = hx_s.at[sl2[0], sl2[1], 0].add((f_h * curl).astype(st.hx_s.dtype))
+        st = dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
+        return st, acc
+
+    if accumulate_power:
+        def group_step(carry, xs_group):
+            st, acc = carry
+            return advance(st, acc, xs_group)
+    else:
+        def group_step(st, xs_group):
+            return advance(st, None, xs_group)[0]
+
+    group_step.nj = nj
+    return group_step
+
+
+def embed_power_acc(p: Params, acc, nj: int):
+    """(maxk, maxj, maxi) fp32 accumulator -> storage layout (S, Jt, Ib)."""
+    S, J1, Ib = dims(p)
+    _, Jt = jt_extents(p, nj)
+    dj = DJ if nj > 1 else 0
+    out = jnp.zeros((S, Jt, Ib), jnp.float32)
+    return out.at[D : D + p.maxk, dj : dj + p.maxj].set(
+        jnp.asarray(acc, jnp.float32)[:, :, :Ib]
+    )
+
+
+def crop_power_acc(p: Params, acc_st, nj: int):
+    """Inverse of :func:`embed_power_acc`."""
+    dj = DJ if nj > 1 else 0
+    return acc_st[D : D + p.maxk, dj : dj + p.maxj, : p.maxi]

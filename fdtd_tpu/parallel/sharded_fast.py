@@ -764,7 +764,7 @@ def make_sharded_temporal_step(p: Params, mesh: Mesh, s: int = 4,
     coefs = update_coefs(p, None)
     # the sharded composition uses full-plane windows (nj=1): the per-shard
     # layout shrinks k, not the (j, i) window planes that drive VMEM
-    if not (supported(p, coefs, s) and plan_nj(p, s) == 1):
+    if not (supported(p, coefs, s, n_shards=mesh.devices.size) and plan_nj(p, s) == 1):
         raise NotImplementedError("temporal blocking unsupported for this config")
     assert 2 <= s <= D
     if interpret is None:
@@ -818,7 +818,10 @@ def make_sharded_temporal_step(p: Params, mesh: Mesh, s: int = 4,
     )
 
     K, J = p.maxk, p.maxj
-    zero_drv = jnp.zeros((nd, J1p, Ib), dtype)
+    import numpy as _np
+
+    # host numpy, never a closed-over jax.Array (axon lowering deadlock, r3)
+    zero_drv = _np.zeros((nd, J1p, Ib), dtype)
 
     def drive_patch(amp):
         amp_j = jnp.asarray(amp)
@@ -829,6 +832,7 @@ def make_sharded_temporal_step(p: Params, mesh: Mesh, s: int = 4,
 
     def group_step(st: ShardedFastState, xs_group) -> ShardedFastState:
         ts_g, amps_g = xs_group
+        zero_drv_t = jnp.asarray(zero_drv)
         if inject:
             pv1 = drive_patch(amps_g[0])
             zero = jnp.zeros_like(pv1).astype(dtype)
@@ -842,10 +846,10 @@ def make_sharded_temporal_step(p: Params, mesh: Mesh, s: int = 4,
             )
             pvs = jnp.stack([drive_patch(amps_g[m]) for m in range(1, s)])
             sl2 = (slice(0, nd), slice(plan.j0, plan.j1), slice(plan.i0, plan.i1))
-            de2 = zero_drv.at[sl2].set(pvs.astype(dtype))
-            dh2 = zero_drv.at[sl2].set((-plan.inv_z_te * pvs).astype(dtype))
+            de2 = zero_drv_t.at[sl2].set(pvs.astype(dtype))
+            dh2 = zero_drv_t.at[sl2].set((-plan.inv_z_te * pvs).astype(dtype))
         else:
-            de2 = dh2 = zero_drv
+            de2 = dh2 = zero_drv_t
         ex, ey, ez, hx, hy, hz = smap(
             st.ex, st.ey, st.ez, st.hx, st.hy, st.hz, st.corr_hy, st.corr_hz, de2, dh2
         )
@@ -999,8 +1003,11 @@ def make_sharded_temporal_2d_step(p: Params, mesh: Mesh, s: int = 4,
     )
 
     K, J = p.maxk, p.maxj
-    zero_drv = jnp.zeros((nd, ny * Jt_sh, Ib), dtype)
-    zero_drv_canon = jnp.zeros((nd, J1p, Ib), dtype)
+    import numpy as _np
+
+    # host numpy, never a closed-over jax.Array (axon lowering deadlock, r3)
+    zero_drv = _np.zeros((nd, ny * Jt_sh, Ib), dtype)
+    zero_drv_canon = _np.zeros((nd, J1p, Ib), dtype)
 
     def drive_patch(amp):
         amp_j = jnp.asarray(amp)
@@ -1014,7 +1021,7 @@ def make_sharded_temporal_2d_step(p: Params, mesh: Mesh, s: int = 4,
         halo rows duplicated: the kernel applies the k=0 drive inside the
         sweep on halo copies of patch rows too, and a zero there would
         corrupt the halo band (these arrays are never re-exchanged)."""
-        c = zero_drv_canon.at[
+        c = jnp.asarray(zero_drv_canon).at[
             :, plan.j0 : plan.j1, plan.i0 : plan.i1
         ].set(pvs.astype(dtype))
         return _reshard_j(c, ny, Jlp, Jt_sh, halo=True)
@@ -1036,7 +1043,7 @@ def make_sharded_temporal_2d_step(p: Params, mesh: Mesh, s: int = 4,
             de2 = drive_extended(pvs)
             dh2 = drive_extended(-plan.inv_z_te * pvs)
         else:
-            de2 = dh2 = zero_drv
+            de2 = dh2 = jnp.asarray(zero_drv)
         ex, ey, ez, hx, hy, hz = smap(
             st.ex, st.ey, st.ez, st.hx, st.hy, st.hz, st.corr_hy, st.corr_hz, de2, dh2
         )
@@ -1079,3 +1086,44 @@ def make_sharded_temporal_2d_runner(p: Params, mesh: Mesh, s: int = 4,
         return st
 
     return run
+
+
+def sharded_temporal_supported(p: Params, nz: int, ny: int, s: int) -> bool:
+    """True when the (nz, ny) mesh can run the s-step temporal composition.
+
+    Mirrors the gates of :func:`make_sharded_temporal_step` (1-D: vacuum,
+    full-plane windows, per-shard HBM headroom) and
+    :func:`make_sharded_temporal_2d_step` (2-D: per-shard j-plane windows
+    within the calibrated VMEM model)."""
+    from ..ops.pallas_temporal import (
+        PLAN_MARGIN,
+        TKT,
+        VMEM_BUDGET,
+        plan_nj,
+        supported,
+        vmem_estimate,
+    )
+
+    coefs = update_coefs(p, None)
+    if not isinstance(coefs.ca_x, (int, float)) or coefs.ca_x != 1.0:
+        return False
+    if not 2 <= s <= (D if ny == 1 else DJ2):
+        return False
+    if (dims(p)[0] - D) // TKT < 2:
+        return False
+    if ny == 1:
+        return supported(p, coefs, s, n_shards=nz) and plan_nj(p, s) == 1
+    Jt_sh = _geometry2d(p, nz, ny)[8]
+    return vmem_estimate(p, s, 1, rows=Jt_sh) <= VMEM_BUDGET - PLAN_MARGIN
+
+
+def pick_sharded_temporal_s(p: Params, nz: int, ny: int) -> int | None:
+    """Largest supported steps-per-sweep for this mesh (None: unsupported).
+
+    Follows the measured single-chip sweet spots (step.default_temporal_s):
+    bf16 peaks at s=4, fp32 at the largest full-plane-feasible s <= 6."""
+    prefer = (4, 3, 2) if jnp.dtype(p.dtype) == jnp.bfloat16 else (6, 5, 4, 3, 2)
+    for s in prefer:
+        if sharded_temporal_supported(p, nz, ny, s):
+            return s
+    return None

@@ -17,7 +17,6 @@ from __future__ import annotations
 import dataclasses
 import json
 import math
-import os
 import time
 from typing import Callable
 
@@ -25,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from . import diagnostics
-from .io.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from .io.checkpoint import CheckpointWriter, latest_checkpoint, load_checkpoint
 from .io.snapshots import SnapshotWriter, aggregate_all, validation_extras
 from .params import Mode, Params, time_values
 from .state import FieldState, Materials, init_validation, zeros
@@ -39,10 +38,16 @@ class RunResult:
     wall_seconds: float
     mcells_per_s: float
     power_j: jax.Array | None = None
+    warnings: list[str] = dataclasses.field(default_factory=list)
 
 
 def initial_state(p: Params) -> FieldState:
     return init_validation(p) if p.mode == Mode.VALIDATION else zeros(p)
+
+
+def _on_tpu() -> bool:
+    dd = jax.config.jax_default_device
+    return (dd.platform == "tpu") if dd is not None else (jax.default_backend() == "tpu")
 
 
 def resolve_backend(
@@ -52,18 +57,28 @@ def resolve_backend(
     accumulate_power: bool,
     log: Callable[[str], None] = print,
 ) -> str:
-    """Fall back from unsupported backend/feature combinations with a notice.
+    """Resolve "auto" and fall back from unsupported combinations with a notice.
 
-    pallas_temporal is vacuum-only (fp32 or bf16) and cannot accumulate
-    per-step power (it advances several steps per HBM sweep); such runs use
-    pallas_fused, which supports lossy media and SAR.  Heterogeneous mu_r
-    needs the per-component H factors only the xla backend applies.
+    "auto" picks the fastest supported path for the platform: on TPU,
+    pallas_temporal when the config supports it, else pallas_fused; off-TPU
+    (tests/debug), the jnp xla path (the Pallas kernels only interpret
+    there).  pallas_temporal is vacuum-only (fp32 or bf16) and cannot
+    accumulate per-step power (it advances several steps per HBM sweep);
+    such runs use pallas_fused, which supports lossy media and SAR.
+    Heterogeneous mu_r needs the per-component H factors only the xla
+    backend applies.
     """
-    if (
-        backend != "xla"
-        and materials is not None
-        and getattr(materials, "mu_r", None) is not None
-    ):
+    from .ops.pallas_temporal import supported
+    from .state import update_coefs as _uc
+
+    het_mu = materials is not None and getattr(materials, "mu_r", None) is not None
+    if backend == "auto":
+        if not _on_tpu() or het_mu:
+            return "xla"
+        if not supported(p, _uc(p, materials), sar=accumulate_power):
+            return "pallas_fused"
+        return "pallas_temporal"
+    if backend != "xla" and het_mu:
         log(
             "notice: heterogeneous mu_r is only supported on the xla "
             "backend; falling back from "
@@ -71,20 +86,11 @@ def resolve_backend(
         )
         return "xla"
     if backend == "pallas_temporal":
-        from .ops.pallas_temporal import supported
-        from .state import update_coefs as _uc
-
-        if accumulate_power:
-            log(
-                "notice: pallas_temporal cannot accumulate per-step power "
-                "(--sar); falling back to pallas_fused"
-            )
-            return "pallas_fused"
-        if not supported(p, _uc(p, materials)):
+        if not supported(p, _uc(p, materials), sar=accumulate_power):
             log(
                 "notice: temporal blocking unsupported for this config "
-                "(needs vacuum and a VMEM-feasible tiling); falling back to "
-                "pallas_fused"
+                "(needs a VMEM-feasible tiling; lossy media/SAR need "
+                "computation mode); falling back to pallas_fused"
             )
             return "pallas_fused"
     return backend
@@ -111,11 +117,23 @@ def parse_shard_spec(spec: str) -> tuple[int, int]:
 
 
 def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
-                          accumulate_power: bool = False):
-    """(prep, restore, run_chunk) running chunks on a (nz, ny) device mesh
-    through the Pallas-in-shard_map fast paths.
+                          accumulate_power: bool = False,
+                          backend: str = "auto",
+                          log: Callable[[str], None] = print):
+    """(prep, restore, run_chunk) running chunks on a (nz, ny) device mesh.
 
-    With ``accumulate_power`` (1-D z meshes): the SAR accumulator is kept
+    ``backend`` selects the per-shard kernels — the multi-chip analogue of
+    the reference MPI branch running its best sequential kernel per rank
+    (description.pdf section 2.2):
+
+    - "auto": pallas_temporal when the config supports it (vacuum, no SAR,
+      feasible windows), else the two-pass Pallas fast path;
+    - "pallas_temporal"/"pallas_fused": as named (temporal falls back to
+      the fast path with a notice when unsupported);
+    - "xla": the pure-jnp shard_map path (ground truth; also the only
+      sharded path for heterogeneous mu_r and for float64).
+
+    With ``accumulate_power`` (Pallas paths): the SAR accumulator is kept
     sharded across chunks' scan, converted to/from the runner's canonical
     (maxk, maxj, maxi) layout at chunk boundaries (checkpoint-compatible
     with single-chip runs)."""
@@ -127,13 +145,97 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
     n = nz * ny
     devs = jax.devices()
     if len(devs) < n:
-        devs = jax.devices("cpu")
+        cpus = jax.devices("cpu")
+        if len(cpus) >= n:
+            # ADVICE r2: never silently swap accelerators for host devices
+            log(
+                f"notice: only {len(devs)} accelerator device(s) present; "
+                f"--shard {shard} runs on {n} virtual CPU devices "
+                "(hermetic test/debug mode — expect a large slowdown)"
+            )
+        devs = cpus
     if len(devs) < n:
         raise ValueError(
             f"--shard {shard} needs {n} devices; {len(devs)} available"
         )
     mesh = make_mesh(n, (nz, ny, 1), devices=devs[:n])
+
+    het_mu = materials is not None and getattr(materials, "mu_r", None) is not None
+    lossy = materials is not None
+    eff = backend
+    if eff == "auto":
+        if het_mu or jnp.dtype(p.dtype) == jnp.float64:
+            eff = "xla"
+        elif (
+            not lossy
+            and not accumulate_power
+            and sf.pick_sharded_temporal_s(p, nz, ny) is not None
+        ):
+            eff = "pallas_temporal"
+        else:
+            eff = "pallas_fused"
+    elif eff == "pallas":
+        log("notice: --shard has no 'pallas' path; using pallas_fused")
+        eff = "pallas_fused"
+    elif eff != "xla" and het_mu:
+        log(
+            "notice: heterogeneous mu_r shards only on the xla path; "
+            f"--backend {eff} ignored"
+        )
+        eff = "xla"
+    if eff == "pallas_temporal" and (lossy or accumulate_power):
+        log(
+            "notice: sharded pallas_temporal is vacuum-only without --sar; "
+            "falling back to pallas_fused"
+        )
+        eff = "pallas_fused"
+
+    if eff == "xla":
+        # pure-jnp shard_map path — ground truth under sharding
+        from .parallel.mesh import pad_state_for_mesh, unpad_state
+        from .parallel.sharded_step import make_sharded_chunk_runner
+
+        if accumulate_power:
+            raise ValueError(
+                "--sar under --shard needs the Pallas fast path "
+                "(--backend auto or pallas_fused)"
+            )
+        run_jnp = make_sharded_chunk_runner(p, mesh, materials)
+        prep = lambda s: pad_state_for_mesh(p, s, mesh)
+        restore = lambda s: unpad_state(p, s)
+
+        def run_chunk(st, chunk, power):
+            return run_jnp(st, jnp.asarray(chunk[1])), power
+
+        return prep, restore, run_chunk
+
     coefs = update_coefs(p, materials) if materials is not None else None
+
+    if eff == "pallas_temporal":
+        import os as _os
+
+        s_env = int(_os.environ.get("FDTD_TEMPORAL_STEPS", "0"))
+        sgrp = s_env or sf.pick_sharded_temporal_s(p, nz, ny)
+        if sgrp is None or not sf.sharded_temporal_supported(p, nz, ny, sgrp):
+            log(
+                "notice: sharded temporal blocking unsupported for this "
+                "config; falling back to pallas_fused"
+            )
+        else:
+            if ny == 1:
+                prep = lambda s: sf.to_sharded_fast(p, s, mesh)
+                restore = lambda st: sf.from_sharded_fast(p, st, mesh)
+                run_sh = sf.make_sharded_temporal_runner(p, mesh, s=sgrp)
+            else:
+                prep = lambda s: sf.to_sharded_fast_2d(p, s, mesh)
+                restore = lambda st: sf.from_sharded_fast_2d(p, st, mesh)
+                run_sh = sf.make_sharded_temporal_2d_runner(p, mesh, s=sgrp)
+
+            def run_chunk(st, chunk, power):
+                return run_sh(st, chunk), power
+
+            return prep, restore, run_chunk
+
     if ny == 1:
         prep = lambda s: sf.to_sharded_fast(p, s, mesh, coefs=coefs)
         restore = lambda st: sf.from_sharded_fast(p, st, mesh)
@@ -181,7 +283,7 @@ def run_simulation(
     p: Params,
     out_dir: str = "r",
     materials: Materials | None = None,
-    backend: str = "xla",
+    backend: str = "auto",
     write_snapshots: bool = True,
     accumulate_power: bool = False,
     checkpoint_every: int = 0,
@@ -194,20 +296,31 @@ def run_simulation(
     p.validate()
     ts = time_values(p)
     xs_t, xs_a = scan_inputs(p, ts)
+    warnings: list[str] = []
+
+    def warn(msg: str) -> None:
+        warnings.append(msg)
+        log(f"WARNING: {msg}")
+
+    if jnp.dtype(p.dtype) == jnp.bfloat16 and (
+        p.mode == Mode.VALIDATION or len(ts) > 2000
+    ):
+        # measured on v5e: bf16 storage reaches e_r ~ 17% after 55k
+        # validation steps (docs/DESIGN.md precision guidance) — fine for
+        # design sweeps and heating totals, wrong for accuracy studies
+        warn(
+            "bfloat16 field storage accumulates leapfrog round-off "
+            "(measured e_r ~ 17% after 55k validation steps); use float32 "
+            "for validation/accuracy runs"
+        )
+
     if shard is not None:
         # multi-device spatial decomposition (the reference MPI branch's
         # CLI story, description.pdf section 2.2); see parse_shard_spec
         if accumulate_power and materials is None:
             raise ValueError("--sar needs lossy materials (e.g. --water-block)")
-        if materials is not None and getattr(materials, "mu_r", None) is not None:
-            raise ValueError(
-                "heterogeneous mu_r is xla-backend-only and cannot shard"
-            )
-        if backend not in ("xla", "pallas_fused"):
-            log(f"notice: --shard uses the sharded fast path; --backend "
-                f"{backend} ignored")
         sh_prep, sh_restore, run_chunk = _sharded_chunk_runner(
-            p, shard, materials, accumulate_power
+            p, shard, materials, accumulate_power, backend=backend, log=log
         )
     else:
         backend = resolve_backend(p, backend, materials, accumulate_power, log)
@@ -232,31 +345,42 @@ def run_simulation(
                     )
             log(f"Resuming from {ck} (after step {it_done})")
 
-    # hot-path layout conversion (identity for the xla backend)
+    # hot-path layout conversion (identity for the xla backend); restore is
+    # jitted: one dispatch per boundary, not an eager-op chain (axon, r3)
     if shard is not None:
-        prep, restore = sh_prep, sh_restore
+        prep, restore = sh_prep, jax.jit(sh_restore)
     else:
         prep, restore = backend_adapters(p, backend, materials)
+        restore = jax.jit(restore)
     state = prep(state)
 
-    if checkpoint_every:
-        os.makedirs(out_dir, exist_ok=True)
+    ckpt_writer = CheckpointWriter(out_dir) if checkpoint_every else None
     writer = SnapshotWriter(p, out_dir) if write_snapshots else None
     diag_f = open(diagnostics_log, "a") if diagnostics_log else None
+
+    # One compiled dispatch per snapshot/diagnostic instead of a storm of
+    # eager ops: eager-op chains interleaved with the donating chunk runner
+    # intermittently wedge the remote axon tunnel (r3), and each eager op
+    # is a host round-trip there anyway.
+    agg_j = jax.jit(lambda s: aggregate_all(p, s))
+    energies_j = jax.jit(
+        lambda s: (diagnostics.e_energy(p, s), diagnostics.h_energy(p, s))
+    )
 
     def snapshot(s: FieldState, iteration: int, t: float):
         if writer is None:
             return
-        variables = aggregate_all(p, s)
+        variables = dict(agg_j(s))
         if p.mode == Mode.VALIDATION:
+            # analytic fields are host-precomputed fp64 per t (not jittable)
             variables.update(validation_extras(p, s, t, quirk_compat=quirk_compat))
         writer.submit(variables, iteration, t)
 
     def log_diag(s: FieldState, iteration: int, t: float):
         if diag_f is None:
             return
-        e = float(diagnostics.e_energy(p, s))
-        h = float(diagnostics.h_energy(p, s))
+        e_d, h_d = energies_j(s)
+        e, h = float(e_d), float(h_d)
         diag_f.write(
             json.dumps(
                 {"iteration": iteration, "t": t, "E_energy": e, "H_energy": h, "total": e + h}
@@ -278,8 +402,13 @@ def run_simulation(
 
     if start_step == 0:
         # Initial snapshot at iteration 1 (reference: main.c:758-764).
-        snapshot(restore(state), 1, 0.0)
-        log_diag(restore(state), 0, 0.0)
+        full = restore(state)
+        snapshot(full, 1, 0.0)
+        log_diag(full, 0, 0.0)
+        # Serialize the eager restore before the donating chunk runner
+        # consumes `state`: pending eager reads racing a donated buffer
+        # intermittently deadlock the remote axon tunnel (r3).
+        jax.block_until_ready(full.ex)
 
     t0 = time.perf_counter()
     pos = start_step
@@ -299,20 +428,21 @@ def run_simulation(
         t_now = float(ts[pos - 1])
         if pos % rate == 0 or (checkpoint_every and pos % checkpoint_every == 0):
             full = restore(state)
+            jax.block_until_ready(full.ex)  # see the note above (axon)
         if pos % rate == 0:
             snapshot(full, pos, t_now)
             log_diag(full, pos, t_now)
         if checkpoint_every and pos % checkpoint_every == 0:
-            jax.block_until_ready(full.ex)
-            save_checkpoint(
-                os.path.join(out_dir, f"ckpt{pos:06d}.npz"), full, pos, t_now,
-                power=power,
-            )
+            # async: the worker thread does the device->host copy + write
+            # while the next chunk runs (see io.checkpoint.CheckpointWriter)
+            ckpt_writer.submit(full, pos, t_now, power=power)
 
     state = restore(state)
     jax.block_until_ready(state.ex)
     wall = time.perf_counter() - t0
 
+    if ckpt_writer is not None:
+        ckpt_writer.close()
     if writer is not None:
         writer.close()
     if diag_f is not None:
@@ -320,4 +450,4 @@ def run_simulation(
 
     steps_done = n - start_step
     mcells = p.cell_count * steps_done / wall / 1e6 if wall > 0 else float("inf")
-    return RunResult(state, n, wall, mcells, power)
+    return RunResult(state, n, wall, mcells, power, warnings)

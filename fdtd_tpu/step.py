@@ -49,11 +49,6 @@ def make_step(
         from .ops import pallas_fused as pf
 
         return pf.make_fused_step(p, coefs)
-    if backend == "pallas_inplace":
-        # manual-DMA in-place single-sweep kernel (48 B/cell)
-        from .ops import pallas_inplace as pi
-
-        return pi.make_inplace_step(p, coefs)
     if backend == "pallas":
         from .ops import pallas_step as ps
 
@@ -87,6 +82,19 @@ def _huge_state(p: Params) -> bool:
 
     limit = int(float(_os.environ.get("FDTD_SCAN_STATE_LIMIT", HBM_BUDGET // 2)))
     return state_bytes(p) > limit
+
+
+def default_temporal_s_lossy(p: Params, sar: bool) -> int:
+    """Steps-per-sweep for the lossy temporal kernel: the largest s whose
+    VMEM plan needs at most a 4-way j-tiling (beyond that the halo refetch
+    eats the coefficient-streaming win; measured guidance in DESIGN.md)."""
+    from .ops.pallas_temporal import plan_nj
+
+    for s in (6, 5, 4, 3):
+        nj = plan_nj(p, s, lossy=True, sar=sar)
+        if nj is not None and nj <= 4:
+            return s
+    return 2
 
 
 def default_temporal_s(p: Params) -> int:
@@ -146,11 +154,92 @@ def make_chunk_runner(
     Scans the step over a chunk of time values (typically ``sampling_rate``
     steps between snapshots).  Optionally accumulates dissipated energy
     density for SAR/heating maps (lossy materials only).
+
+    DONATION CONTRACT: for the Pallas backends ("pallas", "pallas_fused",
+    "pallas_temporal") the input state is **donated** — its buffers are
+    reused in place so steady-state HBM stays at ~1x the state (a 1024^3
+    bf16 state is 12.9 GB; an undonated copy cannot exist on a 16 GB chip).
+    Pass a fresh ``prep(...)``-built state per ``run`` call and treat it as
+    consumed: re-reading it afterwards raises a donated-buffer error.  The
+    "xla" path does not donate and keeps ordinary value semantics.
     """
     coefs = update_coefs(p, materials)
-    # vacuum has no conductivity: deposition is identically zero
-    sigma = coefs.sigma_cells if coefs.sigma_cells is not None else 0.0
+    # vacuum has no conductivity: deposition is identically zero.  HOST
+    # numpy, never a closed-over jax.Array (HLO-constant compile bloat +
+    # the axon-tunnel lowering hazard, r3); the stripped backends read the
+    # state-embedded sigma_c instead.
+    import numpy as _np
+
+    sigma = (
+        _np.asarray(coefs.sigma_cells) if coefs.sigma_cells is not None else 0.0
+    )
     dt_step = p.time_step
+
+    lossy = not isinstance(coefs.ca_x, (int, float))
+
+    if backend == "pallas_temporal" and lossy:
+        # lossy temporal blocking with optional in-kernel SAR accumulation
+        # (ops/pallas_temporal.py lossy kernel family, r3) — the heating
+        # workload's fast path.  Odd trailing steps run the two-pass lossy
+        # kernel with the per-step jnp SAR increment.
+        import os as _os
+
+        from .ops.pallas_temporal import (
+            D as _D,
+            crop_power_acc,
+            embed_power_acc,
+            jextend,
+            jrestore,
+            make_temporal_lossy_pair_step,
+        )
+
+        sgrp = (
+            int(_os.environ.get("FDTD_TEMPORAL_STEPS", "0"))
+            or default_temporal_s_lossy(p, accumulate_power)
+        )
+        group_step = make_temporal_lossy_pair_step(
+            p, coefs, s=sgrp, accumulate_power=accumulate_power
+        )
+        nj = group_step.nj
+        odd_step = make_step(p, coefs=coefs, backend="pallas_fused")
+        K, J = p.maxk, p.maxj
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run_groups_lossy(s, xs, power_acc=None):
+            ts, amps = xs
+            n = ts.shape[0]
+            n_grp = n // sgrp
+            if accumulate_power:
+                acc_st = embed_power_acc(p, power_acc, nj)
+            if n_grp:
+                gts = (
+                    ts[: sgrp * n_grp].reshape(n_grp, sgrp),
+                    amps[: sgrp * n_grp].reshape(n_grp, sgrp),
+                )
+                s = jextend(p, s, nj)
+                if accumulate_power:
+                    def body2(carry, x):
+                        return group_step(carry, x), None
+
+                    (s, acc_st), _ = jax.lax.scan(body2, (s, acc_st), gts)
+                else:
+                    def body(s, x):
+                        return group_step(s, x), None
+
+                    s, _ = jax.lax.scan(body, s, gts)
+                s = jrestore(p, s, nj)
+            if accumulate_power:
+                power_acc = crop_power_acc(p, acc_st, nj)
+            for r in range(n % sgrp):
+                idx = sgrp * n_grp + r
+                s = odd_step(s, (ts[idx], amps[idx]))
+                if accumulate_power:
+                    sg = s.sigma_c[_D : _D + K, :J]
+                    inc = diagnostics.power_deposition_stripped(p, s, sg)
+                    power_acc = power_acc + (inc * dt_step).astype(power_acc.dtype)
+            return s, power_acc
+
+        return run_groups_lossy
 
     if backend == "pallas_temporal":
         # two steps per HBM sweep (ops/pallas_temporal.py); odd trailing step
@@ -204,7 +293,7 @@ def make_chunk_runner(
     # in-kernel aliasing actually runs in place at the HBM level too (a
     # 1024^3 bf16 state is 12.9 GB — an undonated copy cannot exist).  The
     # xla/canonical path keeps caller semantics (tests reuse raw states).
-    donate = (0,) if backend in ("pallas", "pallas_fused", "pallas_inplace") else ()
+    donate = (0,) if backend in ("pallas", "pallas_fused") else ()
 
     if donate and _huge_state(p):
         # XLA's copy-insertion around aliased custom-calls in a while/scan
@@ -217,8 +306,9 @@ def make_chunk_runner(
         def one(s, acc, t, amp):
             s = step(s, (t, amp))
             if accumulate_power:
-                if backend in ("pallas_fused", "pallas_inplace"):
-                    inc = diagnostics.power_deposition_stripped(p, s, sigma)
+                if backend == "pallas_fused":
+                    sg = _state_sigma(p, s, sigma)
+                    inc = diagnostics.power_deposition_stripped(p, s, sg)
                 else:
                     inc = diagnostics.power_deposition(p, restore(s), sigma)
                 acc = acc + (inc * dt_step).astype(acc.dtype)
@@ -243,8 +333,9 @@ def make_chunk_runner(
                 # The accumulator stays fp32 whatever the field dtype.  The
                 # stripped-layout backends read their E bulks directly —
                 # no per-step full layout restore (VERDICT r1 weak #7).
-                if backend in ("pallas_fused", "pallas_inplace"):
-                    inc = diagnostics.power_deposition_stripped(p, s, sigma)
+                if backend == "pallas_fused":
+                    sg = _state_sigma(p, s, sigma)
+                    inc = diagnostics.power_deposition_stripped(p, s, sg)
                 else:
                     inc = diagnostics.power_deposition(p, restore(s), sigma)
                 acc = acc + (inc * dt_step).astype(acc.dtype)
@@ -254,6 +345,16 @@ def make_chunk_runner(
         return s, acc
 
     return run
+
+
+def _state_sigma(p: Params, s, sigma_np):
+    """Cell sigma for the stripped power path: the state-embedded slab when
+    present (no HLO constant), else the host-precomputed array."""
+    from .ops.pallas_fused import D as _D
+
+    if getattr(s, "sigma_c", None) is not None:
+        return s.sigma_c[_D : _D + p.maxk, : p.maxj]
+    return sigma_np
 
 
 def zero_power_acc(p: Params):
@@ -273,7 +374,7 @@ def backend_adapters(p: Params, backend: str, materials: Materials | None = None
         return (lambda s: pad_state_k(p, s)), (
             lambda s: jax.tree.map(lambda a: a[:K1], s)
         )
-    if backend in ("pallas_fused", "pallas_inplace", "pallas_temporal"):
+    if backend in ("pallas_fused", "pallas_temporal"):
         from .ops.pallas_fused import to_full, to_stripped
 
         coefs = update_coefs(p, materials) if materials is not None else None

@@ -61,6 +61,141 @@ def batch_mesh(n_devices: int | None = None, devices=None):
     return Mesh(np.asarray(devices), ("b",))
 
 
+def spatial_batch_mesh(nb: int, nz: int, devices=None):
+    """(nb, nz) mesh with axes ("b", "z"): sweep members shard over "b" AND
+    each member's grid shards over "z" — for sweep members too large for one
+    chip (VERDICT r2 weak #6 / BASELINE config #5 at scale).
+
+    Sweeps given such a mesh run scan-of-vmap with GSPMD sharding
+    constraints: XLA keeps the batch axis embarrassingly parallel and
+    inserts collective-permute halo exchanges along "z" (the same partition
+    the gspmd single-run path uses)."""
+    from jax.sharding import Mesh
+
+    if devices is None:
+        devices = jax.devices()
+        if len(devices) < nb * nz:
+            devices = jax.devices("cpu")
+    if len(devices) < nb * nz:
+        raise ValueError(f"spatial_batch_mesh({nb}, {nz}) needs {nb * nz} devices")
+    return Mesh(np.asarray(devices[: nb * nz]).reshape(nb, nz), ("b", "z"))
+
+
+def _is_spatial(mesh) -> bool:
+    return mesh is not None and "z" in mesh.axis_names
+
+
+def _masked_step_builder(p: Params):
+    """Leapfrog step whose source injection is a where-mask, not a
+    dynamic-update-slice: DUS partitions incorrectly on a k-sharded mesh
+    (measured: the drive patch lands on every shard's local k=0 row under
+    GSPMD), while elementwise where is partition-safe — the same reason
+    parallel.sharded_step builds its source as a masked pattern.  Values
+    are identical to source.apply_source (same hard-set), so this is
+    bit-compatible with the serial path.
+
+    Returns ``step(s, x, coefs)``; pass vacuum coefs for frequency sweeps
+    or a (possibly batch-traced) coefficient pytree for material sweeps.
+    """
+    from .ops import curl
+
+    if p.mode == Mode.COMPUTATION:
+        plan = make_source_plan(p)
+        K1, J1, I1 = p.padded_shape
+        prof = np.zeros((J1, I1))
+        mask = np.zeros((J1, I1), dtype=bool)
+        prof[plan.j0 : plan.j1, plan.i0 : plan.i1] = np.asarray(plan.profile)[None, :]
+        mask[plan.j0 : plan.j1, plan.i0 : plan.i1] = True
+        prof_j = jnp.asarray(prof)
+        mask_j = jnp.asarray(mask)
+        inv_z_te = plan.inv_z_te
+    else:
+        plan = None
+
+    def inject(s: FieldState, amp) -> FieldState:
+        dt = s.ez.dtype
+        gk = jax.lax.broadcasted_iota(jnp.int32, s.ez.shape, 0)
+        m = (gk == 0) & mask_j[None, :, :]
+        drive = (amp * prof_j)[None, :, :].astype(dt)
+        zero = jnp.zeros((), dt)
+        return FieldState(
+            ex=jnp.where(m, zero, s.ex),
+            ey=s.ey,
+            ez=jnp.where(m, drive, s.ez),
+            hx=jnp.where(m, (-inv_z_te * drive).astype(dt), s.hx),
+            hy=s.hy,
+            hz=jnp.where(m, zero, s.hz),
+        )
+
+    def step(s: FieldState, x, coefs) -> FieldState:
+        _t, amp = x
+        if plan is not None:
+            s = inject(s, amp)
+        s = curl.update_h(p, s, coefs)
+        if plan is not None:
+            s = inject(s, amp)
+        s = curl.update_e(p, s, coefs)
+        return s
+
+    return step
+
+
+def _run_batched(p: Params, step, s0_batched, xs, xs_axes, mesh,
+                 extra=None, extra_axes=None):
+    """scan(time) of vmap(batch) with per-step ("b", "z") sharding
+    constraints — the composition that lets one sweep member span several
+    devices.  ``xs_axes``: vmap in_axes for the per-step x pytree;
+    ``extra``/``extra_axes``: additional per-member operands (e.g. the
+    stacked coefficient pytree) passed to ``step(s, x, *extra)``."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    fsh = NamedSharding(mesh, P("b", "z", None, None))
+    constrain = lambda st: jax.tree.map(
+        lambda a: jax.lax.with_sharding_constraint(a, fsh), st
+    )
+    extra = tuple(extra) if extra is not None else ()
+    extra_axes = tuple(extra_axes) if extra_axes is not None else ()
+    vstep = jax.vmap(step, in_axes=(0, xs_axes) + extra_axes)
+
+    @jax.jit
+    def run(s, *ex):
+        s = constrain(s)
+
+        def body(s, x):
+            return constrain(vstep(s, x, *ex)), None
+
+        s, _ = jax.lax.scan(body, s, xs)
+        return s
+
+    return run(s0_batched, *extra)
+
+
+def _padded_k(p: Params, mesh) -> int:
+    """k extent padded up to divide the mesh "z" axis (inert rows: the
+    update slices only touch the physical region — same argument as
+    parallel.mesh.pad_state_for_mesh)."""
+    nz = mesh.shape["z"]
+    K1 = p.padded_shape[0]
+    return ((K1 + nz - 1) // nz) * nz
+
+
+def _pad_k4(a, Kp):
+    return jnp.pad(jnp.asarray(a), ((0, 0), (0, Kp - a.shape[1]), (0, 0), (0, 0)))
+
+
+def _broadcast_state(p: Params, s0: FieldState, n: int, mesh) -> FieldState:
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    Kp = _padded_k(p, mesh)
+    fsh = NamedSharding(mesh, P("b", "z", None, None))
+    return jax.tree.map(
+        lambda a: jax.device_put(
+            _pad_k4(jnp.broadcast_to(a[None], (n,) + a.shape), Kp), fsh
+        ),
+        s0,
+    )
+
+
 def _shard_batch(tree, mesh, n: int):
     """device_put every array leaf with its leading batch axis over ``mesh``."""
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -96,6 +231,21 @@ def frequency_sweep(
     amps = np.sin((2.0 * PI * freqs)[:, None] * ts[None, :])  # (N, steps)
 
     step = make_step(p, backend=backend)
+
+    if _is_spatial(mesh):
+        # scan-of-vmap with ("b", "z") constraints: members shard over "b",
+        # each member's grid over "z" (> single-chip member sizes)
+        mstep = _masked_step_builder(p)
+        vac = update_coefs(p, None)
+        step_v = lambda s, x: mstep(s, x, vac)
+        s0b = _broadcast_state(p, zeros(p), len(freqs), mesh)
+        xs = (jnp.asarray(ts), jnp.asarray(np.ascontiguousarray(amps.T)))
+        states = _run_batched(p, step_v, s0b, xs, (None, 0), mesh)
+        K1 = p.padded_shape[0]
+        states = jax.tree.map(lambda a: a[:, :K1], states)
+        e = jax.vmap(lambda s: diagnostics.e_energy(p, s))(states)
+        h = jax.vmap(lambda s: diagnostics.h_energy(p, s))(states)
+        return SweepResult(states, e, h)
 
     def run_one(amp_row):
         s = zeros(p)
@@ -135,9 +285,39 @@ def material_sweep(
         ts = ts[:n_steps]
     xs = scan_inputs(p, ts)
 
-    def run_one(coefs):
-        from .state import init_validation
+    from .state import init_validation
 
+    if _is_spatial(mesh):
+        step_c = _masked_step_builder(p)
+
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        s0 = init_validation(p) if p.mode == Mode.VALIDATION else zeros(p)
+        s0b = _broadcast_state(p, s0, len(materials_list), mesh)
+        # coefficient slabs shard like the fields (b over members, z over k)
+        Kp = _padded_k(p, mesh)
+        stacked = jax.tree.map(
+            lambda a: jax.device_put(
+                _pad_k4(a, Kp) if a.ndim == 4 else a,
+                NamedSharding(
+                    mesh,
+                    P("b", "z", None, None) if a.ndim == 4 else P("b"),
+                ),
+            ),
+            stacked,
+        )
+        xsj = (jnp.asarray(xs[0]), jnp.asarray(xs[1]))
+        states = _run_batched(
+            p, step_c, s0b, xsj, (None, None), mesh,
+            extra=(stacked,), extra_axes=(0,),
+        )
+        K1 = p.padded_shape[0]
+        states = jax.tree.map(lambda a: a[:, :K1], states)
+        e = jax.vmap(lambda s: diagnostics.e_energy(p, s))(states)
+        h = jax.vmap(lambda s: diagnostics.h_energy(p, s))(states)
+        return SweepResult(states, e, h)
+
+    def run_one(coefs):
         step = make_step(p, coefs=coefs)
         s = init_validation(p) if p.mode == Mode.VALIDATION else zeros(p)
 

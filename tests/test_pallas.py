@@ -169,13 +169,20 @@ def test_fused_materials_match_xla():
 
 @pytest.mark.parametrize("mode", [Mode.VALIDATION, Mode.COMPUTATION])
 def test_inplace_backend_matches_jnp(mode):
-    """Manual-DMA pipelined kernel (interpret mode)."""
+    """Manual-DMA pipelined kernel (attic record; interpret mode).
+
+    pallas_inplace is retired from the supported-backend surface (slower
+    than its siblings, VERDICT r2 weak #8) but kept in fdtd_tpu.attic as a
+    measured engineering record — this pins that the record still works."""
+    from fdtd_tpu.attic.pallas_inplace import make_inplace_step
+    from fdtd_tpu.state import update_coefs
+
     p = _params(16, mode)
     s_ref = init_validation(p) if mode == Mode.VALIDATION else zeros(p)
-    prep, rest = backend_adapters(p, "pallas_inplace")
+    prep, rest = backend_adapters(p, "pallas_fused")  # same stripped layout
     s_b = prep(s_ref)
     step_ref = jax.jit(make_step(p))
-    step_b = jax.jit(make_step(p, backend="pallas_inplace"))
+    step_b = jax.jit(make_inplace_step(p, update_coefs(p, None)))
     ts, amps = scan_inputs(p, time_values(p)[:8])
     for t, a in zip(ts, amps):
         s_ref = step_ref(s_ref, (t, a))

@@ -70,9 +70,16 @@ def test_unsupported_temporal_combos_fall_back(tiny_params, tmp_path):
     pbf = dataclasses.replace(tiny_params, dtype="bfloat16", mode=Mode.COMPUTATION)
 
     assert resolve_backend(pbf, "pallas_temporal", None, False, notices.append) == "pallas_temporal"
+    # vacuum + --sar: nothing to accumulate on the sweep path -> fall back
     assert resolve_backend(p32, "pallas_temporal", None, True, notices.append) == "pallas_fused"
     mats = water_block(p32, lo=(0.2, 0.2, 0.2), hi=(0.8, 0.8, 0.8))
-    assert resolve_backend(p32, "pallas_temporal", mats, False, notices.append) == "pallas_fused"
+    # lossy media (and lossy + SAR) now STAY on pallas_temporal (r3: the
+    # coefficient-window kernel family); validation-mode lossy still falls
+    # back (the lossy kernels serve computation mode only)
+    assert resolve_backend(p32, "pallas_temporal", mats, False, notices.append) == "pallas_temporal"
+    assert resolve_backend(p32, "pallas_temporal", mats, True, notices.append) == "pallas_temporal"
+    pv = dataclasses.replace(p32, mode=Mode.VALIDATION)
+    assert resolve_backend(pv, "pallas_temporal", mats, False, notices.append) == "pallas_fused"
     assert len(notices) == 2 and all("falling back" in n for n in notices)
     # and the full runner path completes on the bf16 temporal backend
     r = run_simulation(pbf, out_dir=str(tmp_path / "bf"), backend="pallas_temporal",
@@ -107,11 +114,25 @@ def test_runner_sharded_matches_single_device(tiny_params, tmp_path):
                    log=lambda s: None)
     for spec, sub in [("4", "z4"), ("2x2", "zy22")]:
         run_simulation(p, out_dir=str(tmp_path / sub), shard=spec,
-                       log=lambda s: None)
+                       backend="pallas_fused", log=lambda s: None)
         a = read_vtr_cell_arrays(str(tmp_path / "one" / "result0020.vtr"))
         b = read_vtr_cell_arrays(str(tmp_path / sub / "result0020.vtr"))
         for k in ["ex", "ey", "ez", "hx", "hy", "hz"]:
             np.testing.assert_array_equal(a[k], b[k], err_msg=f"{spec}/{k}")
+    # default (auto) sharded backend = the temporal composition (VERDICT r2
+    # next #2): equal to the single-device run up to the documented 1-ulp
+    # FMA-reassociation tolerance of the deep-unroll kernels
+    for spec, sub in [("4", "t4"), ("2x2", "t22")]:
+        notices = []
+        run_simulation(p, out_dir=str(tmp_path / sub), shard=spec,
+                       log=notices.append)
+        assert not any("falling back" in m for m in notices), notices
+        a = read_vtr_cell_arrays(str(tmp_path / "one" / "result0020.vtr"))
+        b = read_vtr_cell_arrays(str(tmp_path / sub / "result0020.vtr"))
+        for k in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+            np.testing.assert_allclose(
+                a[k], b[k], atol=1e-6, rtol=0, err_msg=f"auto/{spec}/{k}"
+            )
 
     from fdtd_tpu.state import water_block
 

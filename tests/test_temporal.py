@@ -147,3 +147,94 @@ def test_vmem_planner_lane_padding_and_margin(tiny_params):
     assert plan_nj(grid(250, vali), 5) == 2   # faulted at nj=1 on device
     assert plan_nj(grid(256, vali), 6) == 2
     assert plan_nj(grid(512, comp), 4) == 4
+
+
+@pytest.mark.parametrize("sar", [False, True])
+@pytest.mark.parametrize("sgrp", [2, 3])
+def test_temporal_lossy_matches_twopass(tiny_params, monkeypatch, sgrp, sar):
+    """Lossy (+SAR) temporal blocking vs the two-pass lossy path (VERDICT
+    r2 next #1): fields match to FMA tolerance, and the in-kernel SAR
+    accumulator matches the per-step jnp accumulation."""
+    from fdtd_tpu.state import water_block
+    from fdtd_tpu.step import zero_power_acc
+
+    monkeypatch.setenv("FDTD_TEMPORAL_STEPS", str(sgrp))
+    p = dataclasses.replace(tiny_params, dtype="float32", mode=Mode.COMPUTATION)
+    mats = water_block(p, lo=(0.2, 0.2, 0.2), hi=(0.8, 0.8, 0.8))
+    run_ref = make_chunk_runner(p, mats, backend="pallas_fused",
+                                accumulate_power=sar)
+    run_tmp = make_chunk_runner(p, mats, backend="pallas_temporal",
+                                accumulate_power=sar)
+    prep, rest = backend_adapters(p, "pallas_fused", mats)
+    xs = scan_inputs(p, time_values(p)[:7])  # sweeps + an odd tail
+    acc0 = zero_power_acc(p) if sar else None
+    want, acc_w = run_ref(prep(zeros(p)), xs, acc0)
+    got, acc_g = run_tmp(prep(zeros(p)), xs, acc0)
+    wantf, gotf = rest(want), rest(got)
+    for c in COMPONENTS:
+        g = np.asarray(getattr(gotf, c))[:, :, : p.maxi]
+        w = np.asarray(getattr(wantf, c))[:, :, : p.maxi]
+        # the two-multiply lossy update (ca*E + cb*curl) lets XLA:CPU pick
+        # FMA groupings per window shape even at s=2 (1 ulp); the real-TPU
+        # spot check pins bit-exactness on device
+        np.testing.assert_allclose(g, w, atol=1e-6, rtol=0,
+                                   err_msg=f"s={sgrp}/sar={sar}/{c}")
+    if sar:
+        np.testing.assert_allclose(
+            np.asarray(acc_g), np.asarray(acc_w), rtol=2e-5, atol=1e-30,
+            err_msg="SAR accumulator",
+        )
+        assert float(np.asarray(acc_g).max()) > 0
+
+
+@pytest.mark.parametrize("sar", [False, True])
+def test_temporal_lossy_jtiled_matches_untiled(tiny_params, sar):
+    """The lossy kernel's j-tiled windows match full-plane windows."""
+    import jax
+    import jax.lax as lax
+
+    from fdtd_tpu.ops import pallas_temporal as pt
+    from fdtd_tpu.state import update_coefs, water_block
+    from fdtd_tpu.step import zero_power_acc
+
+    s = 3
+    nj = 2
+    p = dataclasses.replace(tiny_params, dtype="float32", mode=Mode.COMPUTATION)
+    mats = water_block(p, lo=(0.2, 0.2, 0.2), hi=(0.8, 0.8, 0.8))
+    coefs = update_coefs(p, mats)
+    prep, rest = backend_adapters(p, "pallas_fused", mats)
+    ts = time_values(p)[:6]
+    xs = scan_inputs(p, ts)
+    gts = (xs[0].reshape(2, s), xs[1].reshape(2, s))
+
+    def run_with(nj_):
+        group = pt.make_temporal_lossy_pair_step(
+            p, coefs, s=s, nj=nj_, accumulate_power=sar
+        )
+
+        @jax.jit
+        def run(st, acc):
+            st = pt.jextend(p, st, nj_)
+            if sar:
+                acc = pt.embed_power_acc(p, acc, nj_)
+                (st, acc), _ = lax.scan(lambda c, x: (group(c, x), None),
+                                        (st, acc), gts)
+                acc = pt.crop_power_acc(p, acc, nj_)
+            else:
+                st, _ = lax.scan(lambda st, x: (group(st, x), None), st, gts)
+            return pt.jrestore(p, st, nj_), acc
+
+        st, acc = run(prep(zeros(p)), zero_power_acc(p))
+        return rest(st), acc
+
+    want, acc_w = run_with(1)
+    got, acc_g = run_with(nj)
+    for c in COMPONENTS:
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, c)), np.asarray(getattr(want, c)),
+            atol=1e-6, rtol=0, err_msg=f"lossy nj={nj}/{c}",
+        )
+    if sar:
+        np.testing.assert_allclose(
+            np.asarray(acc_g), np.asarray(acc_w), rtol=2e-5, atol=1e-30
+        )
