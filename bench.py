@@ -34,7 +34,7 @@ BASELINE_MCELLS = 74.0
 
 def bench(n=256, steps=1000, dtype="float32", backend=None, warmup_steps=50):
     if backend is None:
-        backend = os.environ.get("FDTD_BENCH_BACKEND", "pallas_temporal")
+        backend = os.environ.get("FDTD_BENCH_BACKEND", "pallas_stream")
     dx = 0.001
     p = Params(
         length=n * dx,
@@ -51,7 +51,7 @@ def bench(n=256, steps=1000, dtype="float32", backend=None, warmup_steps=50):
     assert p.maxi == n, p.maxi
 
     run = None
-    for cand in (backend, "pallas_fused", "xla"):
+    for cand in (backend, "pallas_temporal", "pallas_fused", "xla"):
         try:
             run = make_chunk_runner(p, backend=cand)
             backend = cand
@@ -68,7 +68,7 @@ def bench(n=256, steps=1000, dtype="float32", backend=None, warmup_steps=50):
     # even the jitted conversion's intermediates are borderline; plain
     # stripped zero fills are exact for a computation-mode start.  Fresh
     # per call: the fast-path runners donate their input state.
-    if backend in ("pallas_fused", "pallas_temporal"):
+    if backend in ("pallas_fused", "pallas_temporal", "pallas_stream"):
         from fdtd_tpu.ops.pallas_fused import stripped_zeros
 
         build = jax.jit(lambda: stripped_zeros(p))

@@ -27,7 +27,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--dtype", default="float32", choices=["float32", "float64", "bfloat16"])
     ap.add_argument(
         "--backend", default="auto",
-        choices=["auto", "xla", "pallas", "pallas_fused", "pallas_temporal"],
+        choices=["auto", "xla", "pallas", "pallas_fused", "pallas_temporal",
+                 "pallas_stream"],
         help="update-kernel path (default auto: fastest supported for the "
              "platform/config; explicit choices are honored or noticed)")
     ap.add_argument("--no-output", action="store_true", help="skip snapshots (benchmark mode)")

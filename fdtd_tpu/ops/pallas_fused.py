@@ -86,7 +86,7 @@ def corr_width(Ib: int) -> int:
     data_fields=[
         "ex", "ey", "ez", "hx", "hy", "hz", "ey_s", "ez_s", "hx_s",
         "corr_hy", "corr_hz", "ca_x", "ca_y", "ca_z", "cb_x", "cb_y", "cb_z",
-        "sigma_c",
+        "sigma_c", "hf_x", "hf_y", "hf_z", "hfx_s",
     ],
     meta_fields=[],
 )
@@ -118,6 +118,10 @@ class StrippedState:
     cb_y: jax.Array | None = None
     cb_z: jax.Array | None = None
     sigma_c: jax.Array | None = None  # cell sigma (SAR; embedded layout)
+    hf_x: jax.Array | None = None  # heterogeneous-mu H factors (embedded)
+    hf_y: jax.Array | None = None
+    hf_z: jax.Array | None = None
+    hfx_s: jax.Array | None = None  # hf_x at the i=maxi strip column
 
 
 def stripped_zeros(p: Params) -> StrippedState:
@@ -183,6 +187,19 @@ def to_stripped(p: Params, s: FieldState, coefs: UpdateCoefs | None = None) -> S
             cb_y=embed_coef(p, coefs.cb_y, 0.0),
             cb_z=embed_coef(p, coefs.cb_z, 0.0),
         )
+        if coefs.heterogeneous_mu:
+            fh = float(np.asarray(coefs.h_factor))
+            hfx_s = jnp.full((S, J1p, 1), fh, jnp.dtype(p.dtype))
+            hfx_s = hfx_s.at[D : D + K1, :J1].set(
+                jnp.asarray(coefs.hf_x, jnp.dtype(p.dtype))[:, :, Ib : Ib + 1]
+            )
+            st = dataclasses.replace(
+                st,
+                hf_x=embed_coef(p, coefs.hf_x, fh),
+                hf_y=embed_coef(p, coefs.hf_y, fh),
+                hf_z=embed_coef(p, coefs.hf_z, fh),
+                hfx_s=hfx_s,
+            )
         if coefs.sigma_cells is not None:
             # cell-centered sigma rides in the state too (the SAR kernels
             # read it in the storage layout; a closure array would embed as
@@ -312,9 +329,9 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, tk,
     ohz[:] = hzp[1:]
 
 
-def _h_kernel2(p: Params, f_h, patch, Ib, W, tk, jwin,
+def _h_kernel2(p: Params, f_h, patch, Ib, W, tk, jwin, het,
                koff_ref, ex_ref, ey_ref, ez_ref, hx_ref, hy_ref, hz_ref, chy_ref, chz_ref,
-               ohx, ohy, ohz):
+               *rest):
     """H half-step on slab g+1 (k rows L..H); E windows carry one halo row up.
 
     Alias-safe: writes only H, whose blocks are read without cross-block
@@ -324,8 +341,14 @@ def _h_kernel2(p: Params, f_h, patch, Ib, W, tk, jwin,
     ``jwin``: (lo, hi) storage-row bounds of the locally-owned j rows under
     2-D decomposition (None = own the whole extent); writes outside stay at
     their input value so the j halo/pad rows hold exactly what the exchange
-    put there.
+    put there.  With ``het`` (heterogeneous mu_r), three extra blocked
+    inputs carry the per-component face-averaged H factors and replace the
+    scalar ``f_h``.
     """
+    if het:
+        hfx_r, hfy_r, hfz_r, ohx, ohy, ohz = rest
+    else:
+        ohx, ohy, ohz = rest
     g = pl.program_id(0)
     K, J = p.maxk, p.maxj
     L = g * tk + koff_ref[0, 0]
@@ -375,9 +398,15 @@ def _h_kernel2(p: Params, f_h, patch, Ib, W, tk, jwin,
         m_patch = (gk == 0) & (jj >= j0) & (jj < j1) & (lane >= i0) & (lane < i1)
         m_hx = m_hx & ~m_patch
         m_hz = m_hz & ~m_patch
-    ohx[:] = jnp.where(m_hx, hxw + f_h * ((ey1 - ey0) - (ez_py - ez0)), hxw).astype(st)
-    ohy[:] = jnp.where(m_hy, hyw + f_h * inc_hy, hyw).astype(st)
-    ohz[:] = jnp.where(m_hz, hzw + f_h * inc_hz, hzw).astype(st)
+    if het:
+        fhx = hfx_r[:].astype(dt)
+        fhy = hfy_r[:].astype(dt)
+        fhz = hfz_r[:].astype(dt)
+    else:
+        fhx = fhy = fhz = f_h
+    ohx[:] = jnp.where(m_hx, hxw + fhx * ((ey1 - ey0) - (ez_py - ez0)), hxw).astype(st)
+    ohy[:] = jnp.where(m_hy, hyw + fhy * inc_hy, hyw).astype(st)
+    ohz[:] = jnp.where(m_hz, hzw + fhz * inc_hz, hzw).astype(st)
 
 
 def _e_kernel2(p: Params, f_e, Ib, lossy, tk, jwin,
@@ -453,12 +482,11 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
     with in-place writes).
     """
     lossy = not isinstance(coefs.ca_x, (int, float))
+    het = coefs.heterogeneous_mu
     if not lossy and coefs.ca_x != 1.0:
         raise NotImplementedError("scalar non-vacuum ca is not expected")
-    if lossy and not two_pass:
+    if (lossy or het) and not two_pass:
         raise NotImplementedError("materials require the two_pass fast path")
-    if coefs.heterogeneous_mu:
-        raise NotImplementedError("heterogeneous mu_r requires the xla backend")
     if interpret is None:
         dd = jax.config.jax_default_device
         interpret = (dd.platform != "tpu") if dd is not None else (jax.default_backend() != "tpu")
@@ -531,9 +559,10 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
         # aliases shift by one for the leading koff scalar input
         aliases = {} if interpret else {4: 0, 5: 1, 6: 2}
         h_call = pl.pallas_call(
-            functools.partial(_h_kernel2, p, f_h, patch, Ib, W, tk, None),
+            functools.partial(_h_kernel2, p, f_h, patch, Ib, W, tk, None, het),
             grid=(nk,),
-            in_specs=[smem] + [e_up] * 3 + [blk] * 3 + [cblk] * 2,
+            in_specs=[smem] + [e_up] * 3 + [blk] * 3 + [cblk] * 2
+            + ([blk] * 3 if het else []),
             out_specs=[blk] * 3,
             out_shape=(bulk_shape,) * 3,
             input_output_aliases=aliases,
@@ -557,7 +586,8 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
         zoff = np.zeros((1, 2), np.int32)
 
         def call(st, ex, ey, ez, hx, hy, hz, chy, chz):
-            hx, hy, hz = h_call(jnp.asarray(zoff), ex, ey, ez, hx, hy, hz, chy, chz)
+            hextra = (st.hf_x, st.hf_y, st.hf_z) if het else ()
+            hx, hy, hz = h_call(jnp.asarray(zoff), ex, ey, ez, hx, hy, hz, chy, chz, *hextra)
             extra = (st.ca_x, st.ca_y, st.ca_z, st.cb_x, st.cb_y, st.cb_z) if lossy else ()
             ex, ey, ez = e_call(jnp.asarray(zoff), hx, hy, hz, ex, ey, ez, *extra)
             return ex, ey, ez, hx, hy, hz
@@ -603,7 +633,8 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
         curl = (ey_s2[D + 1 : D + K + 1, :J] - ey_s2[sl]) - (
             ez_s2[D : D + K, 1 : J + 1] - ez_s2[sl]
         )
-        hx_s = st.hx_s.at[sl[0], sl[1], 0].add((f_h * curl).astype(st.hx_s.dtype))
+        fh_s = st.hfx_s[sl[0], sl[1], 0] if het else f_h
+        hx_s = st.hx_s.at[sl[0], sl[1], 0].add((fh_s * curl).astype(st.hx_s.dtype))
         return dataclasses.replace(
             st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s
         )
@@ -628,10 +659,7 @@ def build_twopass_calls(p: Params, coefs: UpdateCoefs, S: int, nk: int,
     2-D (z x y) decomposition; default = the full canonical j extent.
     """
     lossy = not isinstance(coefs.ca_x, (int, float))
-    if not lossy and coefs.ca_x != 1.0:
-        raise NotImplementedError("scalar non-vacuum ca is not expected")
-    if coefs.heterogeneous_mu:
-        raise NotImplementedError("heterogeneous mu_r requires the xla backend")
+    het = coefs.heterogeneous_mu
     _, J1, Ib = dims(p)
     if J_rows is not None:
         J1 = J_rows
@@ -666,9 +694,10 @@ def build_twopass_calls(p: Params, coefs: UpdateCoefs, S: int, nk: int,
     cp = pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
     aliases = {} if interpret else {4: 0, 5: 1, 6: 2}
     h_call = pl.pallas_call(
-        functools.partial(_h_kernel2, p, f_h, patch, Ib, W, tk, jwin),
+        functools.partial(_h_kernel2, p, f_h, patch, Ib, W, tk, jwin, het),
         grid=(nk,),
-        in_specs=[smem] + [e_up] * 3 + [blk] * 3 + [cblk] * 2,
+        in_specs=[smem] + [e_up] * 3 + [blk] * 3 + [cblk] * 2
+        + ([blk] * 3 if het else []),
         out_specs=[blk] * 3,
         out_shape=(bulk_shape,) * 3,
         input_output_aliases=aliases,

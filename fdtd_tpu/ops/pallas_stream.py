@@ -1,0 +1,407 @@
+"""Streaming wavefront kernel: s=tk steps/sweep with ZERO recompute/refetch.
+
+Generation 5 of the temporal family (docs/DESIGN.md).  The r2 temporal
+kernel plateaus at ~340 GB/s effective because its deep Element windows
+overlap: each sweep refetches (tk+2s)/tk of every field and recomputes the
+s-row halo wedge.  This kernel keeps the *skewed pipeline* state in VMEM
+scratch instead:
+
+- inputs/outputs are plain Blocked tk-row tiles — the access pattern the
+  two-pass kernels drive at ~600 GB/s;
+- each grid step advances every intermediate level m = 1..s by tk rows,
+  consuming level m-1's tk fresh rows plus ONE retained row (its previous
+  top row).  The retained rows — (s+1) levels x 6 fields x 1 row — are the
+  only cross-step state, held in persistent fp32 VMEM scratch (~14 MB at
+  256^3; grid iterations are sequential on TPU, so scratch carries);
+- with s == tk the level-s rows of grid step g are exactly output block
+  g-1, so outputs are Blocked too (index g+ofs-1; step 0 writes zeros into
+  the last dead-slab block, preserving the dead-slab-is-zero invariant);
+- one drain step (grid = nk+1) finishes the top wedge, feeding the levels
+  from a dead-slab block — genuine zeros, exactly the k-padding semantics.
+
+Per-sweep traffic is the information floor: 6 reads + 6 writes = 48+48 B
+per cell per s steps (12 B/cell/step fp32 at s=8, 6 B bf16) with *no*
+window overlap, and per-cell compute is the s-step minimum (no halo
+recompute).  Source semantics, masks, and arithmetic are identical to
+ops/pallas_temporal (same _curl helpers) — bit-class parity with the
+two-pass and xla paths.
+
+Restrictions (v1): full-plane j windows (256^3-class fp32, 384^3 bf16 —
+larger grids fall back to the j-tiled r2 temporal kernel), s = tk = 8,
+vacuum media, single-chip layouts.  Validation mode carries the corr
+streams as a small (tk+s)-row Element window.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..params import Mode, Params
+from ..source import make_source_plan
+from ..state import UpdateCoefs
+from .pallas_fused import D, StrippedState, corr_width, dims
+from .pallas_temporal import (
+    HBM_BUDGET,
+    VMEM_BUDGET,
+    _curl_e,
+    _curl_h,
+    _iotas,
+    state_bytes,
+)
+
+TS = 8  # steps per sweep == tile rows (output lands exactly one block back)
+
+
+def stream_vmem_estimate(p: Params, s: int = TS) -> int:
+    """In/out tile pairs (double-buffered) + tails scratch + live levels."""
+    _, J1, Ib = dims(p)
+    item = jnp.dtype(p.dtype).itemsize
+    Ibp = -(-Ib // 128) * 128
+    io = 2 * 2 * 6 * s * J1 * Ibp * item          # in + out, double-buffered
+    tails = (s + 1) * 6 * J1 * Ibp * 4            # persistent fp32 scratch
+    live = 3 * 6 * (s + 1) * J1 * Ibp * 4         # ~3 levels of fp32 values
+    return io + tails + live
+
+
+def supported(p: Params, coefs: UpdateCoefs, sar: bool = False) -> bool:
+    """Vacuum, full-plane j, >=2 k-tiles, VMEM + ping-pong HBM headroom."""
+    if sar or not isinstance(coefs.ca_x, (int, float)) or coefs.ca_x != 1.0:
+        return False
+    S, _, _ = dims(p)
+    return (
+        (S - D) // TS >= 2
+        and stream_vmem_estimate(p) <= VMEM_BUDGET - 6 * 1024 * 1024
+        and 2.2 * state_bytes(p) < HBM_BUDGET
+    )
+
+
+def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, dwin, nk, *refs):
+    """One sweep step: advance all s levels by tk=s rows.
+
+    refs: koff, 6 input tiles, [chy, chz], [de2, dh2], 6 outputs,
+    then scratch: tex, tey, tez, thx, thy, thz — each (s+1, J, Ib) fp32
+    holding every level's retained top row from the previous grid step.
+    """
+    tk = s
+    koff_ref = refs[0]
+    ins = refs[1:7]
+    idx = 7
+    if use_corr:
+        chy_ref, chz_ref = refs[idx : idx + 2]
+        idx += 2
+    else:
+        chy_ref = chz_ref = None
+    if patch is not None:
+        de2_ref, dh2_ref = refs[idx : idx + 2]
+        idx += 2
+    else:
+        de2_ref = dh2_ref = None
+    outs = refs[idx : idx + 6]
+    tex, tey, tez, thx, thy, thz = refs[idx + 6 : idx + 12]
+
+    g = pl.program_id(0)
+    K, J = p.maxk, p.maxj
+    L0 = g * tk + koff_ref[0, 0]  # global k of the input block's first row
+
+    @pl.when(g == 0)
+    def _init():
+        z = jnp.zeros(tex.shape, tex.dtype)
+        tex[:] = z
+        tey[:] = z
+        tez[:] = z
+        thx[:] = z
+        thy[:] = z
+        thz[:] = z
+
+    st_dt = ins[0].dtype
+    cd = jnp.float32 if st_dt == jnp.bfloat16 else st_dt
+    cur_ex, cur_ey, cur_ez, cur_hx, cur_hy, cur_hz = (
+        r[:].astype(cd) for r in ins
+    )
+    if use_corr:
+        chy_w = chy_ref[:].astype(cd)  # rows [L0-s, L0+tk) of the corr bands
+        chz_w = chz_ref[:].astype(cd)
+    if patch is not None:
+        de2 = de2_ref[:].astype(cd)
+        dh2 = dh2_ref[:].astype(cd)
+        if dwin is not None:
+            row0, rows_w = dwin
+            full = cur_ex.shape[1]
+            padj = ((0, 0), (row0, full - row0 - rows_w), (0, 0))
+            de2 = jnp.pad(de2, padj)
+            dh2 = jnp.pad(dh2, padj)
+        j0, j1, i0, i1 = patch
+        jrow = jax.lax.broadcasted_iota(jnp.int32, cur_ex.shape[1:], 0)
+        mrow = (
+            (jrow >= j0)
+            & (jrow < j1)
+            & (jax.lax.broadcasted_iota(jnp.int32, cur_ex.shape[1:], 1) >= i0)
+            & (jax.lax.broadcasted_iota(jnp.int32, cur_ex.shape[1:], 1) < i1)
+        )
+
+    # snapshot ALL retained tails before any level overwrites them: level
+    # m+1 reads level m's PREVIOUS-step tail within this same grid step.
+    t_ex = [tex[m] for m in range(s + 1)]
+    t_ey = [tey[m] for m in range(s + 1)]
+    t_ez = [tez[m] for m in range(s + 1)]
+    t_hx = [thx[m] for m in range(s + 1)]
+    t_hy = [thy[m] for m in range(s + 1)]
+    t_hz = [thz[m] for m in range(s + 1)]
+
+    zr = jnp.zeros((), cd)
+
+    for m in range(1, s + 1):
+        o_m = L0 - m  # global k of this level's first updated row
+        # level m-1 extended rows [o_m, o_m + tk]: retained tail + tk fresh
+        ex_e = jnp.concatenate([t_ex[m - 1][None], cur_ex], axis=0)
+        ey_e = jnp.concatenate([t_ey[m - 1][None], cur_ey], axis=0)
+        ez_e = jnp.concatenate([t_ez[m - 1][None], cur_ez], axis=0)
+        hx_p = jnp.concatenate([t_hx[m - 1][None], cur_hx[: tk - 1]], axis=0)
+        hy_p = jnp.concatenate([t_hy[m - 1][None], cur_hy[: tk - 1]], axis=0)
+        hz_p = jnp.concatenate([t_hz[m - 1][None], cur_hz[: tk - 1]], axis=0)
+
+        if patch is not None and m >= 2:
+            # Source hard-set for step m, substituted into this level's
+            # INPUT VIEWS only.  The skewed schedule materializes a level's
+            # rows across several grid steps, so writing the drive into the
+            # stored level-(m-1) state would leak it into that level's own
+            # later-row updates (the reference injects at the *start of
+            # step m*, main.c:770-778; state m-1 itself never carries it).
+            # m == 1 reads the real state, injected outside the kernel.
+            gk_ev = jax.lax.broadcasted_iota(
+                jnp.int32, (tk + 1,) + cur_ex.shape[1:], 0
+            ) + o_m
+            m0e = (gk_ev == 0) & mrow[None, :, :]
+            ez_e = jnp.where(m0e, de2[m - 2][None, :, :], ez_e)
+            ex_e = jnp.where(m0e, zr, ex_e)
+            gk_hv = jax.lax.broadcasted_iota(
+                jnp.int32, (tk,) + cur_ex.shape[1:], 0
+            ) + o_m
+            m0h = (gk_hv == 0) & mrow[None, :, :]
+            hx_p = jnp.where(m0h, dh2[m - 2][None, :, :], hx_p)
+            hz_p = jnp.where(m0h, zr, hz_p)
+
+        # save level m-1's new tails (post-injection values from last level)
+        tex[m - 1] = cur_ex[tk - 1]
+        tey[m - 1] = cur_ey[tk - 1]
+        tez[m - 1] = cur_ez[tk - 1]
+        thx[m - 1] = cur_hx[tk - 1]
+        thy[m - 1] = cur_hy[tk - 1]
+        thz[m - 1] = cur_hz[tk - 1]
+
+        # ---- H^m on rows [o_m, o_m + tk) ----
+        gkh, jjh, lnh = _iotas((tk,) + cur_ex.shape[1:], o_m)
+        coff = None
+        if use_corr:
+            # corr window rows are [L0 - s, L0 + tk): row o_m at offset s - m
+            c0 = s - m
+            chy_m = chy_w[c0 : c0 + tk]
+            chz_m = chz_w[c0 : c0 + tk]
+        else:
+            chy_m = chz_m = None
+        m_hx, m_hy, m_hz, ix, iy, iz = _curl_h(
+            tk, f_h, Ib, W, lnh, gkh, jjh, K, J, patch,
+            ex_e[:tk], ex_e[1:], ey_e[:tk], ey_e[1:], ez_e[:tk],
+            chy_m, chz_m,
+        )
+        hx_n = jnp.where(m_hx, hx_p + ix, hx_p)
+        hy_n = jnp.where(m_hy, hy_p + iy, hy_p)
+        hz_n = jnp.where(m_hz, hz_p + iz, hz_p)
+
+        # ---- E^m on the same rows (needs own-level H tail at o_m - 1) ----
+        hx_x = jnp.concatenate([t_hx[m][None], hx_n], axis=0)
+        hy_x = jnp.concatenate([t_hy[m][None], hy_n], axis=0)
+        hz_x = jnp.concatenate([t_hz[m][None], hz_n], axis=0)
+        gke, jje, lne = _iotas((tk,) + cur_ex.shape[1:], o_m)
+        m_ex, m_ey, m_ez, jx, jy, jz = _curl_e(
+            f_e, gke, jje, lne, K, J,
+            hx_x[1:], hx_x[:tk], hy_x[1:], hy_x[:tk], hz_x[1:],
+        )
+        ex_n = jnp.where(m_ex, ex_e[:tk] + jx, ex_e[:tk])
+        ey_n = jnp.where(m_ey, ey_e[:tk] + jy, ey_e[:tk])
+        ez_n = jnp.where(m_ez, ez_e[:tk] + jz, ez_e[:tk])
+
+        cur_ex, cur_ey, cur_ez = ex_n, ey_n, ez_n
+        cur_hx, cur_hy, cur_hz = hx_n, hy_n, hz_n
+
+    # save level s's tails for the next step
+    tex[s] = cur_ex[tk - 1]
+    tey[s] = cur_ey[tk - 1]
+    tez[s] = cur_ez[tk - 1]
+    thx[s] = cur_hx[tk - 1]
+    thy[s] = cur_hy[tk - 1]
+    thz[s] = cur_hz[tk - 1]
+
+    vals = (cur_ex, cur_ey, cur_ez, cur_hx, cur_hy, cur_hz)
+
+    @pl.when(g == 0)
+    def _dead():
+        # the g=0 output lands in the last dead-slab block: keep it zero
+        for o in outs:
+            o[:] = jnp.zeros(o.shape, st_dt)
+
+    @pl.when(g > 0)
+    def _emit():
+        for o, v in zip(outs, vals):
+            o[:] = v.astype(st_dt)
+
+
+def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
+                      s: int = TS):
+    """The streaming sweep pallas_call (single-chip stripped layout).
+
+    Signature: call(koff, ex..hz, chy, chz, de2, dh2) -> 6 fields — the
+    same caller contract as pallas_temporal.build_temporal_call, so the
+    group-step driver is shared."""
+    S, J1, Ib = dims(p)
+    W = corr_width(Ib)
+    tk = s
+    ofs = D // tk
+    assert D % tk == 0 and (S - D) % tk == 0, (S, D, tk)
+    nk = (S - D) // tk
+    dtype = jnp.dtype(p.dtype)
+    compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
+    f_h = compute_dtype.type(coefs.h_factor)
+    f_e = compute_dtype.type(coefs.cb_x)
+    patch = None
+    dwin = None
+    if p.mode == Mode.COMPUTATION:
+        plan = make_source_plan(p)
+        patch = (plan.j0, plan.j1, plan.i0, plan.i1)
+        row0 = plan.j0 // 8 * 8
+        dwin = (row0, min(-(-(plan.j1 - row0) // 8) * 8, J1 - row0))
+    use_corr = p.mode != Mode.COMPUTATION
+    nd = max(s - 1, 1)
+
+    bulk_shape = jax.ShapeDtypeStruct((S, J1, Ib), dtype)
+    grid = (nk + 1,)  # one drain step finishes the top wedge
+
+    in_blk = pl.BlockSpec(
+        (tk, J1, Ib),
+        lambda g: (jnp.where(g < nk, g + ofs, 0), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_blk = pl.BlockSpec(
+        (tk, J1, Ib), lambda g: (g + ofs - 1, 0, 0), memory_space=pltpu.VMEM
+    )
+    # corr rows track the LEVELS (not the input block), so no drain clamp:
+    # the g=nk window overruns the array top by s rows, covered by padding
+    c_win = pl.BlockSpec(
+        (pl.Element(tk + s, (0, 2 * s)), pl.Element(J1), pl.Element(W)),
+        lambda g: ((g + ofs) * tk - s, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    drv_rows = dwin[1] if dwin is not None else J1
+    drv_spec = pl.BlockSpec((nd, drv_rows, Ib), lambda g: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
+
+    in_specs = (
+        [smem] + [in_blk] * 6
+        + ([c_win] * 2 if use_corr else [])
+        + ([drv_spec] * 2 if patch is not None else [])
+    )
+    tail = pltpu.VMEM((s + 1, J1, Ib), compute_dtype)
+    inner = pl.pallas_call(
+        functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, s, use_corr,
+                          dwin, nk),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[out_blk] * 6,
+        out_shape=(bulk_shape,) * 6,
+        scratch_shapes=[tail] * 6,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET),
+        interpret=interpret,
+    )
+
+    def call(koff, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2):
+        args = [koff, ex, ey, ez, hx, hy, hz]
+        if use_corr:
+            args += [chy, chz]
+        if patch is not None:
+            if dwin is not None:
+                row0, rows_w = dwin
+                de2 = de2[:, row0 : row0 + rows_w]
+                dh2 = dh2[:, row0 : row0 + rows_w]
+            args += [de2, dh2]
+        return inner(*args)
+
+    return call, nd
+
+
+def make_stream_pair_step(p: Params, coefs: UpdateCoefs,
+                          interpret: bool | None = None, s: int = TS):
+    """``group_step(state, xs_group) -> state`` advancing s=8 steps/sweep.
+
+    Same contract as pallas_temporal.make_temporal_pair_step at nj == 1
+    (no j-extension needed: full-plane only)."""
+    if not supported(p, coefs):
+        raise NotImplementedError("streaming kernel unsupported for this config")
+    assert s == TS, s
+    if interpret is None:
+        dd = jax.config.jax_default_device
+        interpret = (dd.platform != "tpu") if dd is not None else (jax.default_backend() != "tpu")
+
+    S, J1, Ib = dims(p)
+    dtype = jnp.dtype(p.dtype)
+    f_h32 = jnp.float32(coefs.h_factor)
+    inject = p.mode == Mode.COMPUTATION
+    plan = make_source_plan(p) if inject else None
+    call, nd = build_stream_call(p, coefs, interpret, s=s)
+
+    K, J = p.maxk, p.maxj
+    zoff = np.zeros((1, 1), np.int32)
+    zero_drv = np.zeros((nd, J1, Ib), dtype)
+
+    def drive_patch(amp):
+        amp_j = jnp.asarray(amp)
+        prof_row = jnp.asarray(plan.profile, dtype=jnp.result_type(amp_j))
+        row = amp_j * prof_row
+        npj, ni = plan.j1 - plan.j0, len(plan.profile)
+        return jnp.broadcast_to(row[None, :], (npj, ni))
+
+    def inject_state(st: StrippedState, pv) -> StrippedState:
+        zero = jnp.zeros_like(pv).astype(dtype)
+        sl = (D, slice(plan.j0, plan.j1), slice(plan.i0, plan.i1))
+        return dataclasses.replace(
+            st,
+            ez=st.ez.at[sl].set(pv.astype(dtype)),
+            ex=st.ex.at[sl].set(zero),
+            hz=st.hz.at[sl].set(zero),
+            hx=st.hx.at[sl].set((-plan.inv_z_te * pv).astype(dtype)),
+        )
+
+    def group_step(st: StrippedState, xs_group) -> StrippedState:
+        ts_g, amps_g = xs_group
+        if inject:
+            st = inject_state(st, drive_patch(amps_g[0]))
+            sl = (slice(0, nd), slice(plan.j0, plan.j1), slice(plan.i0, plan.i1))
+            pvs = jnp.stack([drive_patch(amps_g[m]) for m in range(1, s)])
+            de2 = jnp.asarray(zero_drv).at[sl].set(pvs.astype(dtype))
+            dh2 = jnp.asarray(zero_drv).at[sl].set((-plan.inv_z_te * pvs).astype(dtype))
+        else:
+            de2 = dh2 = jnp.asarray(zero_drv)
+        ex, ey, ez, hx, hy, hz = call(
+            jnp.asarray(zoff), st.ex, st.ey, st.ez, st.hx, st.hy, st.hz,
+            st.corr_hy, st.corr_hz, de2, dh2,
+        )
+        ey_s2 = st.ey_s[:, :, 0]
+        ez_s2 = st.ez_s[:, :, 0]
+        sl2 = (slice(D, D + K), slice(0, J))
+        curl = (ey_s2[D + 1 : D + K + 1, :J] - ey_s2[sl2]) - (
+            ez_s2[D : D + K, 1 : J + 1] - ez_s2[sl2]
+        )
+        hx_s = st.hx_s
+        for _ in range(s):
+            hx_s = hx_s.at[sl2[0], sl2[1], 0].add((f_h32 * curl).astype(st.hx_s.dtype))
+        return dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
+
+    group_step.nj = 1
+    return group_step

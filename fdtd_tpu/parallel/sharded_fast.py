@@ -52,6 +52,7 @@ from ..ops.pallas_fused import (
         "ex", "ey", "ez", "hx", "hy", "hz", "corr_hy", "corr_hz",
         "ey_s", "ez_s", "hx_s",
         "ca_x", "ca_y", "ca_z", "cb_x", "cb_y", "cb_z",
+        "hf_x", "hf_y", "hf_z", "hfx_s",
     ],
     meta_fields=[],
 )
@@ -78,6 +79,10 @@ class ShardedFastState:
     cb_x: jax.Array | None = None
     cb_y: jax.Array | None = None
     cb_z: jax.Array | None = None
+    hf_x: jax.Array | None = None  # heterogeneous-mu H factors (per-shard)
+    hf_y: jax.Array | None = None
+    hf_z: jax.Array | None = None
+    hfx_s: jax.Array | None = None  # replicated strip-column factor
 
 
 def _geometry(p: Params, n: int):
@@ -146,6 +151,12 @@ def to_sharded_fast(
             ca_x=emb(st.ca_x), ca_y=emb(st.ca_y), ca_z=emb(st.ca_z),
             cb_x=emb(st.cb_x), cb_y=emb(st.cb_y), cb_z=emb(st.cb_z),
         )
+    if st.hf_x is not None:
+        out = dataclasses.replace(
+            out,
+            hf_x=emb(st.hf_x), hf_y=emb(st.hf_y), hf_z=emb(st.hf_z),
+            hfx_s=jax.device_put(st.hfx_s, rep),
+        )
     return out
 
 
@@ -184,6 +195,8 @@ def make_sharded_fast_step(p: Params, mesh: Mesh, interpret: bool | None = None,
     n = mesh.shape["z"]
     coefs = update_coefs(p, materials)
     lossy = not isinstance(coefs.ca_x, (int, float))
+    het = coefs.heterogeneous_mu
+    n_e_cf = 6 if lossy else 0
     S_c, J1p, Ib, K1, Klp, S_sh = _geometry(p, n)
     tk = tile_k(p, lossy)
     nk_local = Klp // tk
@@ -210,7 +223,7 @@ def make_sharded_fast_step(p: Params, mesh: Mesh, interpret: bool | None = None,
         ex = lax.dynamic_update_slice_in_dim(ex, ex_h, D + Klp, axis=0)
         ey = lax.dynamic_update_slice_in_dim(ey, ey_h, D + Klp, axis=0)
 
-        hx, hy, hz = h_call(koff2, ex, ey, ez, hx, hy, hz, chy, chz)
+        hx, hy, hz = h_call(koff2, ex, ey, ez, hx, hy, hz, chy, chz, *cf[n_e_cf:])
 
         # bottom H halo: previous shard's last physical Hx/Hy rows -> row D-1
         hx_last = lax.slice_in_dim(hx, D + Klp - 1, D + Klp, axis=0)
@@ -220,7 +233,7 @@ def make_sharded_fast_step(p: Params, mesh: Mesh, interpret: bool | None = None,
         hx = lax.dynamic_update_slice_in_dim(hx, hx_h, D - 1, axis=0)
         hy = lax.dynamic_update_slice_in_dim(hy, hy_h, D - 1, axis=0)
 
-        ex, ey, ez = e_call(koff2, hx, hy, hz, ex, ey, ez, *cf)
+        ex, ey, ez = e_call(koff2, hx, hy, hz, ex, ey, ez, *cf[:n_e_cf])
         return ex, ey, ez, hx, hy, hz
 
     def shard_body(ex, ey, ez, hx, hy, hz, chy, chz, *cf):
@@ -231,7 +244,7 @@ def make_sharded_fast_step(p: Params, mesh: Mesh, interpret: bool | None = None,
         return local_step(koff2, ex, ey, ez, hx, hy, hz, chy, chz, *cf)
 
     bspec = P("z", None, None)
-    n_in = 8 + (6 if lossy else 0)
+    n_in = 8 + n_e_cf + (3 if het else 0)
     smap = jax.shard_map(
         shard_body,
         mesh=mesh,
@@ -263,7 +276,7 @@ def make_sharded_fast_step(p: Params, mesh: Mesh, interpret: bool | None = None,
             (st.ca_x, st.ca_y, st.ca_z, st.cb_x, st.cb_y, st.cb_z)
             if lossy
             else ()
-        )
+        ) + ((st.hf_x, st.hf_y, st.hf_z) if het else ())
         ex, ey, ez, hx, hy, hz = smap(
             st.ex, st.ey, st.ez, st.hx, st.hy, st.hz, st.corr_hy, st.corr_hz, *cf
         )
@@ -274,7 +287,8 @@ def make_sharded_fast_step(p: Params, mesh: Mesh, interpret: bool | None = None,
         curl = (ey_s2[D + 1 : D + K + 1, :J] - ey_s2[sl]) - (
             ez_s2[D : D + K, 1 : J + 1] - ez_s2[sl]
         )
-        hx_s = st.hx_s.at[sl[0], sl[1], 0].add((f_h * curl).astype(st.hx_s.dtype))
+        fh_s = st.hfx_s[sl[0], sl[1], 0] if het else f_h
+        hx_s = st.hx_s.at[sl[0], sl[1], 0].add((fh_s * curl).astype(st.hx_s.dtype))
         return dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
 
     return step
@@ -449,6 +463,12 @@ def to_sharded_fast_2d(p: Params, s: FieldState, mesh: Mesh, coefs=None) -> Shar
             ca_x=emb(st.ca_x), ca_y=emb(st.ca_y), ca_z=emb(st.ca_z),
             cb_x=emb(st.cb_x), cb_y=emb(st.cb_y), cb_z=emb(st.cb_z),
         )
+    if st.hf_x is not None:
+        out = dataclasses.replace(
+            out,
+            hf_x=emb(st.hf_x), hf_y=emb(st.hf_y), hf_z=emb(st.hf_z),
+            hfx_s=jax.device_put(st.hfx_s, rep),
+        )
     return out
 
 
@@ -503,6 +523,8 @@ def make_sharded_fast_2d_step(p: Params, mesh: Mesh, interpret: bool | None = No
         )
     coefs = update_coefs(p, materials)
     lossy = not isinstance(coefs.ca_x, (int, float))
+    het = coefs.heterogeneous_mu
+    n_e_cf = 6 if lossy else 0
     S_c, J1p, Ib, K1, J1, Klp, S_sh, Jlp, Jt_sh = _geometry2d(p, nz, ny)
     tk = tile_k(p, lossy)
     nk_local = Klp // tk
@@ -554,7 +576,7 @@ def make_sharded_fast_2d_step(p: Params, mesh: Mesh, interpret: bool | None = No
             arr = lax.dynamic_update_slice_in_dim(arr, h, DJ2 + Jlp, axis=1)
             ez, ex = (arr, ex) if name == "ez" else (ez, arr)
 
-        hx, hy, hz = h_call(koff2, ex, ey, ez, hx, hy, hz, chy, chz)
+        hx, hy, hz = h_call(koff2, ex, ey, ez, hx, hy, hz, chy, chz, *cf[n_e_cf:])
 
         # k halos: previous shard's last physical Hx/Hy rows -> row D-1
         for name, arr in (("hx", hx), ("hy", hy)):
@@ -569,11 +591,11 @@ def make_sharded_fast_2d_step(p: Params, mesh: Mesh, interpret: bool | None = No
             arr = lax.dynamic_update_slice_in_dim(arr, h, DJ2 - 1, axis=1)
             hz, hx = (arr, hx) if name == "hz" else (hz, arr)
 
-        ex, ey, ez = e_call(koff2, hx, hy, hz, ex, ey, ez, *cf)
+        ex, ey, ez = e_call(koff2, hx, hy, hz, ex, ey, ez, *cf[:n_e_cf])
         return ex, ey, ez, hx, hy, hz
 
     bspec = P("z", "y", None)
-    n_in = 8 + (6 if lossy else 0)
+    n_in = 8 + n_e_cf + (3 if het else 0)
     smap = jax.shard_map(
         shard_body,
         mesh=mesh,
@@ -605,7 +627,7 @@ def make_sharded_fast_2d_step(p: Params, mesh: Mesh, interpret: bool | None = No
             (st.ca_x, st.ca_y, st.ca_z, st.cb_x, st.cb_y, st.cb_z)
             if lossy
             else ()
-        )
+        ) + ((st.hf_x, st.hf_y, st.hf_z) if het else ())
         ex, ey, ez, hx, hy, hz = smap(
             st.ex, st.ey, st.ez, st.hx, st.hy, st.hz, st.corr_hy, st.corr_hz, *cf
         )
@@ -615,7 +637,8 @@ def make_sharded_fast_2d_step(p: Params, mesh: Mesh, interpret: bool | None = No
         curl = (ey_s2[D + 1 : D + K + 1, :J] - ey_s2[sl]) - (
             ez_s2[D : D + K, 1 : J + 1] - ez_s2[sl]
         )
-        hx_s = st.hx_s.at[sl[0], sl[1], 0].add((f_h * curl).astype(st.hx_s.dtype))
+        fh_s = st.hfx_s[sl[0], sl[1], 0] if het else f_h
+        hx_s = st.hx_s.at[sl[0], sl[1], 0].add((fh_s * curl).astype(st.hx_s.dtype))
         return dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
 
     return step

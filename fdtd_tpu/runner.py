@@ -60,31 +60,33 @@ def resolve_backend(
     """Resolve "auto" and fall back from unsupported combinations with a notice.
 
     "auto" picks the fastest supported path for the platform: on TPU,
-    pallas_temporal when the config supports it, else pallas_fused; off-TPU
-    (tests/debug), the jnp xla path (the Pallas kernels only interpret
-    there).  pallas_temporal is vacuum-only (fp32 or bf16) and cannot
-    accumulate per-step power (it advances several steps per HBM sweep);
-    such runs use pallas_fused, which supports lossy media and SAR.
-    Heterogeneous mu_r needs the per-component H factors only the xla
-    backend applies.
+    pallas_temporal when the config supports it (vacuum both modes; lossy
+    media incl. SAR in computation mode), else pallas_fused — which covers
+    everything else, including heterogeneous mu_r (r3: the H pass streams
+    per-component face-averaged factors); off-TPU (tests/debug), the jnp
+    xla path (the Pallas kernels only interpret there).
     """
+    from .ops.pallas_stream import supported as stream_supported
     from .ops.pallas_temporal import supported
     from .state import update_coefs as _uc
 
-    het_mu = materials is not None and getattr(materials, "mu_r", None) is not None
+    coefs = _uc(p, materials)
     if backend == "auto":
-        if not _on_tpu() or het_mu:
+        if not _on_tpu():
             return "xla"
-        if not supported(p, _uc(p, materials), sar=accumulate_power):
-            return "pallas_fused"
+        if stream_supported(p, coefs, sar=accumulate_power):
+            return "pallas_stream"  # r3 headline: 30.3/41.4 G at 256^3
+        if not supported(p, coefs, sar=accumulate_power):
+            return "pallas_fused"  # incl. heterogeneous mu_r (r3: fast-path support)
         return "pallas_temporal"
-    if backend != "xla" and het_mu:
-        log(
-            "notice: heterogeneous mu_r is only supported on the xla "
-            "backend; falling back from "
-            f"{backend}"
-        )
-        return "xla"
+    if backend == "pallas_stream":
+        if not stream_supported(p, coefs, sar=accumulate_power):
+            log(
+                "notice: the streaming kernel needs vacuum media and "
+                "full-plane VMEM windows; falling back to pallas_temporal"
+            )
+            return resolve_backend(p, "pallas_temporal", materials,
+                                   accumulate_power, log)
     if backend == "pallas_temporal":
         if not supported(p, _uc(p, materials), sar=accumulate_power):
             log(
@@ -130,8 +132,9 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
       feasible windows), else the two-pass Pallas fast path;
     - "pallas_temporal"/"pallas_fused": as named (temporal falls back to
       the fast path with a notice when unsupported);
-    - "xla": the pure-jnp shard_map path (ground truth; also the only
-      sharded path for heterogeneous mu_r and for float64).
+    - "xla": the pure-jnp shard_map path (ground truth under sharding;
+      also the float64 path).  Heterogeneous mu_r runs on the fast paths
+      too (r3).
 
     With ``accumulate_power`` (Pallas paths): the SAR accumulator is kept
     sharded across chunks' scan, converted to/from the runner's canonical
@@ -160,11 +163,10 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
         )
     mesh = make_mesh(n, (nz, ny, 1), devices=devs[:n])
 
-    het_mu = materials is not None and getattr(materials, "mu_r", None) is not None
     lossy = materials is not None
     eff = backend
     if eff == "auto":
-        if het_mu or jnp.dtype(p.dtype) == jnp.float64:
+        if jnp.dtype(p.dtype) == jnp.float64:
             eff = "xla"
         elif (
             not lossy
@@ -173,16 +175,16 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
         ):
             eff = "pallas_temporal"
         else:
-            eff = "pallas_fused"
+            eff = "pallas_fused"  # incl. heterogeneous mu_r (r3)
     elif eff == "pallas":
         log("notice: --shard has no 'pallas' path; using pallas_fused")
         eff = "pallas_fused"
-    elif eff != "xla" and het_mu:
+    elif eff == "pallas_stream":
         log(
-            "notice: heterogeneous mu_r shards only on the xla path; "
-            f"--backend {eff} ignored"
+            "notice: the streaming kernel is single-chip; --shard uses the "
+            "temporal composition instead"
         )
-        eff = "xla"
+        eff = "pallas_temporal"
     if eff == "pallas_temporal" and (lossy or accumulate_power):
         log(
             "notice: sharded pallas_temporal is vacuum-only without --sar; "

@@ -241,6 +241,39 @@ def make_chunk_runner(
 
         return run_groups_lossy
 
+    if backend == "pallas_stream":
+        # streaming wavefront kernel (ops/pallas_stream.py): s=8 steps per
+        # sweep at the 48+48 B/cell traffic floor, zero recompute
+        from .ops.pallas_stream import TS, make_stream_pair_step
+
+        group_step = make_stream_pair_step(p, coefs)
+        odd_step = make_step(p, coefs=coefs, backend="pallas_fused")
+        sgrp = TS
+        if accumulate_power:
+            raise NotImplementedError("pallas_stream is vacuum-only (no SAR)")
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run_stream(s, xs, power_acc=None):
+            ts, amps = xs
+            n = ts.shape[0]
+            n_grp = n // sgrp
+            if n_grp:
+                gts = (
+                    ts[: sgrp * n_grp].reshape(n_grp, sgrp),
+                    amps[: sgrp * n_grp].reshape(n_grp, sgrp),
+                )
+
+                def body(s, x):
+                    return group_step(s, x), None
+
+                s, _ = jax.lax.scan(body, s, gts)
+            for r in range(n % sgrp):
+                idx = sgrp * n_grp + r
+                s = odd_step(s, (ts[idx], amps[idx]))
+            return s, power_acc
+
+        return run_stream
+
     if backend == "pallas_temporal":
         # two steps per HBM sweep (ops/pallas_temporal.py); odd trailing step
         # falls back to one two-pass step.  Uses the same StrippedState.
@@ -374,7 +407,7 @@ def backend_adapters(p: Params, backend: str, materials: Materials | None = None
         return (lambda s: pad_state_k(p, s)), (
             lambda s: jax.tree.map(lambda a: a[:K1], s)
         )
-    if backend in ("pallas_fused", "pallas_temporal"):
+    if backend in ("pallas_fused", "pallas_temporal", "pallas_stream"):
         from .ops.pallas_fused import to_full, to_stripped
 
         coefs = update_coefs(p, materials) if materials is not None else None

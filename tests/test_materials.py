@@ -160,3 +160,71 @@ def test_sar_fast_backend_matches_xla(tiny_params):
         np.asarray(acc_f), np.asarray(acc_x), atol=1e-12, rtol=1e-5
     )
     assert float(np.asarray(acc_f).max()) > 0
+
+
+def _ferrite_water_scene(p):
+    """Heterogeneous eps, sigma AND mu: a water block plus a ferrite slab."""
+    import numpy as np
+
+    from fdtd_tpu.state import Materials
+
+    K, J, I = p.maxk, p.maxj, p.maxi
+    er = np.ones((K, J, I))
+    sg = np.zeros((K, J, I))
+    mu = np.ones((K, J, I))
+    er[2 : K - 2, 2 : J - 2, 2 : I - 2] = 20.0
+    sg[2 : K - 2, 2 : J - 2, 2 : I - 2] = 0.8
+    mu[K // 2 :, : J // 2, :] = 4.0  # ferrite slab
+    return Materials(eps_r=er, sigma=sg, mu_r=mu)
+
+
+def test_het_mu_fast_backend_matches_xla(tiny_params):
+    """Heterogeneous mu_r on the two-pass fast path (VERDICT r2 next #4):
+    per-component face-averaged H factors streamed in the H pass match the
+    xla ground truth."""
+    import dataclasses
+
+    import jax
+
+    from fdtd_tpu.params import Mode, time_values
+    from fdtd_tpu.step import backend_adapters, make_chunk_runner, scan_inputs
+    from fdtd_tpu.state import zeros
+
+    p = dataclasses.replace(tiny_params, dtype="float32", mode=Mode.COMPUTATION)
+    mats = _ferrite_water_scene(p)
+    xs = scan_inputs(p, time_values(p)[:9])
+    run_x = make_chunk_runner(p, mats, backend="xla")
+    want, _ = run_x(zeros(p), xs, None)
+    run_f = make_chunk_runner(p, mats, backend="pallas_fused")
+    prep, rest = backend_adapters(p, "pallas_fused", mats)
+    got = rest(run_f(prep(zeros(p)), xs, None)[0])
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, c)), np.asarray(getattr(want, c)),
+            atol=2e-7, rtol=0, err_msg=c,
+        )
+
+
+def test_het_mu_sharded_fast_matches_single(tiny_params, tmp_path):
+    """Heterogeneous mu_r through run_simulation --shard (1-D and 2x2):
+    the sharded fast path carries the hf slabs per shard."""
+    import dataclasses
+
+    from fdtd_tpu.io.vtr import read_vtr_cell_arrays
+    from fdtd_tpu.params import Mode
+    from fdtd_tpu.runner import run_simulation
+
+    p = dataclasses.replace(tiny_params, dtype="float32",
+                            mode=Mode.COMPUTATION, sampling_rate=10)
+    mats = _ferrite_water_scene(p)
+    run_simulation(p, out_dir=str(tmp_path / "one"), materials=mats,
+                   backend="pallas_fused", log=lambda s: None)
+    for spec, sub in [("4", "z4"), ("2x2", "zy")]:
+        notices = []
+        run_simulation(p, out_dir=str(tmp_path / sub), materials=mats,
+                       shard=spec, backend="pallas_fused", log=notices.append)
+        assert not any("mu_r" in m for m in notices), notices
+        a = read_vtr_cell_arrays(str(tmp_path / "one" / "result0020.vtr"))
+        b = read_vtr_cell_arrays(str(tmp_path / sub / "result0020.vtr"))
+        for k in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=f"{spec}/{k}")
