@@ -47,14 +47,7 @@ from ..params import Mode, Params
 from ..source import make_source_plan
 from ..state import UpdateCoefs
 from .pallas_fused import D, StrippedState, corr_width, dims
-from .pallas_temporal import (
-    HBM_BUDGET,
-    VMEM_BUDGET,
-    _curl_e,
-    _curl_h,
-    _iotas,
-    state_bytes,
-)
+from .pallas_temporal import HBM_BUDGET, VMEM_BUDGET, state_bytes
 
 TS = 8  # steps per sweep == tile rows (output lands exactly one block back)
 
@@ -157,6 +150,21 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, dwin, nk, *refs):
 
     zr = jnp.zeros((), cd)
 
+    # --- hoisted 2-D masks (identical for every level and grid step) ---
+    # the per-level masks then cost one broadcast AND instead of fresh 3-D
+    # iotas + compares 2*s times per grid step (VPU is the limiter here)
+    plane = cur_ex.shape[1:]
+    jj2 = jax.lax.broadcasted_iota(jnp.int32, plane, 0)
+    ln2 = jax.lax.broadcasted_iota(jnp.int32, plane, 1)
+    jm_j = (jj2 < J)[None]                      # Hx/Hz row bound
+    jm_ex = ((jj2 >= 1) & (jj2 < J))[None]
+    jm_ey = ((jj2 < J) & (ln2 >= 1))[None]
+    jm_ez = ((jj2 >= 1) & (jj2 < J) & (ln2 >= 1))[None]
+    last_lane = (ln2 == Ib - 1)[None]
+
+    def krow(lo, n):
+        return (jax.lax.broadcasted_iota(jnp.int32, (n, 1, 1), 0) + lo)
+
     for m in range(1, s + 1):
         o_m = L0 - m  # global k of this level's first updated row
         # level m-1 extended rows [o_m, o_m + tk]: retained tail + tk fresh
@@ -175,16 +183,10 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, dwin, nk, *refs):
             # later-row updates (the reference injects at the *start of
             # step m*, main.c:770-778; state m-1 itself never carries it).
             # m == 1 reads the real state, injected outside the kernel.
-            gk_ev = jax.lax.broadcasted_iota(
-                jnp.int32, (tk + 1,) + cur_ex.shape[1:], 0
-            ) + o_m
-            m0e = (gk_ev == 0) & mrow[None, :, :]
+            m0e = (krow(o_m, tk + 1) == 0) & mrow[None, :, :]
             ez_e = jnp.where(m0e, de2[m - 2][None, :, :], ez_e)
             ex_e = jnp.where(m0e, zr, ex_e)
-            gk_hv = jax.lax.broadcasted_iota(
-                jnp.int32, (tk,) + cur_ex.shape[1:], 0
-            ) + o_m
-            m0h = (gk_hv == 0) & mrow[None, :, :]
+            m0h = m0e[:tk]
             hx_p = jnp.where(m0h, dh2[m - 2][None, :, :], hx_p)
             hz_p = jnp.where(m0h, zr, hz_p)
 
@@ -197,33 +199,62 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, dwin, nk, *refs):
         thz[m - 1] = cur_hz[tk - 1]
 
         # ---- H^m on rows [o_m, o_m + tk) ----
-        gkh, jjh, lnh = _iotas((tk,) + cur_ex.shape[1:], o_m)
-        coff = None
+        kv = krow(o_m, tk)
+        k_lt_K = kv < K
+        ex0, ex1 = ex_e[:tk], ex_e[1:]
+        ey0, ey1 = ey_e[:tk], ey_e[1:]
+        ez0 = ez_e[:tk]
+        ey_px = jnp.where(last_lane, zr, jnp.roll(ey0, -1, axis=2))
+        ez_px = jnp.where(last_lane, zr, jnp.roll(ez0, -1, axis=2))
+        ez_py = jnp.roll(ez0, -1, axis=1)
+        ex_py = jnp.roll(ex0, -1, axis=1)
+        inc_hx = (ey1 - ey0) - (ez_py - ez0)
+        inc_hy = (ez_px - ez0) - (ex1 - ex0)
+        inc_hz = (ex_py - ex0) - (ey_px - ey0)
         if use_corr:
             # corr window rows are [L0 - s, L0 + tk): row o_m at offset s - m
             c0 = s - m
-            chy_m = chy_w[c0 : c0 + tk]
-            chz_m = chz_w[c0 : c0 + tk]
+            if W == Ib:
+                inc_hy = inc_hy + chy_w[c0 : c0 + tk]
+                inc_hz = inc_hz + chz_w[c0 : c0 + tk]
+            else:
+                inc_hy = jnp.concatenate(
+                    [inc_hy[:, :, : Ib - W],
+                     inc_hy[:, :, Ib - W :] + chy_w[c0 : c0 + tk]], axis=2)
+                inc_hz = jnp.concatenate(
+                    [inc_hz[:, :, : Ib - W],
+                     inc_hz[:, :, Ib - W :] + chz_w[c0 : c0 + tk]], axis=2)
+        if patch is not None:
+            # exclusion only on the k == 0 plane (QUIRKS #4 semantics)
+            not_p = ~((kv == 0) & mrow[None])
+            m_hx = k_lt_K & jm_j & not_p
+            m_hz = (kv < K + 1) & jm_j & not_p
         else:
-            chy_m = chz_m = None
-        m_hx, m_hy, m_hz, ix, iy, iz = _curl_h(
-            tk, f_h, Ib, W, lnh, gkh, jjh, K, J, patch,
-            ex_e[:tk], ex_e[1:], ey_e[:tk], ey_e[1:], ez_e[:tk],
-            chy_m, chz_m,
-        )
-        hx_n = jnp.where(m_hx, hx_p + ix, hx_p)
-        hy_n = jnp.where(m_hy, hy_p + iy, hy_p)
-        hz_n = jnp.where(m_hz, hz_p + iz, hz_p)
+            m_hx = k_lt_K & jm_j
+            m_hz = (kv < K + 1) & jm_j
+        m_hy = jnp.broadcast_to(k_lt_K, hx_p.shape)
+        hx_n = jnp.where(m_hx, hx_p + f_h * inc_hx, hx_p)
+        hy_n = jnp.where(m_hy, hy_p + f_h * inc_hy, hy_p)
+        hz_n = jnp.where(m_hz, hz_p + f_h * inc_hz, hz_p)
 
         # ---- E^m on the same rows (needs own-level H tail at o_m - 1) ----
         hx_x = jnp.concatenate([t_hx[m][None], hx_n], axis=0)
         hy_x = jnp.concatenate([t_hy[m][None], hy_n], axis=0)
         hz_x = jnp.concatenate([t_hz[m][None], hz_n], axis=0)
-        gke, jje, lne = _iotas((tk,) + cur_ex.shape[1:], o_m)
-        m_ex, m_ey, m_ez, jx, jy, jz = _curl_e(
-            f_e, gke, jje, lne, K, J,
-            hx_x[1:], hx_x[:tk], hy_x[1:], hy_x[:tk], hz_x[1:],
-        )
+        hx0, hx_m1 = hx_x[1:], hx_x[:tk]
+        hy0, hy_m1 = hy_x[1:], hy_x[:tk]
+        hz0 = hz_x[1:]
+        hz_my = jnp.roll(hz0, 1, axis=1)
+        hz_mx = jnp.roll(hz0, 1, axis=2)
+        hy_mx = jnp.roll(hy0, 1, axis=2)
+        hx_my = jnp.roll(hx0, 1, axis=1)
+        k_in = (kv >= 1) & k_lt_K
+        m_ex = k_in & jm_ex
+        m_ey = k_in & jm_ey
+        m_ez = k_lt_K & jm_ez
+        jx = f_e * ((hz0 - hz_my) - (hy0 - hy_m1))
+        jy = f_e * ((hx0 - hx_m1) - (hz0 - hz_mx))
+        jz = f_e * ((hy0 - hy_mx) - (hx0 - hx_my))
         ex_n = jnp.where(m_ex, ex_e[:tk] + jx, ex_e[:tk])
         ey_n = jnp.where(m_ey, ey_e[:tk] + jy, ey_e[:tk])
         ez_n = jnp.where(m_ez, ez_e[:tk] + jz, ez_e[:tk])
