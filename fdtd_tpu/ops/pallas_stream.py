@@ -26,10 +26,14 @@ recompute).  Source semantics, masks, and arithmetic are identical to
 ops/pallas_temporal (same _curl helpers) — bit-class parity with the
 two-pass and xla paths.
 
-Restrictions (v1): full-plane j windows (256^3-class fp32, 384^3 bf16 —
-larger grids fall back to the j-tiled r2 temporal kernel), s = tk = 8,
-vacuum media, single-chip layouts.  Validation mode carries the corr
-streams as a small (tk+s)-row Element window.
+Restrictions: full-plane j windows (256^3-class fp32, 384^3 bf16 — larger
+grids fall back to the j-tiled r2 temporal kernel), s = tk = 8, single-chip
+layouts.  Validation mode carries the corr streams as a small (tk+s)-row
+Element window.  Lossy media (homogeneous mu, computation mode) stream the
+six ca/cb coefficient arrays as (tk+s)-row Element windows — the heating
+workload without SAR; SAR accumulation stays on the lossy temporal kernel
+(a cell row's s per-step contributions straddle two grid steps in the
+skewed schedule).
 """
 
 from __future__ import annotations
@@ -52,35 +56,52 @@ from .pallas_temporal import HBM_BUDGET, VMEM_BUDGET, state_bytes
 TS = 8  # steps per sweep == tile rows (output lands exactly one block back)
 
 
-def stream_vmem_estimate(p: Params, s: int = TS) -> int:
+def stream_vmem_estimate(p: Params, s: int = TS, lossy: bool = False) -> int:
     """In/out tile pairs (double-buffered) + tails scratch + live levels."""
     _, J1, Ib = dims(p)
     item = jnp.dtype(p.dtype).itemsize
     Ibp = -(-Ib // 128) * 128
     io = 2 * 2 * 6 * s * J1 * Ibp * item          # in + out, double-buffered
+    if lossy:
+        io += 2 * 6 * (2 * s) * J1 * Ibp * item   # ca/cb Element windows
     tails = (s + 1) * 6 * J1 * Ibp * 4            # persistent fp32 scratch
     live = 3 * 6 * (s + 1) * J1 * Ibp * 4         # ~3 levels of fp32 values
     return io + tails + live
 
 
 def supported(p: Params, coefs: UpdateCoefs, sar: bool = False) -> bool:
-    """Vacuum, full-plane j, >=2 k-tiles, VMEM + ping-pong HBM headroom."""
-    if sar or not isinstance(coefs.ca_x, (int, float)) or coefs.ca_x != 1.0:
+    """Full-plane j, >=2 k-tiles, VMEM + ping-pong HBM headroom.
+
+    Vacuum in both modes; lossy media (homogeneous mu, no SAR) in
+    computation mode stream the six ca/cb windows.  SAR runs stay on the
+    lossy temporal kernel (the skewed schedule spreads a cell row's s
+    per-step contributions over two grid steps; not implemented)."""
+    if sar or coefs.heterogeneous_mu:
+        return False
+    lossy = not isinstance(coefs.ca_x, (int, float))
+    if lossy:
+        if p.mode != Mode.COMPUTATION:
+            return False
+    elif coefs.ca_x != 1.0:
         return False
     S, _, _ = dims(p)
+    need = 2.2 * state_bytes(p) * (1 + (7 / 6 if lossy else 0))
     return (
         (S - D) // TS >= 2
-        and stream_vmem_estimate(p) <= VMEM_BUDGET - 6 * 1024 * 1024
-        and 2.2 * state_bytes(p) < HBM_BUDGET
+        and stream_vmem_estimate(p, lossy=lossy) <= VMEM_BUDGET - 6 * 1024 * 1024
+        and need < HBM_BUDGET
     )
 
 
-def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, dwin, nk, *refs):
+def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, dwin, nk,
+            *refs):
     """One sweep step: advance all s levels by tk=s rows.
 
-    refs: koff, 6 input tiles, [chy, chz], [de2, dh2], 6 outputs,
-    then scratch: tex, tey, tez, thx, thy, thz — each (s+1, J, Ib) fp32
-    holding every level's retained top row from the previous grid step.
+    refs: koff, 6 input tiles, [chy, chz], [de2, dh2],
+    [cax, cay, caz, cbx, cby, cbz when lossy — Element windows covering
+    every level's E rows], 6 outputs, then scratch: tex, tey, tez, thx,
+    thy, thz — each (s+1, J, Ib) holding every level's retained top row
+    from the previous grid step.
     """
     tk = s
     koff_ref = refs[0]
@@ -96,6 +117,9 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, dwin, nk, *refs):
         idx += 2
     else:
         de2_ref = dh2_ref = None
+    if lossy:
+        coef_refs = refs[idx : idx + 6]
+        idx += 6
     outs = refs[idx : idx + 6]
     tex, tey, tez, thx, thy, thz = refs[idx + 6 : idx + 12]
 
@@ -121,6 +145,11 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, dwin, nk, *refs):
     if use_corr:
         chy_w = chy_ref[:].astype(cd)  # rows [L0-s, L0+tk) of the corr bands
         chz_w = chz_ref[:].astype(cd)
+    if lossy:
+        # ca/cb rows [L0-s, L0+tk): every level's E rows live in here
+        caxw, cayw, cazw, cbxw, cbyw, cbzw = (
+            r[:].astype(cd) for r in coef_refs
+        )
     if patch is not None:
         de2 = de2_ref[:].astype(cd)
         dh2 = dh2_ref[:].astype(cd)
@@ -252,12 +281,21 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, dwin, nk, *refs):
         m_ex = k_in & jm_ex
         m_ey = k_in & jm_ey
         m_ez = k_lt_K & jm_ez
-        jx = f_e * ((hz0 - hz_my) - (hy0 - hy_m1))
-        jy = f_e * ((hx0 - hx_m1) - (hz0 - hz_mx))
-        jz = f_e * ((hy0 - hy_mx) - (hx0 - hx_my))
-        ex_n = jnp.where(m_ex, ex_e[:tk] + jx, ex_e[:tk])
-        ey_n = jnp.where(m_ey, ey_e[:tk] + jy, ey_e[:tk])
-        ez_n = jnp.where(m_ez, ez_e[:tk] + jz, ez_e[:tk])
+        curl_x = (hz0 - hz_my) - (hy0 - hy_m1)
+        curl_y = (hx0 - hx_m1) - (hz0 - hz_mx)
+        curl_z = (hy0 - hy_mx) - (hx0 - hx_my)
+        if lossy:
+            co = slice(s - m, s - m + tk)  # this level's rows in the window
+            ex_n = jnp.where(m_ex, caxw[co] * ex_e[:tk] + cbxw[co] * curl_x,
+                             ex_e[:tk])
+            ey_n = jnp.where(m_ey, cayw[co] * ey_e[:tk] + cbyw[co] * curl_y,
+                             ey_e[:tk])
+            ez_n = jnp.where(m_ez, cazw[co] * ez_e[:tk] + cbzw[co] * curl_z,
+                             ez_e[:tk])
+        else:
+            ex_n = jnp.where(m_ex, ex_e[:tk] + f_e * curl_x, ex_e[:tk])
+            ey_n = jnp.where(m_ey, ey_e[:tk] + f_e * curl_y, ey_e[:tk])
+            ez_n = jnp.where(m_ez, ez_e[:tk] + f_e * curl_z, ez_e[:tk])
 
         cur_ex, cur_ey, cur_ez = ex_n, ey_n, ez_n
         cur_hx, cur_hy, cur_hz = hx_n, hy_n, hz_n
@@ -299,8 +337,9 @@ def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
     nk = (S - D) // tk
     dtype = jnp.dtype(p.dtype)
     compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
+    lossy = not isinstance(coefs.ca_x, (int, float))
     f_h = compute_dtype.type(coefs.h_factor)
-    f_e = compute_dtype.type(coefs.cb_x)
+    f_e = compute_dtype.type(0.0) if lossy else compute_dtype.type(coefs.cb_x)
     patch = None
     dwin = None
     if p.mode == Mode.COMPUTATION:
@@ -334,15 +373,21 @@ def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
 
+    coef_win = pl.BlockSpec(
+        (pl.Element(tk + s, (0, 2 * s)), pl.Element(J1), pl.Element(Ib)),
+        lambda g: ((g + ofs) * tk - s, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     in_specs = (
         [smem] + [in_blk] * 6
         + ([c_win] * 2 if use_corr else [])
         + ([drv_spec] * 2 if patch is not None else [])
+        + ([coef_win] * 6 if lossy else [])
     )
     tail = pltpu.VMEM((s + 1, J1, Ib), compute_dtype)
     inner = pl.pallas_call(
         functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, s, use_corr,
-                          dwin, nk),
+                          lossy, dwin, nk),
         grid=grid,
         in_specs=in_specs,
         out_specs=[out_blk] * 6,
@@ -352,7 +397,7 @@ def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
         interpret=interpret,
     )
 
-    def call(koff, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2):
+    def call(koff, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2, *coef6):
         args = [koff, ex, ey, ez, hx, hy, hz]
         if use_corr:
             args += [chy, chz]
@@ -362,6 +407,8 @@ def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
                 de2 = de2[:, row0 : row0 + rows_w]
                 dh2 = dh2[:, row0 : row0 + rows_w]
             args += [de2, dh2]
+        if lossy:
+            args += list(coef6)
         return inner(*args)
 
     return call, nd
@@ -375,6 +422,7 @@ def make_stream_pair_step(p: Params, coefs: UpdateCoefs,
     (no j-extension needed: full-plane only)."""
     if not supported(p, coefs):
         raise NotImplementedError("streaming kernel unsupported for this config")
+    lossy = not isinstance(coefs.ca_x, (int, float))
     assert s == TS, s
     if interpret is None:
         dd = jax.config.jax_default_device
@@ -419,9 +467,13 @@ def make_stream_pair_step(p: Params, coefs: UpdateCoefs,
             dh2 = jnp.asarray(zero_drv).at[sl].set((-plan.inv_z_te * pvs).astype(dtype))
         else:
             de2 = dh2 = jnp.asarray(zero_drv)
+        coef6 = (
+            (st.ca_x, st.ca_y, st.ca_z, st.cb_x, st.cb_y, st.cb_z)
+            if lossy else ()
+        )
         ex, ey, ez, hx, hy, hz = call(
             jnp.asarray(zoff), st.ex, st.ey, st.ez, st.hx, st.hy, st.hz,
-            st.corr_hy, st.corr_hz, de2, dh2,
+            st.corr_hy, st.corr_hz, de2, dh2, *coef6,
         )
         ey_s2 = st.ey_s[:, :, 0]
         ez_s2 = st.ez_s[:, :, 0]

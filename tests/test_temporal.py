@@ -267,3 +267,22 @@ def test_stream_matches_xla(tiny_params, mode):
     xs16 = scan_inputs(p, time_values(p)[:16])
     out, _ = run2(st, xs16, None)
     assert float(np.abs(np.asarray(out.ez[:_D])).max()) == 0.0
+
+
+def test_stream_lossy_matches_twopass(tiny_params):
+    """Lossy streaming kernel (r3): ca/cb Element windows in the skewed
+    pipeline match the two-pass lossy path."""
+    from fdtd_tpu.state import water_block
+
+    p = dataclasses.replace(tiny_params, dtype="float32", mode=Mode.COMPUTATION)
+    mats = water_block(p, lo=(0.2, 0.2, 0.2), hi=(0.8, 0.8, 0.8))
+    run_ref = make_chunk_runner(p, mats, backend="pallas_fused")
+    run_st = make_chunk_runner(p, mats, backend="pallas_stream")
+    prep, rest = backend_adapters(p, "pallas_fused", mats)
+    xs = scan_inputs(p, time_values(p)[:19])  # 2 sweeps + 3 odd steps
+    want = rest(run_ref(prep(zeros(p)), xs, None)[0])
+    got = rest(run_st(prep(zeros(p)), xs, None)[0])
+    for c in COMPONENTS:
+        g = np.asarray(getattr(got, c))[:, :, : p.maxi]
+        w = np.asarray(getattr(want, c))[:, :, : p.maxi]
+        np.testing.assert_allclose(g, w, atol=1e-6, rtol=0, err_msg=c)
