@@ -56,7 +56,8 @@ from .pallas_temporal import HBM_BUDGET, VMEM_BUDGET, state_bytes
 TS = 8  # steps per sweep == tile rows (output lands exactly one block back)
 
 
-def stream_vmem_estimate(p: Params, s: int = TS, lossy: bool = False) -> int:
+def stream_vmem_estimate(p: Params, s: int = TS, lossy: bool = False,
+                         sar: bool = False) -> int:
     """In/out tile pairs (double-buffered) + tails scratch + live levels."""
     _, J1, Ib = dims(p)
     item = jnp.dtype(p.dtype).itemsize
@@ -64,7 +65,12 @@ def stream_vmem_estimate(p: Params, s: int = TS, lossy: bool = False) -> int:
     io = 2 * 2 * 6 * s * J1 * Ibp * item          # in + out, double-buffered
     if lossy:
         io += 2 * 6 * (2 * s) * J1 * Ibp * item   # ca/cb Element windows
+    if sar:
+        io += 2 * (3 * s) * J1 * Ibp * item       # sigma Element window
+        io += 2 * 2 * s * J1 * Ibp * 4            # acc in/out fp32 tiles
     tails = (s + 1) * 6 * J1 * Ibp * 4            # persistent fp32 scratch
+    if sar:
+        tails += 3 * s * J1 * Ibp * 4             # rolling accumulator band
     live = 3 * 6 * (s + 1) * J1 * Ibp * 4         # ~3 levels of fp32 values
     return io + tails + live
 
@@ -72,11 +78,13 @@ def stream_vmem_estimate(p: Params, s: int = TS, lossy: bool = False) -> int:
 def supported(p: Params, coefs: UpdateCoefs, sar: bool = False) -> bool:
     """Full-plane j, >=2 k-tiles, VMEM + ping-pong HBM headroom.
 
-    Vacuum in both modes; lossy media (homogeneous mu, no SAR) in
-    computation mode stream the six ca/cb windows.  SAR runs stay on the
-    lossy temporal kernel (the skewed schedule spreads a cell row's s
-    per-step contributions over two grid steps; not implemented)."""
-    if sar or coefs.heterogeneous_mu:
+    Vacuum in both modes; lossy media (homogeneous mu) in computation
+    mode stream the six ca/cb windows.  SAR composes with lossy: the
+    skewed schedule spreads a cell row's s per-step contributions over
+    two grid steps, handled by a rolling 3*tk-row fp32 accumulator band
+    in scratch (see _kernel docstring); when its VMEM cost doesn't fit
+    (e.g. 256^3 fp32), resolve_backend falls back to lossy temporal."""
+    if coefs.heterogeneous_mu:
         return False
     lossy = not isinstance(coefs.ca_x, (int, float))
     if lossy:
@@ -84,24 +92,36 @@ def supported(p: Params, coefs: UpdateCoefs, sar: bool = False) -> bool:
             return False
     elif coefs.ca_x != 1.0:
         return False
+    if sar and not lossy:
+        return False  # vacuum has no dissipation
     S, _, _ = dims(p)
     need = 2.2 * state_bytes(p) * (1 + (7 / 6 if lossy else 0))
     return (
         (S - D) // TS >= 2
-        and stream_vmem_estimate(p, lossy=lossy) <= VMEM_BUDGET - 6 * 1024 * 1024
+        and stream_vmem_estimate(p, lossy=lossy, sar=sar)
+        <= VMEM_BUDGET - (0 if sar else 6 * 1024 * 1024)
         and need < HBM_BUDGET
     )
 
 
-def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, dwin, nk,
-            *refs):
+def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
+            dt_step, dwin, nk, *refs):
     """One sweep step: advance all s levels by tk=s rows.
 
     refs: koff, 6 input tiles, [chy, chz], [de2, dh2],
     [cax, cay, caz, cbx, cby, cbz when lossy — Element windows covering
-    every level's E rows], 6 outputs, then scratch: tex, tey, tez, thx,
-    thy, thz — each (s+1, J, Ib) holding every level's retained top row
-    from the previous grid step.
+    every level's E rows], [sigma, acc_in when sar], 6 outputs [+ acc_out],
+    then scratch: tex, tey, tez, thx, thy, thz — each (s+1, J, Ib) holding
+    every level's retained top row from the previous grid step
+    [+ accb, the rolling 3*tk-row SAR band].
+
+    SAR in the skewed schedule: level m's per-step contribution for cell
+    row r (needs E^m rows r, r+1) lands at the grid step where those rows
+    materialize — different steps for different m.  The band accumulates
+    sigma*|E_cell|^2*dt at band row r - (g-2)*tk; cell block g-2 is
+    complete at step g (level s's bottom row is its last contribution) and
+    is emitted as acc_in + band[:tk]; the band then shifts down one block.
+    One extra drain step (grid nk+2) emits the final block.
     """
     tk = s
     koff_ref = refs[0]
@@ -120,8 +140,18 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, dwin, nk,
     if lossy:
         coef_refs = refs[idx : idx + 6]
         idx += 6
+    if sar:
+        sg_ref, accin_ref = refs[idx : idx + 2]
+        idx += 2
     outs = refs[idx : idx + 6]
-    tex, tey, tez, thx, thy, thz = refs[idx + 6 : idx + 12]
+    idx += 6
+    if sar:
+        oacc = refs[idx]
+        idx += 1
+    tex, tey, tez, thx, thy, thz = refs[idx : idx + 6]
+    if sar:
+        accb = refs[idx + 6]
+        sring = refs[idx + 7]
 
     g = pl.program_id(0)
     K, J = p.maxk, p.maxj
@@ -136,6 +166,9 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, dwin, nk,
         thx[:] = z
         thy[:] = z
         thz[:] = z
+        if sar:
+            accb[:] = jnp.zeros(accb.shape, jnp.float32)
+            sring[:] = jnp.zeros(sring.shape, jnp.float32)
 
     st_dt = ins[0].dtype
     cd = jnp.float32 if st_dt == jnp.bfloat16 else st_dt
@@ -150,6 +183,12 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, dwin, nk,
         caxw, cayw, cazw, cbxw, cbyw, cbzw = (
             r[:].astype(cd) for r in coef_refs
         )
+    if sar:
+        sg_blk = sg_ref[:].astype(jnp.float32)  # cells [g*tk, (g+1)*tk)
+        # full band-aligned sigma: cells [(g-2)tk, (g+1)tk)
+        sg_w = jnp.concatenate([sring[:], sg_blk], axis=0)
+        band = accb[:]                          # same rows, fp32
+        dt_f = jnp.float32(dt_step)
     if patch is not None:
         de2 = de2_ref[:].astype(cd)
         dh2 = dh2_ref[:].astype(cd)
@@ -297,6 +336,39 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, dwin, nk,
             ey_n = jnp.where(m_ey, ey_e[:tk] + f_e * curl_y, ey_e[:tk])
             ez_n = jnp.where(m_ez, ez_e[:tk] + f_e * curl_z, ez_e[:tk])
 
+        if sar:
+            # cell rows [o_m - 1, o_m + tk - 1): E^m = own old tail + fresh
+            exs = jnp.concatenate([t_ex[m][None], ex_n], axis=0)
+            eys = jnp.concatenate([t_ey[m][None], ey_n], axis=0)
+            ezs = jnp.concatenate([t_ez[m][None], ez_n], axis=0)
+            a, b = exs[:tk], exs[1:]
+            mex = 0.25 * (a + b + jnp.roll(a, -1, axis=1) + jnp.roll(b, -1, axis=1))
+            a, b = eys[:tk], eys[1:]
+            a_i = jnp.where(last_lane, zr, jnp.roll(a, -1, axis=2))
+            b_i = jnp.where(last_lane, zr, jnp.roll(b, -1, axis=2))
+            mey = 0.25 * (a + a_i + b + b_i)
+            a = ezs[:tk]
+            a_j = jnp.roll(a, -1, axis=1)
+            a_i = jnp.where(last_lane, zr, jnp.roll(a, -1, axis=2))
+            a_ji = jnp.where(last_lane, zr, jnp.roll(a_j, -1, axis=2))
+            mez = 0.25 * (a + a_j + a_i + a_ji)
+            kv_c = krow(o_m - 1, tk)
+            m_sar = (kv_c >= 0) & (kv_c < K) & jm_j
+            b0 = 2 * tk - m - 1  # band row of cell row o_m - 1
+            inc = sg_w[b0 : b0 + tk] * (
+                (mex * mex).astype(jnp.float32)
+                + (mey * mey).astype(jnp.float32)
+                + (mez * mez).astype(jnp.float32)
+            )
+            inc = jnp.where(m_sar, inc * dt_f, jnp.float32(0.0))
+            # static-offset add (Mosaic has no scatter-add): pad to band rows
+            tail_sh = (3 * tk - b0 - tk,) + inc.shape[1:]
+            band = band + jnp.concatenate(
+                [jnp.zeros((b0,) + inc.shape[1:], jnp.float32), inc,
+                 jnp.zeros(tail_sh, jnp.float32)],
+                axis=0,
+            )
+
         cur_ex, cur_ey, cur_ez = ex_n, ey_n, ez_n
         cur_hx, cur_hy, cur_hz = hx_n, hy_n, hz_n
 
@@ -316,14 +388,29 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, dwin, nk,
         for o in outs:
             o[:] = jnp.zeros(o.shape, st_dt)
 
-    @pl.when(g > 0)
+    @pl.when((g > 0) & (g <= nk))
     def _emit():
         for o, v in zip(outs, vals):
             o[:] = v.astype(st_dt)
 
+    if sar:
+        # emit cell block g-2 (complete at step g), shift the band down
+        @pl.when(g >= 2)
+        def _emit_acc():
+            oacc[:] = accin_ref[:] + band[:tk]
+
+        @pl.when(g < 2)
+        def _emit_acc_dead():
+            oacc[:] = jnp.zeros(oacc.shape, jnp.float32)
+
+        accb[:] = jnp.concatenate(
+            [band[tk:], jnp.zeros((tk,) + band.shape[1:], jnp.float32)], axis=0
+        )
+        sring[:] = sg_w[tk:]  # ring shifts one block per step
+
 
 def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
-                      s: int = TS):
+                      s: int = TS, sar: bool = False):
     """The streaming sweep pallas_call (single-chip stripped layout).
 
     Signature: call(koff, ex..hz, chy, chz, de2, dh2) -> 6 fields — the
@@ -351,7 +438,10 @@ def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
     nd = max(s - 1, 1)
 
     bulk_shape = jax.ShapeDtypeStruct((S, J1, Ib), dtype)
-    grid = (nk + 1,)  # one drain step finishes the top wedge
+    acc_shape = jax.ShapeDtypeStruct((S, J1, Ib), jnp.float32)
+    # one drain step finishes the field wedge; SAR needs a second for the
+    # final accumulator block (see _kernel docstring)
+    grid = (nk + 2,) if sar else (nk + 1,)
 
     in_blk = pl.BlockSpec(
         (tk, J1, Ib),
@@ -359,7 +449,22 @@ def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
         memory_space=pltpu.VMEM,
     )
     out_blk = pl.BlockSpec(
-        (tk, J1, Ib), lambda g: (g + ofs - 1, 0, 0), memory_space=pltpu.VMEM
+        (tk, J1, Ib),
+        lambda g: (jnp.minimum(g, nk) + ofs - 1, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    acc_blk = pl.BlockSpec(
+        (tk, J1, Ib),
+        lambda g: (jnp.maximum(g + ofs - 2, ofs - 1), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    # sigma arrives one Blocked tile per step; the previous two blocks ride
+    # in a scratch ring so the 3*tk-row band alignment needs no negative
+    # window starts (cells below 0 are genuine ring zeros)
+    sg_win = pl.BlockSpec(
+        (tk, J1, Ib),
+        lambda g: (jnp.minimum(g, nk - 1) + ofs, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     # corr rows track the LEVELS (not the input block), so no drain clamp:
     # the g=nk window overruns the array top by s rows, covered by padding
@@ -375,7 +480,7 @@ def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
 
     coef_win = pl.BlockSpec(
         (pl.Element(tk + s, (0, 2 * s)), pl.Element(J1), pl.Element(Ib)),
-        lambda g: ((g + ofs) * tk - s, 0, 0),
+        lambda g: ((jnp.minimum(g, nk) + ofs) * tk - s, 0, 0),
         memory_space=pltpu.VMEM,
     )
     in_specs = (
@@ -383,21 +488,35 @@ def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
         + ([c_win] * 2 if use_corr else [])
         + ([drv_spec] * 2 if patch is not None else [])
         + ([coef_win] * 6 if lossy else [])
+        + ([sg_win, acc_blk] if sar else [])
     )
+    n_in = len(in_specs)
+    out_specs = [out_blk] * 6 + ([acc_blk] if sar else [])
+    out_shape = (bulk_shape,) * 6 + ((acc_shape,) if sar else ())
+    # the accumulator tile aliases its output (each block written once per
+    # sweep; read-before-write within a grid step); fields must ping-pong
+    aliases = {} if (interpret or not sar) else {n_in - 1: 6}
     tail = pltpu.VMEM((s + 1, J1, Ib), compute_dtype)
+    scratch = [tail] * 6 + (
+        [pltpu.VMEM((3 * tk, J1, Ib), jnp.float32),   # accumulator band
+         pltpu.VMEM((2 * tk, J1, Ib), jnp.float32)]   # sigma ring (2 blocks)
+        if sar else []
+    )
     inner = pl.pallas_call(
         functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, s, use_corr,
-                          lossy, dwin, nk),
+                          lossy, sar, p.time_step, dwin, nk),
         grid=grid,
         in_specs=in_specs,
-        out_specs=[out_blk] * 6,
-        out_shape=(bulk_shape,) * 6,
-        scratch_shapes=[tail] * 6,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET),
         interpret=interpret,
     )
 
-    def call(koff, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2, *coef6):
+    def call(koff, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2, *coef6,
+             sigma=None, acc=None):
         args = [koff, ex, ey, ez, hx, hy, hz]
         if use_corr:
             args += [chy, chz]
@@ -409,18 +528,24 @@ def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
             args += [de2, dh2]
         if lossy:
             args += list(coef6)
+        if sar:
+            args += [sigma, acc]
         return inner(*args)
 
     return call, nd
 
 
 def make_stream_pair_step(p: Params, coefs: UpdateCoefs,
-                          interpret: bool | None = None, s: int = TS):
-    """``group_step(state, xs_group) -> state`` advancing s=8 steps/sweep.
+                          interpret: bool | None = None, s: int = TS,
+                          accumulate_power: bool = False):
+    """``group_step(state, xs_group) -> state`` advancing s=8 steps/sweep;
+    with ``accumulate_power``: ``((state, acc), xs) -> (state, acc)`` where
+    acc is fp32 in the storage layout (pallas_temporal.embed_power_acc at
+    nj=1).
 
     Same contract as pallas_temporal.make_temporal_pair_step at nj == 1
     (no j-extension needed: full-plane only)."""
-    if not supported(p, coefs):
+    if not supported(p, coefs, sar=accumulate_power):
         raise NotImplementedError("streaming kernel unsupported for this config")
     lossy = not isinstance(coefs.ca_x, (int, float))
     assert s == TS, s
@@ -433,7 +558,8 @@ def make_stream_pair_step(p: Params, coefs: UpdateCoefs,
     f_h32 = jnp.float32(coefs.h_factor)
     inject = p.mode == Mode.COMPUTATION
     plan = make_source_plan(p) if inject else None
-    call, nd = build_stream_call(p, coefs, interpret, s=s)
+    call, nd = build_stream_call(p, coefs, interpret, s=s,
+                                 sar=accumulate_power)
 
     K, J = p.maxk, p.maxj
     zoff = np.zeros((1, 1), np.int32)
@@ -457,7 +583,7 @@ def make_stream_pair_step(p: Params, coefs: UpdateCoefs,
             hx=st.hx.at[sl].set((-plan.inv_z_te * pv).astype(dtype)),
         )
 
-    def group_step(st: StrippedState, xs_group) -> StrippedState:
+    def advance(st: StrippedState, acc, xs_group):
         ts_g, amps_g = xs_group
         if inject:
             st = inject_state(st, drive_patch(amps_g[0]))
@@ -471,10 +597,16 @@ def make_stream_pair_step(p: Params, coefs: UpdateCoefs,
             (st.ca_x, st.ca_y, st.ca_z, st.cb_x, st.cb_y, st.cb_z)
             if lossy else ()
         )
-        ex, ey, ez, hx, hy, hz = call(
+        outs = call(
             jnp.asarray(zoff), st.ex, st.ey, st.ez, st.hx, st.hy, st.hz,
             st.corr_hy, st.corr_hz, de2, dh2, *coef6,
+            sigma=st.sigma_c if accumulate_power else None,
+            acc=acc,
         )
+        if accumulate_power:
+            ex, ey, ez, hx, hy, hz, acc = outs
+        else:
+            ex, ey, ez, hx, hy, hz = outs
         ey_s2 = st.ey_s[:, :, 0]
         ez_s2 = st.ez_s[:, :, 0]
         sl2 = (slice(D, D + K), slice(0, J))
@@ -484,7 +616,16 @@ def make_stream_pair_step(p: Params, coefs: UpdateCoefs,
         hx_s = st.hx_s
         for _ in range(s):
             hx_s = hx_s.at[sl2[0], sl2[1], 0].add((f_h32 * curl).astype(st.hx_s.dtype))
-        return dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
+        st = dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
+        return st, acc
+
+    if accumulate_power:
+        def group_step(carry, xs_group):
+            st, acc = carry
+            return advance(st, acc, xs_group)
+    else:
+        def group_step(st, xs_group):
+            return advance(st, None, xs_group)[0]
 
     group_step.nj = 1
     return group_step

@@ -82,8 +82,9 @@ def resolve_backend(
     if backend == "pallas_stream":
         if not stream_supported(p, coefs, sar=accumulate_power):
             log(
-                "notice: the streaming kernel needs vacuum media and "
-                "full-plane VMEM windows; falling back to pallas_temporal"
+                "notice: the streaming kernel needs homogeneous mu and "
+                "full-plane VMEM windows (lossy media/SAR need computation "
+                "mode); falling back to pallas_temporal"
             )
             return resolve_backend(p, "pallas_temporal", materials,
                                    accumulate_power, log)

@@ -243,33 +243,53 @@ def make_chunk_runner(
 
     if backend == "pallas_stream":
         # streaming wavefront kernel (ops/pallas_stream.py): s=8 steps per
-        # sweep at the 48+48 B/cell traffic floor, zero recompute
+        # sweep at the traffic floor, zero recompute; optional in-kernel
+        # SAR via a rolling accumulator band
         from .ops.pallas_stream import TS, make_stream_pair_step
+        from .ops.pallas_temporal import (
+            D as _D,
+            crop_power_acc,
+            embed_power_acc,
+        )
 
-        group_step = make_stream_pair_step(p, coefs)
+        group_step = make_stream_pair_step(
+            p, coefs, accumulate_power=accumulate_power
+        )
         odd_step = make_step(p, coefs=coefs, backend="pallas_fused")
         sgrp = TS
-        if accumulate_power:
-            raise NotImplementedError("pallas_stream is vacuum-only (no SAR)")
+        K, J = p.maxk, p.maxj
 
         @functools.partial(jax.jit, donate_argnums=(0,))
         def run_stream(s, xs, power_acc=None):
             ts, amps = xs
             n = ts.shape[0]
             n_grp = n // sgrp
+            if accumulate_power:
+                acc_st = embed_power_acc(p, power_acc, 1)
             if n_grp:
                 gts = (
                     ts[: sgrp * n_grp].reshape(n_grp, sgrp),
                     amps[: sgrp * n_grp].reshape(n_grp, sgrp),
                 )
+                if accumulate_power:
+                    def body2(carry, x):
+                        return group_step(carry, x), None
 
-                def body(s, x):
-                    return group_step(s, x), None
+                    (s, acc_st), _ = jax.lax.scan(body2, (s, acc_st), gts)
+                else:
+                    def body(s, x):
+                        return group_step(s, x), None
 
-                s, _ = jax.lax.scan(body, s, gts)
+                    s, _ = jax.lax.scan(body, s, gts)
+            if accumulate_power:
+                power_acc = crop_power_acc(p, acc_st, 1)
             for r in range(n % sgrp):
                 idx = sgrp * n_grp + r
                 s = odd_step(s, (ts[idx], amps[idx]))
+                if accumulate_power:
+                    sg = s.sigma_c[_D : _D + K, :J]
+                    inc = diagnostics.power_deposition_stripped(p, s, sg)
+                    power_acc = power_acc + (inc * dt_step).astype(power_acc.dtype)
             return s, power_acc
 
         return run_stream

@@ -286,3 +286,52 @@ def test_stream_lossy_matches_twopass(tiny_params):
         g = np.asarray(getattr(got, c))[:, :, : p.maxi]
         w = np.asarray(getattr(want, c))[:, :, : p.maxi]
         np.testing.assert_allclose(g, w, atol=1e-6, rtol=0, err_msg=c)
+
+
+def test_stream_bf16_matches_xla(tiny_params):
+    """bf16 streaming kernel tracks the bf16 xla path (fp32 VMEM tails,
+    one storage rounding per sweep — same contract as temporal bf16)."""
+    p = dataclasses.replace(
+        tiny_params, dtype="bfloat16", mode=Mode.COMPUTATION,
+        simulation_time=8e-12,
+    )
+    s0 = zeros(p)
+    run_ref = make_chunk_runner(p)
+    run_st = make_chunk_runner(p, backend="pallas_stream")
+    prep, rest = backend_adapters(p, "pallas_stream")
+    xs = scan_inputs(p, time_values(p)[:8])
+    want, _ = run_ref(s0, xs, None)
+    got = rest(run_st(prep(s0), xs, None)[0])
+    for c in COMPONENTS:
+        g = np.asarray(getattr(got, c), np.float32)[:, :, : p.maxi]
+        w = np.asarray(getattr(want, c), np.float32)[:, :, : p.maxi]
+        scale = max(np.max(np.abs(w)), 1e-30)
+        assert np.max(np.abs(g - w)) <= 2e-2 * scale, c
+
+
+def test_stream_lossy_sar_matches_twopass(tiny_params):
+    """SAR in the streaming kernel (rolling accumulator band) matches the
+    per-step jnp accumulation of the two-pass path."""
+    from fdtd_tpu.state import water_block
+    from fdtd_tpu.step import zero_power_acc
+
+    p = dataclasses.replace(tiny_params, dtype="float32", mode=Mode.COMPUTATION)
+    mats = water_block(p, lo=(0.2, 0.2, 0.2), hi=(0.8, 0.8, 0.8))
+    run_ref = make_chunk_runner(p, mats, backend="pallas_fused",
+                                accumulate_power=True)
+    run_st = make_chunk_runner(p, mats, backend="pallas_stream",
+                               accumulate_power=True)
+    prep, rest = backend_adapters(p, "pallas_fused", mats)
+    xs = scan_inputs(p, time_values(p)[:19])  # 2 sweeps + 3 odd steps
+    want, acc_w = run_ref(prep(zeros(p)), xs, zero_power_acc(p))
+    got, acc_g = run_st(prep(zeros(p)), xs, zero_power_acc(p))
+    wantf, gotf = rest(want), rest(got)
+    for c in COMPONENTS:
+        g = np.asarray(getattr(gotf, c))[:, :, : p.maxi]
+        w = np.asarray(getattr(wantf, c))[:, :, : p.maxi]
+        np.testing.assert_allclose(g, w, atol=1e-6, rtol=0, err_msg=c)
+    np.testing.assert_allclose(
+        np.asarray(acc_g), np.asarray(acc_w), rtol=2e-5, atol=1e-30,
+        err_msg="SAR accumulator",
+    )
+    assert float(np.asarray(acc_g).max()) > 0

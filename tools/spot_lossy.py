@@ -1,7 +1,8 @@
 #!/usr/bin/env python
-"""On-device spot check: lossy (+SAR) temporal vs two-pass at n^3.
+"""On-device spot check: lossy (+SAR) fast kernel vs two-pass at n^3.
 
 Usage: python tools/spot_lossy.py [n] [steps] [s]
+Env: FDTD_SPOT_BACKEND=pallas_temporal|pallas_stream (default temporal)
 """
 
 import os
@@ -38,15 +39,22 @@ p = Params(length=n * dx, width=n * dx, height=n * dx, spatial_step=dx,
            time_step=1e-12, simulation_time=steps * 1e-12,
            sampling_rate=10**9, mode=Mode.COMPUTATION, dtype="float32",
            source=SourceConfig())
-mats = water_block(p)
+blk = os.environ.get("FDTD_SPOT_BLOCK")  # "lo,hi" fractions
+if blk:
+    lo_f, hi_f = (float(x) for x in blk.split(","))
+    mats = water_block(p, lo=(lo_f,) * 3, hi=(hi_f,) * 3)
+else:
+    mats = water_block(p)
 xs = scan_inputs(p, time_values(p)[:steps])
 prep, rest = backend_adapters(p, "pallas_fused", mats)
 
-for sar in (False, True):
+cases = (True,) if os.environ.get("FDTD_SPOT_SAR_ONLY") else (False, True)
+for sar in cases:
     acc0 = zero_power_acc(p) if sar else None
     run_ref = make_chunk_runner(p, mats, backend="pallas_fused", accumulate_power=sar)
     want, acc_w = run_ref(jax.block_until_ready(prep(zeros(p))), xs, acc0)
-    run_tmp = make_chunk_runner(p, mats, backend="pallas_temporal", accumulate_power=sar)
+    spot_backend = os.environ.get("FDTD_SPOT_BACKEND", "pallas_temporal")
+    run_tmp = make_chunk_runner(p, mats, backend=spot_backend, accumulate_power=sar)
     got, acc_g = run_tmp(jax.block_until_ready(prep(zeros(p))), xs, acc0)
     wantf, gotf = rest(want), rest(got)
     worst = 0.0
