@@ -26,14 +26,15 @@ recompute).  Source semantics, masks, and arithmetic are identical to
 ops/pallas_temporal (same _curl helpers) — bit-class parity with the
 two-pass and xla paths.
 
-Restrictions: full-plane j windows (256^3-class fp32, 384^3 bf16 — larger
-grids fall back to the j-tiled r2 temporal kernel), s = tk = 8, single-chip
-layouts.  Validation mode carries the corr streams as a small (tk+s)-row
-Element window.  Lossy media (homogeneous mu, computation mode) stream the
-six ca/cb coefficient arrays as (tk+s)-row Element windows — the heating
-workload without SAR; SAR accumulation stays on the lossy temporal kernel
-(a cell row's s per-step contributions straddle two grid steps in the
-skewed schedule).
+Restrictions: full-plane j windows (larger grids fall back to the j-tiled
+r2 temporal kernel), s = tk in {8, 4} (pick_s takes the largest whose VMEM
+plan fits — s=4 is what admits 256^3 fp32 lossy/SAR and 384^3 fp32
+vacuum), single-chip layouts.  Validation mode carries the corr streams as
+a small (tk+s)-row Element window.  Lossy media (homogeneous mu,
+computation mode) stream the six ca/cb coefficient arrays as (tk+s)-row
+Element windows — the heating workload; SAR rides a rolling 3*tk-row fp32
+accumulator band in scratch (a cell row's s per-step contributions
+straddle two grid steps in the skewed schedule).
 """
 
 from __future__ import annotations
@@ -75,37 +76,53 @@ def stream_vmem_estimate(p: Params, s: int = TS, lossy: bool = False,
     return io + tails + live
 
 
-def supported(p: Params, coefs: UpdateCoefs, sar: bool = False) -> bool:
-    """Full-plane j, >=2 k-tiles, VMEM + ping-pong HBM headroom.
+def pick_s(p: Params, coefs: UpdateCoefs, sar: bool = False) -> int | None:
+    """Largest feasible steps-per-sweep (8, else 4), or None.
+
+    Smaller s trades throughput (per-step traffic and ramp scale ~1/s)
+    for VMEM: every window/tail is s rows deep, so halving s roughly
+    halves the plan — s=4 is what lets 256^3 fp32 lossy(+SAR) and
+    384^3 fp32 vacuum stream at all (s=8 plans exceed the 128 MB VMEM).
 
     Vacuum in both modes; lossy media (homogeneous mu) in computation
     mode stream the six ca/cb windows.  SAR composes with lossy: the
     skewed schedule spreads a cell row's s per-step contributions over
     two grid steps, handled by a rolling 3*tk-row fp32 accumulator band
-    in scratch (see _kernel docstring); when its VMEM cost doesn't fit
-    (e.g. 256^3 fp32), resolve_backend falls back to lossy temporal."""
+    in scratch (see _kernel docstring); when no plan fits,
+    resolve_backend falls back to lossy temporal."""
     if coefs.heterogeneous_mu:
-        return False
+        return None
     lossy = not isinstance(coefs.ca_x, (int, float))
     if lossy:
         if p.mode != Mode.COMPUTATION:
-            return False
+            return None
     elif coefs.ca_x != 1.0:
-        return False
+        return None
     if sar and not lossy:
-        return False  # vacuum has no dissipation
+        return None  # vacuum has no dissipation
     S, _, _ = dims(p)
     need = 2.2 * state_bytes(p) * (1 + (7 / 6 if lossy else 0))
-    return (
-        (S - D) // TS >= 2
-        and stream_vmem_estimate(p, lossy=lossy, sar=sar)
-        <= VMEM_BUDGET - (0 if sar else 6 * 1024 * 1024)
-        and need < HBM_BUDGET
-    )
+    if need >= HBM_BUDGET:
+        return None
+    for s in (TS, TS // 2):
+        if (
+            D % s == 0
+            and (S - D) % s == 0
+            and (S - D) // s >= 2
+            and stream_vmem_estimate(p, s=s, lossy=lossy, sar=sar)
+            <= VMEM_BUDGET - (0 if sar else 6 * 1024 * 1024)
+        ):
+            return s
+    return None
+
+
+def supported(p: Params, coefs: UpdateCoefs, sar: bool = False) -> bool:
+    """True when some streaming plan fits — see pick_s."""
+    return pick_s(p, coefs, sar=sar) is not None
 
 
 def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
-            dt_step, dwin, nk, *refs):
+            dt_step, dwin, nk, shard, *refs):
     """One sweep step: advance all s levels by tk=s rows.
 
     refs: koff, 6 input tiles, [chy, chz], [de2, dh2],
@@ -382,20 +399,31 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
 
     vals = (cur_ex, cur_ey, cur_ez, cur_hx, cur_hy, cur_hz)
 
-    @pl.when(g == 0)
+    if shard:
+        # sharded sweep: the first two steps ramp through the bottom halo
+        # block (zeroed — the exchange refreshes it before the next sweep
+        # reads it); every later step emits a fully-valid own block
+        dead_cond = g < 2
+        emit_cond = g >= 2
+    else:
+        dead_cond = (g == 0) | (g > nk)
+        emit_cond = (g > 0) & (g <= nk)
+
+    @pl.when(dead_cond)
     def _dead():
-        # the g=0 output lands in the last dead-slab block: keep it zero
+        # single-chip: g=0 lands in the last dead-slab block; the ofs-1
+        # extra steps (tk < D) re-zero the remaining dead blocks
         for o in outs:
             o[:] = jnp.zeros(o.shape, st_dt)
 
-    @pl.when((g > 0) & (g <= nk))
+    @pl.when(emit_cond)
     def _emit():
         for o, v in zip(outs, vals):
             o[:] = v.astype(st_dt)
 
     if sar:
         # emit cell block g-2 (complete at step g), shift the band down
-        @pl.when(g >= 2)
+        @pl.when((g >= 2) & (g <= nk + 1))
         def _emit_acc():
             oacc[:] = accin_ref[:] + band[:tk]
 
@@ -439,23 +467,37 @@ def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
 
     bulk_shape = jax.ShapeDtypeStruct((S, J1, Ib), dtype)
     acc_shape = jax.ShapeDtypeStruct((S, J1, Ib), jnp.float32)
-    # one drain step finishes the field wedge; SAR needs a second for the
-    # final accumulator block (see _kernel docstring)
-    grid = (nk + 2,) if sar else (nk + 1,)
+    # drain steps: one per level-wedge, plus ofs-1 extra to re-zero the
+    # remaining dead-slab output blocks (ofs > 1 when tk < D), plus one
+    # more for the final SAR accumulator block (see _kernel docstring)
+    grid = (nk + ofs + (1 if sar else 0),)
 
     in_blk = pl.BlockSpec(
         (tk, J1, Ib),
         lambda g: (jnp.where(g < nk, g + ofs, 0), 0, 0),
         memory_space=pltpu.VMEM,
     )
+    # wedge writes blocks ofs-1..nk+ofs-1 at g=0..nk; extra steps g > nk
+    # re-zero dead blocks 0..ofs-2 (ofs=1: rewrite block 0's zeros)
     out_blk = pl.BlockSpec(
         (tk, J1, Ib),
-        lambda g: (jnp.minimum(g, nk) + ofs - 1, 0, 0),
+        lambda g: (
+            jnp.where(g <= nk, g + ofs - 1,
+                      jnp.minimum(g - nk - 1, ofs - 1)),
+            0, 0,
+        ),
         memory_space=pltpu.VMEM,
     )
+    # cell block c completes at step c+2 -> array block c+ofs = g+ofs-2;
+    # g<2 covers the dead blocks (zeroed), the top clamp is a no-store
+    # revisit on the ofs>1 extra steps
     acc_blk = pl.BlockSpec(
         (tk, J1, Ib),
-        lambda g: (jnp.maximum(g + ofs - 2, ofs - 1), 0, 0),
+        lambda g: (
+            jnp.clip(jnp.where(g < 2, jnp.minimum(g, ofs - 1), g + ofs - 2),
+                     0, nk + ofs - 1),
+            0, 0,
+        ),
         memory_space=pltpu.VMEM,
     )
     # sigma arrives one Blocked tile per step; the previous two blocks ride
@@ -470,7 +512,7 @@ def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
     # the g=nk window overruns the array top by s rows, covered by padding
     c_win = pl.BlockSpec(
         (pl.Element(tk + s, (0, 2 * s)), pl.Element(J1), pl.Element(W)),
-        lambda g: ((g + ofs) * tk - s, 0, 0),
+        lambda g: ((jnp.minimum(g, nk) + ofs) * tk - s, 0, 0),
         memory_space=pltpu.VMEM,
     )
     drv_rows = dwin[1] if dwin is not None else J1
@@ -504,7 +546,7 @@ def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
     )
     inner = pl.pallas_call(
         functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, s, use_corr,
-                          lossy, sar, p.time_step, dwin, nk),
+                          lossy, sar, p.time_step, dwin, nk, False),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -536,19 +578,25 @@ def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
 
 
 def make_stream_pair_step(p: Params, coefs: UpdateCoefs,
-                          interpret: bool | None = None, s: int = TS,
+                          interpret: bool | None = None, s: int | None = None,
                           accumulate_power: bool = False):
-    """``group_step(state, xs_group) -> state`` advancing s=8 steps/sweep;
-    with ``accumulate_power``: ``((state, acc), xs) -> (state, acc)`` where
-    acc is fp32 in the storage layout (pallas_temporal.embed_power_acc at
-    nj=1).
+    """``group_step(state, xs_group) -> state`` advancing s steps/sweep
+    (``group_step.s``; pick_s chooses 8 or 4 unless forced via ``s=`` or
+    ``FDTD_STREAM_S``); with ``accumulate_power``: ``((state, acc), xs) ->
+    (state, acc)`` where acc is fp32 in the storage layout
+    (pallas_temporal.embed_power_acc at nj=1).
 
     Same contract as pallas_temporal.make_temporal_pair_step at nj == 1
     (no j-extension needed: full-plane only)."""
-    if not supported(p, coefs, sar=accumulate_power):
+    import os
+
+    if s is None:
+        env = os.environ.get("FDTD_STREAM_S")
+        s = int(env) if env else pick_s(p, coefs, sar=accumulate_power)
+    if s is None or not supported(p, coefs, sar=accumulate_power):
         raise NotImplementedError("streaming kernel unsupported for this config")
     lossy = not isinstance(coefs.ca_x, (int, float))
-    assert s == TS, s
+    assert s in (TS, TS // 2) and D % s == 0, s
     if interpret is None:
         dd = jax.config.jax_default_device
         interpret = (dd.platform != "tpu") if dd is not None else (jax.default_backend() != "tpu")
@@ -628,4 +676,135 @@ def make_stream_pair_step(p: Params, coefs: UpdateCoefs,
             return advance(st, None, xs_group)[0]
 
     group_step.nj = 1
+    group_step.s = s
     return group_step
+
+
+def pick_shard_s(p: Params, coefs: UpdateCoefs, Klp: int) -> int | None:
+    """Steps-per-sweep for the SHARDED streaming pipeline, or None.
+
+    The per-shard sweep runs over [D - s, D + Klp + s): the dead slab and
+    top pad host s-row halo bands (imported by ppermute before each sweep)
+    and the skewed pipeline's triangular validity — level m correct from
+    halo row -s + m — makes level s exactly cover the shard's own rows,
+    with zero recompute.  Corr/coef Element windows start at array row
+    D - 2s, so configs that carry them (validation corr; lossy ca/cb)
+    need s <= D/2 = 4; computation-mode vacuum has no windows and runs
+    s = 8.  SAR is not composed here (sharded SAR runs use the temporal
+    or two-pass sharded paths)."""
+    if coefs.heterogeneous_mu:
+        return None
+    lossy = not isinstance(coefs.ca_x, (int, float))
+    if lossy:
+        if p.mode != Mode.COMPUTATION:
+            return None
+    elif coefs.ca_x != 1.0:
+        return None
+    windows = lossy or p.mode != Mode.COMPUTATION
+    for s in ((TS // 2,) if windows else (TS, TS // 2)):
+        if (
+            D % s == 0
+            and Klp % s == 0
+            and Klp // s >= 1
+            and stream_vmem_estimate(p, s=s, lossy=lossy)
+            <= VMEM_BUDGET - 6 * 1024 * 1024
+        ):
+            return s
+    return None
+
+
+def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
+                            Klp: int, s: int, interpret: bool):
+    """Streaming sweep pallas_call on a per-shard slab (see pick_shard_s).
+
+    Same caller contract as build_stream_call (koff carries the shard's
+    global-k offset r*Klp - s); operands are (S_sh, J1, Ib) local slabs
+    whose halo bands the caller refreshed via ppermute."""
+    _, J1, Ib = dims(p)
+    W = corr_width(Ib)
+    tk = s
+    b0 = (D - s) // tk          # pipeline base block (halo bottom)
+    assert D % tk == 0 and Klp % tk == 0 and S_sh % tk == 0
+    nb = Klp // tk + 2          # own blocks + both halo blocks
+    dtype = jnp.dtype(p.dtype)
+    compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
+    lossy = not isinstance(coefs.ca_x, (int, float))
+    f_h = compute_dtype.type(coefs.h_factor)
+    f_e = compute_dtype.type(0.0) if lossy else compute_dtype.type(coefs.cb_x)
+    patch = None
+    dwin = None
+    if p.mode == Mode.COMPUTATION:
+        plan = make_source_plan(p)
+        patch = (plan.j0, plan.j1, plan.i0, plan.i1)
+        row0 = plan.j0 // 8 * 8
+        dwin = (row0, min(-(-(plan.j1 - row0) // 8) * 8, J1 - row0))
+    use_corr = p.mode != Mode.COMPUTATION
+    if (use_corr or lossy) and D - 2 * s < 0:
+        raise NotImplementedError("corr/coef windows need s <= D/2")
+    nd = max(s - 1, 1)
+
+    bulk_shape = jax.ShapeDtypeStruct((S_sh, J1, Ib), dtype)
+    grid = (nb,)
+
+    in_blk = pl.BlockSpec(
+        (tk, J1, Ib), lambda g: (g + b0, 0, 0), memory_space=pltpu.VMEM
+    )
+    # level-s output of step g is input block g-1; blocks below validity
+    # (g < 2) zero the bottom halo block, refreshed by the next exchange
+    out_blk = pl.BlockSpec(
+        (tk, J1, Ib),
+        lambda g: (jnp.maximum(g - 1, 0) + b0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    # corr/coef windows cover every level's rows [L0-s, L0+tk); with
+    # s <= D/2 the g=0 start D-2s >= 0 and the g=nb-1 end lands exactly
+    # at S_sh (real pad rows)
+    c_win = pl.BlockSpec(
+        (pl.Element(tk + s, (0, 2 * s)), pl.Element(J1), pl.Element(W)),
+        lambda g: ((g + b0 + 1) * tk - 2 * s, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    coef_win = pl.BlockSpec(
+        (pl.Element(tk + s, (0, 2 * s)), pl.Element(J1), pl.Element(Ib)),
+        lambda g: ((g + b0 + 1) * tk - 2 * s, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    drv_rows = dwin[1] if dwin is not None else J1
+    drv_spec = pl.BlockSpec((nd, drv_rows, Ib), lambda g: (0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
+
+    in_specs = (
+        [smem] + [in_blk] * 6
+        + ([c_win] * 2 if use_corr else [])
+        + ([drv_spec] * 2 if patch is not None else [])
+        + ([coef_win] * 6 if lossy else [])
+    )
+    tail = pltpu.VMEM((s + 1, J1, Ib), compute_dtype)
+    inner = pl.pallas_call(
+        functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, s, use_corr,
+                          lossy, False, p.time_step, dwin, nb - 1, True),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[out_blk] * 6,
+        out_shape=(bulk_shape,) * 6,
+        scratch_shapes=[tail] * 6,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET),
+        interpret=interpret,
+    )
+
+    def call(koff, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2, *coef6):
+        args = [koff, ex, ey, ez, hx, hy, hz]
+        if use_corr:
+            args += [chy, chz]
+        if patch is not None:
+            if dwin is not None:
+                row0, rows_w = dwin
+                de2 = de2[:, row0 : row0 + rows_w]
+                dh2 = dh2[:, row0 : row0 + rows_w]
+            args += [de2, dh2]
+        if lossy:
+            args += list(coef6)
+        return inner(*args)
+
+    return call, nd

@@ -146,10 +146,16 @@ def to_sharded_fast(
         hx_s=jax.device_put(st.hx_s, rep),
     )
     if st.ca_x is not None:
+        # halo=True: the streaming composition advances halo E rows with
+        # the NEIGHBOR's coefficients (constant, baked once); the single-
+        # step kernel only applies coef rows to its own (or masked) rows,
+        # so true neighbor values vs zeros are behavior-identical there
         out = dataclasses.replace(
             out,
-            ca_x=emb(st.ca_x), ca_y=emb(st.ca_y), ca_z=emb(st.ca_z),
-            cb_x=emb(st.cb_x), cb_y=emb(st.cb_y), cb_z=emb(st.cb_z),
+            ca_x=emb(st.ca_x, halo=True), ca_y=emb(st.ca_y, halo=True),
+            ca_z=emb(st.ca_z, halo=True),
+            cb_x=emb(st.cb_x, halo=True), cb_y=emb(st.cb_y, halo=True),
+            cb_z=emb(st.cb_z, halo=True),
         )
     if st.hf_x is not None:
         out = dataclasses.replace(
@@ -1150,3 +1156,166 @@ def pick_sharded_temporal_s(p: Params, nz: int, ny: int) -> int | None:
         if sharded_temporal_supported(p, nz, ny, s):
             return s
     return None
+
+
+def sharded_stream_supported(p: Params, n: int, materials=None) -> bool:
+    """True when the streaming wavefront composes with 1-D z sharding."""
+    from ..ops.pallas_stream import pick_shard_s
+
+    coefs = update_coefs(p, materials)
+    Klp = _geometry(p, n)[4]
+    return pick_shard_s(p, coefs, Klp) is not None
+
+
+def make_sharded_stream_step(p: Params, mesh: Mesh,
+                             interpret: bool | None = None, materials=None):
+    """Streaming wavefront kernel composed with 1-D spatial sharding.
+
+    Per s-step sweep each shard imports an s-row halo band on both sides
+    of every field (12 ppermute planes, batched — the same per-step halo
+    traffic as single-step exchange) into the dead-slab/top-pad rows, then
+    runs the skewed pipeline over [D-s, D+Klp+s): triangular validity
+    (level m correct from halo row -s+m) makes level s exactly cover the
+    shard's own rows with ZERO recompute — the wavefront analogue of the
+    reference MPI branch running its best sequential kernel per rank
+    (description.pdf section 2.2).  Lossy media ride the halo-baked ca/cb
+    slabs (``to_sharded_fast`` embeds neighbor coefficient rows).
+
+    Returns ``group_step(state, xs_group) -> state`` advancing
+    ``group_step.s`` steps (8 for computation-mode vacuum, else 4 —
+    corr/coef windows need s <= D/2; see pick_shard_s).
+    """
+    from ..ops.pallas_stream import build_stream_shard_call, pick_shard_s
+
+    coefs = update_coefs(p, materials)
+    if interpret is None:
+        dd = jax.config.jax_default_device
+        interpret = (dd.platform != "tpu") if dd is not None else (jax.default_backend() != "tpu")
+    n = mesh.shape["z"]
+    S_c, J1p, Ib, K1, Klp, S_sh = _geometry(p, n)
+    s = pick_shard_s(p, coefs, Klp)
+    if s is None:
+        raise NotImplementedError("sharded streaming unsupported for this config")
+    lossy = not isinstance(coefs.ca_x, (int, float))
+    call, nd = build_stream_shard_call(p, coefs, S_sh, Klp, s, interpret)
+
+    dtype = jnp.dtype(p.dtype)
+    compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
+    f_h = compute_dtype.type(coefs.h_factor)
+    inject = p.mode == Mode.COMPUTATION
+    if inject:
+        from ..source import make_source_plan
+
+        plan = make_source_plan(p)
+
+    up = [(i, i - 1) for i in range(1, n)]
+    down = [(i, i + 1) for i in range(n - 1)]
+
+    def exchange(a):
+        if n == 1:
+            return a
+        top_band = lax.slice_in_dim(a, D, D + s, axis=0)
+        bot_band = lax.slice_in_dim(a, D + Klp - s, D + Klp, axis=0)
+        from_next = lax.ppermute(top_band, "z", up)
+        from_prev = lax.ppermute(bot_band, "z", down)
+        a = lax.dynamic_update_slice_in_dim(a, from_prev, D - s, axis=0)
+        a = lax.dynamic_update_slice_in_dim(a, from_next, D + Klp, axis=0)
+        return a
+
+    def shard_body(ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2, *cf):
+        r = lax.axis_index("z")
+        koff2 = (r * Klp - s).astype(jnp.int32).reshape(1, 1)
+        ex, ey, ez = exchange(ex), exchange(ey), exchange(ez)
+        hx, hy, hz = exchange(hx), exchange(hy), exchange(hz)
+        return call(koff2, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2, *cf)
+
+    bspec = P("z", None, None)
+    rspec = P(None, None, None)
+    ncf = 6 if lossy else 0
+    smap = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(bspec,) * 8 + (rspec, rspec) + (bspec,) * ncf,
+        out_specs=(bspec,) * 6,
+        check_vma=False,
+    )
+
+    K, J = p.maxk, p.maxj
+    import numpy as _np
+
+    # host numpy, never a closed-over jax.Array (axon lowering deadlock, r3)
+    zero_drv = _np.zeros((nd, J1p, Ib), dtype)
+
+    def drive_patch(amp):
+        amp_j = jnp.asarray(amp)
+        prof_row = jnp.asarray(plan.profile, dtype=jnp.result_type(amp_j))
+        row = amp_j * prof_row
+        nj, ni = plan.j1 - plan.j0, len(plan.profile)
+        return jnp.broadcast_to(row[None, :], (nj, ni))
+
+    def group_step(st: ShardedFastState, xs_group) -> ShardedFastState:
+        ts_g, amps_g = xs_group
+        zero_drv_t = jnp.asarray(zero_drv)
+        if inject:
+            pv1 = drive_patch(amps_g[0])
+            zero = jnp.zeros_like(pv1).astype(dtype)
+            sl = (D, slice(plan.j0, plan.j1), slice(plan.i0, plan.i1))
+            st = dataclasses.replace(
+                st,
+                ez=st.ez.at[sl].set(pv1.astype(dtype)),
+                ex=st.ex.at[sl].set(zero),
+                hz=st.hz.at[sl].set(zero),
+                hx=st.hx.at[sl].set((-plan.inv_z_te * pv1).astype(dtype)),
+            )
+            pvs = jnp.stack([drive_patch(amps_g[m]) for m in range(1, s)])
+            sl2 = (slice(0, nd), slice(plan.j0, plan.j1), slice(plan.i0, plan.i1))
+            de2 = zero_drv_t.at[sl2].set(pvs.astype(dtype))
+            dh2 = zero_drv_t.at[sl2].set((-plan.inv_z_te * pvs).astype(dtype))
+        else:
+            de2 = dh2 = zero_drv_t
+        cf = (st.ca_x, st.ca_y, st.ca_z, st.cb_x, st.cb_y, st.cb_z) if lossy else ()
+        ex, ey, ez, hx, hy, hz = smap(
+            st.ex, st.ey, st.ez, st.hx, st.hy, st.hz,
+            st.corr_hy, st.corr_hz, de2, dh2, *cf
+        )
+        ey_s2 = st.ey_s[:, :, 0]
+        ez_s2 = st.ez_s[:, :, 0]
+        slk = (slice(D, D + K), slice(0, J))
+        curl = (ey_s2[D + 1 : D + K + 1, :J] - ey_s2[slk]) - (
+            ez_s2[D : D + K, 1 : J + 1] - ez_s2[slk]
+        )
+        hx_s = st.hx_s
+        for _ in range(s):
+            hx_s = hx_s.at[slk[0], slk[1], 0].add((f_h * curl).astype(st.hx_s.dtype))
+        return dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
+
+    group_step.s = s
+    return group_step
+
+
+def make_sharded_stream_runner(p: Params, mesh: Mesh,
+                               interpret: bool | None = None, materials=None):
+    """Jitted ``run(state, xs) -> state``; trailing steps (n % s) use the
+    single-step sharded fast path."""
+    group_step = make_sharded_stream_step(p, mesh, interpret, materials)
+    s = group_step.s
+    single_step = make_sharded_fast_step(p, mesh, interpret, materials)
+
+    @jax.jit
+    def run(st, xs):
+        ts, amps = xs
+        nsteps = ts.shape[0]
+        n_grp = nsteps // s
+        if n_grp:
+            g = (ts[: s * n_grp].reshape(n_grp, s), amps[: s * n_grp].reshape(n_grp, s))
+
+            def body(st, x):
+                return group_step(st, x), None
+
+            st, _ = lax.scan(body, st, g)
+        for r in range(nsteps % s):
+            idx = s * n_grp + r
+            st = single_step(st, (ts[idx], amps[idx]))
+        return st
+
+    return run

@@ -284,6 +284,17 @@ def dryrun(n_devices: int, devices=None) -> None:
     st2 = run_tmp(st2, xs)
     jax.block_until_ready(st2.ex)
 
+    # the streaming wavefront composition (r3) when the local slab admits it
+    from .sharded_fast import make_sharded_stream_runner, sharded_stream_supported
+
+    if sharded_stream_supported(p, n_devices):
+        st4 = to_sharded_fast(p, zeros(p), mesh_z)
+        run_stream = make_sharded_stream_runner(p, mesh_z, interpret=interp)
+        xs8 = (jnp.zeros(8, jnp.float64),
+               jnp.asarray(np.linspace(0.0, 1.0, 8, dtype=np.float32)))
+        st4 = run_stream(st4, xs8)  # 8 steps = one full wavefront sweep
+        jax.block_until_ready(st4.ex)
+
     # and the 2-D (z x y) fast path when the device count splits
     if n_devices >= 4 and n_devices % 2 == 0:
         from .sharded_fast import (

@@ -129,10 +129,12 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
     the reference MPI branch running its best sequential kernel per rank
     (description.pdf section 2.2):
 
-    - "auto": pallas_temporal when the config supports it (vacuum, no SAR,
-      feasible windows), else the two-pass Pallas fast path;
-    - "pallas_temporal"/"pallas_fused": as named (temporal falls back to
-      the fast path with a notice when unsupported);
+    - "auto": the streaming wavefront composition on a 1-D z mesh when
+      the config supports it (vacuum or lossy, no SAR — r3), else
+      pallas_temporal (vacuum, feasible windows), else the two-pass
+      Pallas fast path;
+    - "pallas_stream"/"pallas_temporal"/"pallas_fused": as named (stream
+      and temporal fall back with a notice when unsupported);
     - "xla": the pure-jnp shard_map path (ground truth under sharding;
       also the float64 path).  Heterogeneous mu_r runs on the fast paths
       too (r3).
@@ -163,12 +165,23 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
             f"--shard {shard} needs {n} devices; {len(devs)} available"
         )
     mesh = make_mesh(n, (nz, ny, 1), devices=devs[:n])
+    # interpret must follow the MESH devices, not the default backend:
+    # with the CPU-device fallback above the default backend is still
+    # "tpu", but Mosaic kernels can't compile for the CPU mesh
+    interp = devs[0].platform != "tpu"
 
     lossy = materials is not None
     eff = backend
+    stream_ok = (
+        ny == 1
+        and not accumulate_power
+        and sf.sharded_stream_supported(p, nz, materials)
+    )
     if eff == "auto":
         if jnp.dtype(p.dtype) == jnp.float64:
             eff = "xla"
+        elif stream_ok:
+            eff = "pallas_stream"  # r3: wavefront per shard (incl. lossy)
         elif (
             not lossy
             and not accumulate_power
@@ -180,10 +193,11 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
     elif eff == "pallas":
         log("notice: --shard has no 'pallas' path; using pallas_fused")
         eff = "pallas_fused"
-    elif eff == "pallas_stream":
+    elif eff == "pallas_stream" and not stream_ok:
         log(
-            "notice: the streaming kernel is single-chip; --shard uses the "
-            "temporal composition instead"
+            "notice: the sharded streaming kernel needs a 1-D z mesh, no "
+            "--sar, and a VMEM-feasible plan; using the temporal "
+            "composition instead"
         )
         eff = "pallas_temporal"
     if eff == "pallas_temporal" and (lossy or accumulate_power):
@@ -214,6 +228,18 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
 
     coefs = update_coefs(p, materials) if materials is not None else None
 
+    if eff == "pallas_stream":
+        prep = lambda s: sf.to_sharded_fast(p, s, mesh, coefs=coefs)
+        restore = lambda st: sf.from_sharded_fast(p, st, mesh)
+        run_sh = sf.make_sharded_stream_runner(
+            p, mesh, interpret=interp, materials=materials
+        )
+
+        def run_chunk(st, chunk, power):
+            return run_sh(st, chunk), power
+
+        return prep, restore, run_chunk
+
     if eff == "pallas_temporal":
         import os as _os
 
@@ -228,11 +254,11 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
             if ny == 1:
                 prep = lambda s: sf.to_sharded_fast(p, s, mesh)
                 restore = lambda st: sf.from_sharded_fast(p, st, mesh)
-                run_sh = sf.make_sharded_temporal_runner(p, mesh, s=sgrp)
+                run_sh = sf.make_sharded_temporal_runner(p, mesh, s=sgrp, interpret=interp)
             else:
                 prep = lambda s: sf.to_sharded_fast_2d(p, s, mesh)
                 restore = lambda st: sf.from_sharded_fast_2d(p, st, mesh)
-                run_sh = sf.make_sharded_temporal_2d_runner(p, mesh, s=sgrp)
+                run_sh = sf.make_sharded_temporal_2d_runner(p, mesh, s=sgrp, interpret=interp)
 
             def run_chunk(st, chunk, power):
                 return run_sh(st, chunk), power
@@ -243,13 +269,15 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
         prep = lambda s: sf.to_sharded_fast(p, s, mesh, coefs=coefs)
         restore = lambda st: sf.from_sharded_fast(p, st, mesh)
         run_sh = sf.make_sharded_fast_runner(
-            p, mesh, materials=materials, accumulate_power=accumulate_power
+            p, mesh, interpret=interp, materials=materials,
+            accumulate_power=accumulate_power,
         )
     else:
         prep = lambda s: sf.to_sharded_fast_2d(p, s, mesh, coefs=coefs)
         restore = lambda st: sf.from_sharded_fast_2d(p, st, mesh)
         run_sh = sf.make_sharded_fast_2d_runner(
-            p, mesh, materials=materials, accumulate_power=accumulate_power
+            p, mesh, interpret=interp, materials=materials,
+            accumulate_power=accumulate_power,
         )
 
     if accumulate_power:

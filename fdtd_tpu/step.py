@@ -245,7 +245,7 @@ def make_chunk_runner(
         # streaming wavefront kernel (ops/pallas_stream.py): s=8 steps per
         # sweep at the traffic floor, zero recompute; optional in-kernel
         # SAR via a rolling accumulator band
-        from .ops.pallas_stream import TS, make_stream_pair_step
+        from .ops.pallas_stream import make_stream_pair_step
         from .ops.pallas_temporal import (
             D as _D,
             crop_power_acc,
@@ -256,7 +256,7 @@ def make_chunk_runner(
             p, coefs, accumulate_power=accumulate_power
         )
         odd_step = make_step(p, coefs=coefs, backend="pallas_fused")
-        sgrp = TS
+        sgrp = group_step.s
         K, J = p.maxk, p.maxj
 
         @functools.partial(jax.jit, donate_argnums=(0,))

@@ -323,3 +323,56 @@ def test_sharded_sar_matches_single_device(tiny_params, tmp_path):
             np.asarray(getattr(r2.state, c)), np.asarray(getattr(r1.state, c)),
             atol=2e-7, rtol=1e-5, err_msg=c,
         )
+
+
+@pytest.mark.parametrize("nz", [2, 4])
+@pytest.mark.parametrize("mode", [Mode.VALIDATION, Mode.COMPUTATION])
+def test_sharded_stream_matches_single_device(tiny_params, mode, nz):
+    """Streaming wavefront x 1-D sharding (r3): per-shard skewed pipeline
+    over [D-s, D+Klp+s) with s-row ppermute halo bands == single-device."""
+    from fdtd_tpu.parallel.sharded_fast import make_sharded_stream_runner
+
+    p = dataclasses.replace(tiny_params, dtype="float32", mode=mode)
+    n_steps = 19  # exercises sweeps + single-step tail
+    s0 = init_validation(p) if mode == Mode.VALIDATION else zeros(p)
+    run_ref = make_chunk_runner(p)
+    xs = scan_inputs(p, time_values(p)[:n_steps])
+    want, _ = run_ref(s0, xs, None)
+
+    mesh = make_mesh(nz, (nz, 1, 1), devices=jax.devices("cpu"))
+    st = to_sharded_fast(p, s0, mesh)
+    run = make_sharded_stream_runner(p, mesh, interpret=True)
+    st = run(st, xs)
+    got = from_sharded_fast(p, st, mesh)
+    for c in COMPONENTS:
+        g = np.asarray(getattr(got, c))[:, :, : p.maxi]
+        w = np.asarray(getattr(want, c))[:, :, : p.maxi]
+        np.testing.assert_allclose(g, w, atol=1e-6, rtol=0, err_msg=c)
+
+
+def test_sharded_stream_lossy_matches_single_device(tiny_params):
+    """Lossy streaming x 1-D sharding: halo-baked ca/cb slabs advance the
+    halo E rows with the neighbor's coefficients."""
+    from fdtd_tpu.parallel.sharded_fast import make_sharded_stream_runner
+    from fdtd_tpu.state import water_block
+
+    p = dataclasses.replace(tiny_params, dtype="float32", mode=Mode.COMPUTATION)
+    mats = water_block(p, lo=(0.1, 0.1, 0.1), hi=(0.9, 0.9, 0.9))
+    from fdtd_tpu.state import update_coefs
+
+    coefs = update_coefs(p, mats)
+    n_steps = 11
+    s0 = zeros(p)
+    run_ref = make_chunk_runner(p, mats)
+    xs = scan_inputs(p, time_values(p)[:n_steps])
+    want, _ = run_ref(s0, xs, None)
+
+    mesh = make_mesh(4, (4, 1, 1), devices=jax.devices("cpu"))
+    st = to_sharded_fast(p, s0, mesh, coefs=coefs)
+    run = make_sharded_stream_runner(p, mesh, interpret=True, materials=mats)
+    st = run(st, xs)
+    got = from_sharded_fast(p, st, mesh)
+    for c in COMPONENTS:
+        g = np.asarray(getattr(got, c))[:, :, : p.maxi]
+        w = np.asarray(getattr(want, c))[:, :, : p.maxi]
+        np.testing.assert_allclose(g, w, atol=1e-6, rtol=0, err_msg=c)

@@ -335,3 +335,45 @@ def test_stream_lossy_sar_matches_twopass(tiny_params):
         err_msg="SAR accumulator",
     )
     assert float(np.asarray(acc_g).max()) > 0
+
+
+@pytest.mark.parametrize("workload", ["vacuum", "lossy", "lossy_sar"])
+def test_stream_s4_matches_ref(tiny_params, workload, monkeypatch):
+    """s=4 streaming plans (pick_s's VMEM fallback; ofs=2 extra drain
+    steps re-zero the dead-slab blocks).  tiny grid: nk=4, ofs=2."""
+    from fdtd_tpu.state import water_block
+    from fdtd_tpu.step import zero_power_acc
+
+    monkeypatch.setenv("FDTD_STREAM_S", "4")
+    p = dataclasses.replace(tiny_params, dtype="float32", mode=Mode.COMPUTATION)
+    mats = None
+    sar = False
+    if workload != "vacuum":
+        mats = water_block(p, lo=(0.2, 0.2, 0.2), hi=(0.8, 0.8, 0.8))
+        sar = workload == "lossy_sar"
+    run_ref = make_chunk_runner(p, mats, backend="pallas_fused",
+                                accumulate_power=sar)
+    run_st = make_chunk_runner(p, mats, backend="pallas_stream",
+                               accumulate_power=sar)
+    prep, rest = backend_adapters(p, "pallas_fused", mats)
+    acc0 = (lambda: zero_power_acc(p)) if sar else (lambda: None)
+    xs = scan_inputs(p, time_values(p)[:19])  # 4 sweeps + 3 odd steps
+    want, acc_w = run_ref(prep(zeros(p)), xs, acc0())
+    got, acc_g = run_st(prep(zeros(p)), xs, acc0())
+    wantf, gotf = rest(want), rest(got)
+    for c in COMPONENTS:
+        g = np.asarray(getattr(gotf, c))[:, :, : p.maxi]
+        w = np.asarray(getattr(wantf, c))[:, :, : p.maxi]
+        np.testing.assert_allclose(g, w, atol=1e-6, rtol=0, err_msg=c)
+    # the dead slab stays zero after pure sweeps (16 steps = 4 sweeps)
+    from fdtd_tpu.ops.pallas_fused import D as _D
+
+    xs16 = scan_inputs(p, time_values(p)[:16])
+    out = run_st(prep(zeros(p)), xs16, acc0())[0]
+    assert float(np.abs(np.asarray(out.ez[:_D])).max()) == 0.0
+    if sar:
+        np.testing.assert_allclose(
+            np.asarray(acc_g), np.asarray(acc_w), rtol=2e-5, atol=1e-30,
+            err_msg="SAR accumulator",
+        )
+        assert float(np.asarray(acc_g).max()) > 0
