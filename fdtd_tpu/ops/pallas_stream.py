@@ -26,15 +26,19 @@ recompute).  Source semantics, masks, and arithmetic are identical to
 ops/pallas_temporal (same _curl helpers) — bit-class parity with the
 two-pass and xla paths.
 
-Restrictions: full-plane j windows (larger grids fall back to the j-tiled
-r2 temporal kernel), s = tk in {8, 4} (pick_s takes the largest whose VMEM
-plan fits — s=4 is what admits 256^3 fp32 lossy/SAR and 384^3 fp32
-vacuum), single-chip layouts.  Validation mode carries the corr streams as
-a small (tk+s)-row Element window.  Lossy media (homogeneous mu,
-computation mode) stream the six ca/cb coefficient arrays as (tk+s)-row
-Element windows — the heating workload; SAR rides a rolling 3*tk-row fp32
-accumulator band in scratch (a cell row's s per-step contributions
-straddle two grid steps in the skewed schedule).
+Plan space (pick_plan): s = tk in {8, 4} x nj in {1, 2, 4, 8} j-tiles,
+ranked by modeled HBM traffic — j-tiling (the r3 big-grid extension)
+replaces the full plane with tj + 2*HJ-row Element windows and a per-tile
+halo-recompute wedge, which is what lets 512^3-class grids stream (the
+k pipeline stays zero-recompute; see _build_stream_call_jt).  Validation
+mode carries the corr streams as a small (tk+s)-row Element window.
+Lossy media (homogeneous mu, computation mode) stream the six ca/cb
+coefficient arrays as (tk+s)-row Element windows — the heating workload;
+SAR rides a rolling 3*tk-row fp32 accumulator band in scratch (a cell
+row's s per-step contributions straddle two grid steps in the skewed
+schedule; full-plane plans only — the j-tiled emit would split the
+band's cell rows across tiles).  Single-chip layouts here; the sharded
+composition is below (build_stream_shard_call).
 """
 
 from __future__ import annotations
@@ -52,15 +56,29 @@ from ..params import Mode, Params
 from ..source import make_source_plan
 from ..state import UpdateCoefs
 from .pallas_fused import D, StrippedState, corr_width, dims
-from .pallas_temporal import HBM_BUDGET, VMEM_BUDGET, state_bytes
+from .pallas_temporal import (
+    DJ,
+    HBM_BUDGET,
+    HJ,
+    VMEM_BUDGET,
+    jt_extents,
+    state_bytes,
+)
 
 TS = 8  # steps per sweep == tile rows (output lands exactly one block back)
 
 
 def stream_vmem_estimate(p: Params, s: int = TS, lossy: bool = False,
-                         sar: bool = False) -> int:
-    """In/out tile pairs (double-buffered) + tails scratch + live levels."""
+                         sar: bool = False, nj: int = 1) -> int:
+    """In/out tile pairs (double-buffered) + tails scratch + live levels.
+
+    ``nj`` > 1: j-tiled windows of tj + 2*HJ rows replace the full plane
+    (the r3 big-grid extension — 512^3-class grids whose full-plane
+    plans exceed VMEM)."""
     _, J1, Ib = dims(p)
+    if nj > 1:
+        tj, _ = jt_extents(p, nj)
+        J1 = tj + 2 * HJ
     item = jnp.dtype(p.dtype).itemsize
     Ibp = -(-Ib // 128) * 128
     io = 2 * 2 * 6 * s * J1 * Ibp * item          # in + out, double-buffered
@@ -76,19 +94,23 @@ def stream_vmem_estimate(p: Params, s: int = TS, lossy: bool = False,
     return io + tails + live
 
 
-def pick_s(p: Params, coefs: UpdateCoefs, sar: bool = False) -> int | None:
-    """Largest feasible steps-per-sweep (8, else 4), or None.
+def pick_plan(p: Params, coefs: UpdateCoefs,
+              sar: bool = False) -> tuple[int, int] | None:
+    """Feasible (steps-per-sweep, j-tiles) minimizing HBM traffic, or None.
 
-    Smaller s trades throughput (per-step traffic and ramp scale ~1/s)
-    for VMEM: every window/tail is s rows deep, so halving s roughly
-    halves the plan — s=4 is what lets 256^3 fp32 lossy(+SAR) and
-    384^3 fp32 vacuum stream at all (s=8 plans exceed the 128 MB VMEM).
+    Candidates are s in {8, 4} x nj in {1, 2, 4, 8}, ranked by modeled
+    per-step bytes ~ (reads + writes)/(2s) where j-tiling amplifies reads
+    by (tj + 2*HJ)/tj — so a deep sweep over j-tiles (s=8, nj=4) beats a
+    shallow full-plane one (s=4, nj=1).  Smaller s halves every window
+    and tail; j-tiling shrinks them by ~nj at an s-row halo *recompute*
+    wedge per tile side (the k pipeline itself stays zero-recompute).
+    s=4 full-plane is what admits 256^3 fp32 lossy/SAR; nj>1 is what
+    admits 512^3 (any dtype) and 384^3 fp32 at s=8.
 
     Vacuum in both modes; lossy media (homogeneous mu) in computation
-    mode stream the six ca/cb windows.  SAR composes with lossy: the
-    skewed schedule spreads a cell row's s per-step contributions over
-    two grid steps, handled by a rolling 3*tk-row fp32 accumulator band
-    in scratch (see _kernel docstring); when no plan fits,
+    mode stream the six ca/cb windows.  SAR composes with lossy on
+    full-plane plans (rolling accumulator band; the j-tiled emit slice
+    would split the band's cell rows across tiles) — when no plan fits,
     resolve_backend falls back to lossy temporal."""
     if coefs.heterogeneous_mu:
         return None
@@ -100,34 +122,87 @@ def pick_s(p: Params, coefs: UpdateCoefs, sar: bool = False) -> int | None:
         return None
     if sar and not lossy:
         return None  # vacuum has no dissipation
-    S, _, _ = dims(p)
-    need = 2.2 * state_bytes(p) * (1 + (7 / 6 if lossy else 0))
-    if need >= HBM_BUDGET:
-        return None
+    S, J1, Ib = dims(p)
+    # HBM footprint: full-plane plans run in-place (field in/outs alias —
+    # 1x the state); j-tiled plans ping-pong (2x the fields — the in-place
+    # cross-tile stash is disabled pending a Mosaic aliased-write
+    # visibility bug, see _build_stream_call_jt).  Plus the read-only
+    # coefficient bulks and the fp32 SAR accumulator (aliased), with a
+    # 15% working margin.
+    item = jnp.dtype(p.dtype).itemsize
+    fields = state_bytes(p)
+    extras = (6 * S * J1 * Ib * item if lossy else 0) \
+        + (S * J1 * Ib * 4 if sar else 0)
+    cands = []
     for s in (TS, TS // 2):
+        if D % s or (S - D) % s or (S - D) // s < 2:
+            continue
+        for nj in (1, 2, 4, 8, 16):
+            if nj > 1:
+                if sar or s > HJ:
+                    continue
+                tj, Jt = jt_extents(p, nj)
+                if tj <= 2 * HJ or (nj - 1) * tj >= J1:
+                    continue  # degenerate tiling (tiny grids / over-split)
+                amp = 1 + (tj + 2 * HJ) / tj
+                ext = Jt / J1
+                need = 1.15 * (2 * fields + extras) * ext
+            else:
+                amp = 2.0
+                ext = 1.0
+                need = 1.15 * (fields + extras)
+            if need >= HBM_BUDGET:
+                continue
+            cands.append((amp / (2 * s), -s, nj, s))
+    for _, _, nj, s in sorted(cands):
         if (
-            D % s == 0
-            and (S - D) % s == 0
-            and (S - D) // s >= 2
-            and stream_vmem_estimate(p, s=s, lossy=lossy, sar=sar)
+            stream_vmem_estimate(p, s=s, lossy=lossy, sar=sar, nj=nj)
             <= VMEM_BUDGET - (0 if sar else 6 * 1024 * 1024)
         ):
-            return s
+            return s, nj
     return None
 
 
+def pick_s(p: Params, coefs: UpdateCoefs, sar: bool = False) -> int | None:
+    """Steps-per-sweep of the best plan (see pick_plan), or None."""
+    plan = pick_plan(p, coefs, sar=sar)
+    return plan[0] if plan else None
+
+
 def supported(p: Params, coefs: UpdateCoefs, sar: bool = False) -> bool:
-    """True when some streaming plan fits — see pick_s."""
-    return pick_s(p, coefs, sar=sar) is not None
+    """True when some streaming plan fits — see pick_plan."""
+    return pick_plan(p, coefs, sar=sar) is not None
 
 
 def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
-            dt_step, dwin, nk, shard, *refs):
+            dt_step, dwin, nk, shard, jt, stash, *refs):
     """One sweep step: advance all s levels by tk=s rows.
+
+    ``jt``: j-tile rows when j-tiled (grid (nj, nk+ofs), k inner so the
+    tails scratch carries within each tile's sweep; windows span
+    tj + 2*HJ rows and level m's j-validity shrinks one row per side per
+    level — HJ >= s makes level s exact on the tile interior, the same
+    triangular argument as the sharded-z composition but with halo
+    *recompute* instead of exchange).  None = full-plane (j masks use
+    local rows; joff = 0).
+
+    ``stash``: in-place j-tiled mode.  Input/output field arrays alias,
+    so tile jb's lower-halo rows were already overwritten by tile jb-1's
+    interior emit; the previous tile stashed their PRE-sweep values in
+    the aliased (S, HJ, Ib) stash operands (written from its own input
+    window rows [tj, tj+HJ) before any overwrite — read-before-write on
+    an aliased pair, the SAR-accumulator pattern), and this tile splices
+    them over window rows [0, HJ).  At jb=0 the stash holds garbage and
+    the splice lands on the dead band — harmless by the mask calculus.
+    Within a tile in-place is safe unconditionally: the write frontier
+    (block g+ofs-1) trails the read frontier (block g+ofs) by one block,
+    and drain re-reads of dead block 0 see zeros before and after their
+    re-zeroing write.
 
     refs: koff, 6 input tiles, [chy, chz], [de2, dh2],
     [cax, cay, caz, cbx, cby, cbz when lossy — Element windows covering
-    every level's E rows], [sigma, acc_in when sar], 6 outputs [+ acc_out],
+    every level's E rows], [sigma, acc_in when sar], [6 stash inputs],
+    6 outputs [+ acc_out] [+ 6 stash outputs],
     then scratch: tex, tey, tez, thx, thy, thz — each (s+1, J, Ib) holding
     every level's retained top row from the previous grid step
     [+ accb, the rolling 3*tk-row SAR band].
@@ -160,17 +235,29 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
     if sar:
         sg_ref, accin_ref = refs[idx : idx + 2]
         idx += 2
+    if stash:
+        stash_ins = refs[idx : idx + 6]
+        idx += 6
     outs = refs[idx : idx + 6]
     idx += 6
     if sar:
         oacc = refs[idx]
         idx += 1
+    if stash:
+        stash_outs = refs[idx : idx + 6]
+        idx += 6
     tex, tey, tez, thx, thy, thz = refs[idx : idx + 6]
     if sar:
         accb = refs[idx + 6]
         sring = refs[idx + 7]
 
-    g = pl.program_id(0)
+    if jt is None:
+        g = pl.program_id(0)
+        joff = 0
+    else:
+        jb = pl.program_id(0)
+        g = pl.program_id(1)
+        joff = jb * jt - HJ  # content-global j of window row 0
     K, J = p.maxk, p.maxj
     L0 = g * tk + koff_ref[0, 0]  # global k of the input block's first row
 
@@ -189,9 +276,24 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
 
     st_dt = ins[0].dtype
     cd = jnp.float32 if st_dt == jnp.bfloat16 else st_dt
-    cur_ex, cur_ey, cur_ez, cur_hx, cur_hy, cur_hz = (
-        r[:].astype(cd) for r in ins
-    )
+    if stash:
+        # stash this window's rows [tj, tj+HJ) — the next tile's lower
+        # halo — before anything overwrites them, then splice the
+        # previous tile's stash over the (aliasing-corrupted) rows [0, HJ)
+        win = [r[:] for r in ins]
+        for so, w in zip(stash_outs, win):
+            so[:] = w[:, jt : jt + HJ]
+        win = [
+            jnp.concatenate([si[:], w[:, HJ:]], axis=1)
+            for si, w in zip(stash_ins, win)
+        ]
+        cur_ex, cur_ey, cur_ez, cur_hx, cur_hy, cur_hz = (
+            w.astype(cd) for w in win
+        )
+    else:
+        cur_ex, cur_ey, cur_ez, cur_hx, cur_hy, cur_hz = (
+            r[:].astype(cd) for r in ins
+        )
     if use_corr:
         chy_w = chy_ref[:].astype(cd)  # rows [L0-s, L0+tk) of the corr bands
         chz_w = chz_ref[:].astype(cd)
@@ -217,6 +319,8 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
             dh2 = jnp.pad(dh2, padj)
         j0, j1, i0, i1 = patch
         jrow = jax.lax.broadcasted_iota(jnp.int32, cur_ex.shape[1:], 0)
+        if jt is not None:
+            jrow = jrow + joff
         mrow = (
             (jrow >= j0)
             & (jrow < j1)
@@ -240,6 +344,8 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
     # iotas + compares 2*s times per grid step (VPU is the limiter here)
     plane = cur_ex.shape[1:]
     jj2 = jax.lax.broadcasted_iota(jnp.int32, plane, 0)
+    if jt is not None:
+        jj2 = jj2 + joff
     ln2 = jax.lax.broadcasted_iota(jnp.int32, plane, 1)
     jm_j = (jj2 < J)[None]                      # Hx/Hz row bound
     jm_ex = ((jj2 >= 1) & (jj2 < J))[None]
@@ -419,7 +525,9 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
     @pl.when(emit_cond)
     def _emit():
         for o, v in zip(outs, vals):
-            o[:] = v.astype(st_dt)
+            # j-tiled: emit the tile interior; halo columns are the
+            # recompute wedge (stale beyond their level's validity)
+            o[:] = (v if jt is None else v[:, HJ : HJ + jt]).astype(st_dt)
 
     if sar:
         # emit cell block g-2 (complete at step g), shift the band down
@@ -438,12 +546,17 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
 
 
 def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
-                      s: int = TS, sar: bool = False):
+                      s: int = TS, sar: bool = False, nj: int = 1,
+                      inplace: bool = True):
     """The streaming sweep pallas_call (single-chip stripped layout).
 
     Signature: call(koff, ex..hz, chy, chz, de2, dh2) -> 6 fields — the
     same caller contract as pallas_temporal.build_temporal_call, so the
-    group-step driver is shared."""
+    group-step driver is shared.  ``nj`` > 1: operands in the j-extended
+    layout (pallas_temporal.jextend); the grid becomes (nj, nk+ofs) with
+    k INNER so the tails scratch carries within each j-tile's sweep (the
+    opposite nesting to the temporal kernel, whose (k, j) windows are
+    independent)."""
     S, J1, Ib = dims(p)
     W = corr_width(Ib)
     tk = s
@@ -460,10 +573,17 @@ def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
     if p.mode == Mode.COMPUTATION:
         plan = make_source_plan(p)
         patch = (plan.j0, plan.j1, plan.i0, plan.i1)
-        row0 = plan.j0 // 8 * 8
-        dwin = (row0, min(-(-(plan.j1 - row0) // 8) * 8, J1 - row0))
+        if nj == 1:
+            row0 = plan.j0 // 8 * 8
+            dwin = (row0, min(-(-(plan.j1 - row0) // 8) * 8, J1 - row0))
     use_corr = p.mode != Mode.COMPUTATION
     nd = max(s - 1, 1)
+
+    if nj > 1:
+        return _build_stream_call_jt(
+            p, coefs, interpret, s, sar, nj, S, J1, Ib, W, tk, ofs, nk,
+            dtype, compute_dtype, lossy, f_h, f_e, patch, use_corr, nd,
+            inplace and not interpret)
 
     bulk_shape = jax.ShapeDtypeStruct((S, J1, Ib), dtype)
     acc_shape = jax.ShapeDtypeStruct((S, J1, Ib), jnp.float32)
@@ -536,8 +656,16 @@ def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
     out_specs = [out_blk] * 6 + ([acc_blk] if sar else [])
     out_shape = (bulk_shape,) * 6 + ((acc_shape,) if sar else ())
     # the accumulator tile aliases its output (each block written once per
-    # sweep; read-before-write within a grid step); fields must ping-pong
-    aliases = {} if (interpret or not sar) else {n_in - 1: 6}
+    # sweep; read-before-write within a grid step).  Fields alias in/out
+    # too (r3 in-place): the write frontier (block g+ofs-1) trails the
+    # read frontier (block g+ofs) by one block, so the sweep is race-free
+    # without ping-pong — HBM at ~1x the state
+    aliases = {}
+    if not interpret:
+        if inplace:
+            aliases.update({i + 1: i for i in range(6)})
+        if sar:
+            aliases[n_in - 1] = 6
     tail = pltpu.VMEM((s + 1, J1, Ib), compute_dtype)
     scratch = [tail] * 6 + (
         [pltpu.VMEM((3 * tk, J1, Ib), jnp.float32),   # accumulator band
@@ -546,7 +674,7 @@ def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
     )
     inner = pl.pallas_call(
         functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, s, use_corr,
-                          lossy, sar, p.time_step, dwin, nk, False),
+                          lossy, sar, p.time_step, dwin, nk, False, None, False),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -577,41 +705,188 @@ def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
     return call, nd
 
 
+def _build_stream_call_jt(p, coefs, interpret, s, sar, nj, S, J1, Ib, W,
+                          tk, ofs, nk, dtype, compute_dtype, lossy, f_h,
+                          f_e, patch, use_corr, nd, inplace=False):
+    """j-tiled streaming sweep: grid (nj, nk+ofs), k inner (see
+    build_stream_call).  Operands are (S, Jt, Ib) j-extended arrays;
+    every window is an Element spec of tj + 2*HJ rows starting at
+    jb*tj + DJ - HJ = jb*tj (8-aligned for Mosaic's sublane rule).
+    Rows outside tile coverage ([0, DJ) and the top pad) are never
+    written and may hold stale values — harmless: the global-j masks
+    exclude every read across the content edges (Ex/Ez need j >= 1; H
+    reads j+1 only below J), so stale pad rows feed only masked
+    copy-through lanes that jrestore drops."""
+    assert not sar, "SAR rides full-plane plans only (see pick_plan)"
+    assert s <= HJ, (s, HJ)
+    tj, Jt = jt_extents(p, nj)
+    tjw = tj + 2 * HJ
+
+    bulk_shape = jax.ShapeDtypeStruct((S, Jt, Ib), dtype)
+    grid = (nj, nk + ofs)
+
+    def jstart(jb):
+        return pl.multiple_of(jb * tj + DJ - HJ, 8)
+
+    in_win = pl.BlockSpec(
+        (pl.Element(tk), pl.Element(tjw), pl.Element(Ib)),
+        lambda jb, g: (jnp.where(g < nk, g + ofs, 0) * tk, jstart(jb), 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_win = pl.BlockSpec(
+        (pl.Element(tk), pl.Element(tj), pl.Element(Ib)),
+        lambda jb, g: (
+            jnp.where(g <= nk, g + ofs - 1,
+                      jnp.minimum(g - nk - 1, ofs - 1)) * tk,
+            pl.multiple_of(jb * tj + DJ, 8),
+            0,
+        ),
+        memory_space=pltpu.VMEM,
+    )
+    c_win = pl.BlockSpec(
+        (pl.Element(tk + s, (0, 2 * s)), pl.Element(tjw), pl.Element(W)),
+        lambda jb, g: ((jnp.minimum(g, nk) + ofs) * tk - s, jstart(jb), 0),
+        memory_space=pltpu.VMEM,
+    )
+    coef_win = pl.BlockSpec(
+        (pl.Element(tk + s, (0, 2 * s)), pl.Element(tjw), pl.Element(Ib)),
+        lambda jb, g: ((jnp.minimum(g, nk) + ofs) * tk - s, jstart(jb), 0),
+        memory_space=pltpu.VMEM,
+    )
+    drv_spec = pl.BlockSpec(
+        (pl.Element(nd), pl.Element(tjw), pl.Element(Ib)),
+        lambda jb, g: (0, jstart(jb), 0),
+        memory_space=pltpu.VMEM,
+    )
+    smem = pl.BlockSpec((1, 1), lambda jb, g: (0, 0),
+                        memory_space=pltpu.SMEM)
+
+    # in-place (DEBUG-ONLY, FDTD_STREAM_INPLACE_JT=1): field in/outs
+    # alias; the previous tile's pre-sweep top-HJ rows ride in 6 aliased
+    # (S, HJ, Ib) stash operands (see _kernel docstring).  Stash contents
+    # never survive a sweep (tile 0's lower halo is the dead band), so
+    # the caller-side slices are only distinct donatable buffers, not
+    # data.  KNOWN BROKEN on real TPUs: the stash writes are not visible
+    # to the next j-tile's reads (they land in VMEM but the aliased HBM
+    # buffer the next tile fetches still holds the dummies) — interpret
+    # mode and a minimal aliased-Element repro both behave correctly, so
+    # this is pinned on a Mosaic pipeline interaction not yet isolated;
+    # j-tiled plans therefore ping-pong (pick_plan models 2x fields).
+    stash_win = pl.BlockSpec(
+        (pl.Element(tk), pl.Element(HJ), pl.Element(Ib)),
+        lambda jb, g: (jnp.where(g < nk, g + ofs, 0) * tk, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    stash_shape = jax.ShapeDtypeStruct((S, HJ, Ib), dtype)
+    in_specs = (
+        [smem] + [in_win] * 6
+        + ([c_win] * 2 if use_corr else [])
+        + ([drv_spec] * 2 if patch is not None else [])
+        + ([coef_win] * 6 if lossy else [])
+        + ([stash_win] * 6 if inplace else [])
+    )
+    n_in = len(in_specs)
+    aliases = {}
+    if inplace:
+        aliases.update({i + 1: i for i in range(6)})
+        aliases.update({n_in - 6 + i: 6 + i for i in range(6)})
+    tail = pltpu.VMEM((s + 1, tjw, Ib), compute_dtype)
+    inner = pl.pallas_call(
+        functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, s, use_corr,
+                          lossy, False, p.time_step, None, nk, False, tj,
+                          inplace),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[out_win] * 6 + ([stash_win] * 6 if inplace else []),
+        out_shape=(bulk_shape,) * 6 + ((stash_shape,) * 6 if inplace else ()),
+        input_output_aliases=aliases,
+        scratch_shapes=[tail] * 6,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET),
+        interpret=interpret,
+    )
+
+    def call(koff, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2, *coef6,
+             sigma=None, acc=None):
+        args = [koff, ex, ey, ez, hx, hy, hz]
+        if use_corr:
+            args += [chy, chz]
+        if patch is not None:
+            args += [de2, dh2]
+        if lossy:
+            args += list(coef6)
+        if inplace:
+            args += [
+                jax.lax.slice_in_dim(f, 0, HJ, axis=1)
+                for f in (ex, ey, ez, hx, hy, hz)
+            ]
+        return inner(*args)[: 6] if inplace else inner(*args)
+
+    return call, nd
+
+
 def make_stream_pair_step(p: Params, coefs: UpdateCoefs,
                           interpret: bool | None = None, s: int | None = None,
-                          accumulate_power: bool = False):
+                          accumulate_power: bool = False,
+                          nj: int | None = None):
     """``group_step(state, xs_group) -> state`` advancing s steps/sweep
-    (``group_step.s``; pick_s chooses 8 or 4 unless forced via ``s=`` or
-    ``FDTD_STREAM_S``); with ``accumulate_power``: ``((state, acc), xs) ->
-    (state, acc)`` where acc is fp32 in the storage layout
-    (pallas_temporal.embed_power_acc at nj=1).
+    (``group_step.s``; pick_plan chooses (s, nj) unless forced via
+    ``s=``/``nj=`` or ``FDTD_STREAM_S``/``FDTD_STREAM_NJ``); with
+    ``accumulate_power``: ``((state, acc), xs) -> (state, acc)`` where
+    acc is fp32 in the storage layout (pallas_temporal.embed_power_acc
+    at nj=1).
 
-    Same contract as pallas_temporal.make_temporal_pair_step at nj == 1
-    (no j-extension needed: full-plane only)."""
+    Same contract as pallas_temporal.make_temporal_pair_step: with
+    ``group_step.nj`` > 1 the state must round-trip through
+    pallas_temporal.jextend/jrestore per scan chunk."""
     import os
 
     if s is None:
         env = os.environ.get("FDTD_STREAM_S")
-        s = int(env) if env else pick_s(p, coefs, sar=accumulate_power)
-    if s is None or not supported(p, coefs, sar=accumulate_power):
+        if env:
+            s = int(env)
+    if nj is None:
+        env = os.environ.get("FDTD_STREAM_NJ")
+        if env:
+            nj = int(env)
+    plan_ = pick_plan(p, coefs, sar=accumulate_power)
+    if plan_ is None:
         raise NotImplementedError("streaming kernel unsupported for this config")
+    if s is None and nj is None:
+        s, nj = plan_
+    elif nj is None:
+        nj = 1  # forced s keeps the full-plane behavior
+    elif s is None:
+        s = plan_[0]
     lossy = not isinstance(coefs.ca_x, (int, float))
     assert s in (TS, TS // 2) and D % s == 0, s
+    assert nj == 1 or not accumulate_power, "SAR is full-plane only"
     if interpret is None:
         dd = jax.config.jax_default_device
         interpret = (dd.platform != "tpu") if dd is not None else (jax.default_backend() != "tpu")
 
     S, J1, Ib = dims(p)
+    _, Jt = jt_extents(p, nj)
+    dj = DJ if nj > 1 else 0
     dtype = jnp.dtype(p.dtype)
     f_h32 = jnp.float32(coefs.h_factor)
     inject = p.mode == Mode.COMPUTATION
     plan = make_source_plan(p) if inject else None
+    # Full-plane sweeps run in-place (verified bit-exact on device).  The
+    # j-tiled in-place stash is OFF by default: its cross-tile aliased
+    # stash writes are not visible to the next tile's reads on real TPUs
+    # (suspected Mosaic revisit/alias interaction — see
+    # _build_stream_call_jt); FDTD_STREAM_INPLACE_JT=1 re-enables it for
+    # debugging only.
+    inplace = os.environ.get("FDTD_STREAM_INPLACE", "1") != "0"
+    if nj > 1 and os.environ.get("FDTD_STREAM_INPLACE_JT") != "1":
+        inplace = False
     call, nd = build_stream_call(p, coefs, interpret, s=s,
-                                 sar=accumulate_power)
+                                 sar=accumulate_power, nj=nj,
+                                 inplace=inplace)
 
     K, J = p.maxk, p.maxj
     zoff = np.zeros((1, 1), np.int32)
-    zero_drv = np.zeros((nd, J1, Ib), dtype)
+    zero_drv = np.zeros((nd, Jt if nj > 1 else J1, Ib), dtype)
 
     def drive_patch(amp):
         amp_j = jnp.asarray(amp)
@@ -622,7 +897,7 @@ def make_stream_pair_step(p: Params, coefs: UpdateCoefs,
 
     def inject_state(st: StrippedState, pv) -> StrippedState:
         zero = jnp.zeros_like(pv).astype(dtype)
-        sl = (D, slice(plan.j0, plan.j1), slice(plan.i0, plan.i1))
+        sl = (D, slice(dj + plan.j0, dj + plan.j1), slice(plan.i0, plan.i1))
         return dataclasses.replace(
             st,
             ez=st.ez.at[sl].set(pv.astype(dtype)),
@@ -635,7 +910,8 @@ def make_stream_pair_step(p: Params, coefs: UpdateCoefs,
         ts_g, amps_g = xs_group
         if inject:
             st = inject_state(st, drive_patch(amps_g[0]))
-            sl = (slice(0, nd), slice(plan.j0, plan.j1), slice(plan.i0, plan.i1))
+            sl = (slice(0, nd), slice(dj + plan.j0, dj + plan.j1),
+                  slice(plan.i0, plan.i1))
             pvs = jnp.stack([drive_patch(amps_g[m]) for m in range(1, s)])
             de2 = jnp.asarray(zero_drv).at[sl].set(pvs.astype(dtype))
             dh2 = jnp.asarray(zero_drv).at[sl].set((-plan.inv_z_te * pvs).astype(dtype))
@@ -657,9 +933,9 @@ def make_stream_pair_step(p: Params, coefs: UpdateCoefs,
             ex, ey, ez, hx, hy, hz = outs
         ey_s2 = st.ey_s[:, :, 0]
         ez_s2 = st.ez_s[:, :, 0]
-        sl2 = (slice(D, D + K), slice(0, J))
-        curl = (ey_s2[D + 1 : D + K + 1, :J] - ey_s2[sl2]) - (
-            ez_s2[D : D + K, 1 : J + 1] - ez_s2[sl2]
+        sl2 = (slice(D, D + K), slice(dj, dj + J))
+        curl = (ey_s2[D + 1 : D + K + 1, dj : dj + J] - ey_s2[sl2]) - (
+            ez_s2[D : D + K, dj + 1 : dj + J + 1] - ez_s2[sl2]
         )
         hx_s = st.hx_s
         for _ in range(s):
@@ -675,7 +951,7 @@ def make_stream_pair_step(p: Params, coefs: UpdateCoefs,
         def group_step(st, xs_group):
             return advance(st, None, xs_group)[0]
 
-    group_step.nj = 1
+    group_step.nj = nj
     group_step.s = s
     return group_step
 
@@ -783,7 +1059,7 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
     tail = pltpu.VMEM((s + 1, J1, Ib), compute_dtype)
     inner = pl.pallas_call(
         functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, s, use_corr,
-                          lossy, False, p.time_step, dwin, nb - 1, True),
+                          lossy, False, p.time_step, dwin, nb - 1, True, None, False),
         grid=grid,
         in_specs=in_specs,
         out_specs=[out_blk] * 6,

@@ -250,6 +250,8 @@ def make_chunk_runner(
             D as _D,
             crop_power_acc,
             embed_power_acc,
+            jextend,
+            jrestore,
         )
 
         group_step = make_stream_pair_step(
@@ -257,6 +259,7 @@ def make_chunk_runner(
         )
         odd_step = make_step(p, coefs=coefs, backend="pallas_fused")
         sgrp = group_step.s
+        njt = group_step.nj  # j-tiling for 512^3-class grids (r3)
         K, J = p.maxk, p.maxj
 
         @functools.partial(jax.jit, donate_argnums=(0,))
@@ -271,6 +274,7 @@ def make_chunk_runner(
                     ts[: sgrp * n_grp].reshape(n_grp, sgrp),
                     amps[: sgrp * n_grp].reshape(n_grp, sgrp),
                 )
+                s = jextend(p, s, njt)
                 if accumulate_power:
                     def body2(carry, x):
                         return group_step(carry, x), None
@@ -281,6 +285,7 @@ def make_chunk_runner(
                         return group_step(s, x), None
 
                     s, _ = jax.lax.scan(body, s, gts)
+                s = jrestore(p, s, njt)
             if accumulate_power:
                 power_acc = crop_power_acc(p, acc_st, 1)
             for r in range(n % sgrp):

@@ -377,3 +377,95 @@ def test_stream_s4_matches_ref(tiny_params, workload, monkeypatch):
             err_msg="SAR accumulator",
         )
         assert float(np.asarray(acc_g).max()) > 0
+
+
+@pytest.mark.parametrize("nj", [2])
+@pytest.mark.parametrize("mode", [Mode.VALIDATION, Mode.COMPUTATION])
+def test_stream_jtiled_matches_untiled(tiny_params, mode, nj):
+    """j-tiled streaming windows (the r3 512^3-class extension) are
+    bit-exact vs the full-plane streaming kernel: same skewed pipeline
+    and arithmetic; the HJ-column halo wedge is recomputed per tile and
+    only tile interiors are written."""
+    from fdtd_tpu.ops import pallas_stream as ps
+    from fdtd_tpu.ops.pallas_temporal import jextend, jrestore
+    from fdtd_tpu.state import update_coefs
+
+    p = dataclasses.replace(tiny_params, dtype="float32", mode=mode)
+    coefs = update_coefs(p)
+    s0 = init_validation(p) if mode == Mode.VALIDATION else zeros(p)
+    prep, rest = backend_adapters(p, "pallas_stream")
+    xs = scan_inputs(p, time_values(p)[:16])
+    gts = (xs[0].reshape(2, 8), xs[1].reshape(2, 8))
+
+    def run_with(nj_):
+        group = ps.make_stream_pair_step(p, coefs, s=8, nj=nj_)
+        st = jextend(p, prep(s0), nj_)
+        for i in range(2):
+            st = group(st, (gts[0][i], gts[1][i]))
+        return rest(jrestore(p, st, nj_))
+
+    want = run_with(1)
+    got = run_with(nj)
+    for c in COMPONENTS:
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, c)), np.asarray(getattr(want, c)),
+            atol=0.0, rtol=0, err_msg=f"stream nj={nj}/{c}",
+        )
+
+
+def test_stream_jtiled_lossy_matches_untiled(tiny_params):
+    """Lossy j-tiled streaming: the ca/cb Element windows pick up the
+    j-tile offsets; halo rows advance under the true coefficient rows."""
+    from fdtd_tpu.ops import pallas_stream as ps
+    from fdtd_tpu.ops.pallas_temporal import jextend, jrestore
+    from fdtd_tpu.state import update_coefs, water_block
+
+    p = dataclasses.replace(tiny_params, dtype="float32", mode=Mode.COMPUTATION)
+    mats = water_block(p, lo=(0.2, 0.2, 0.2), hi=(0.8, 0.8, 0.8))
+    coefs = update_coefs(p, mats)
+    prep, rest = backend_adapters(p, "pallas_stream", mats)
+    xs = scan_inputs(p, time_values(p)[:16])
+    gts = (xs[0].reshape(2, 8), xs[1].reshape(2, 8))
+
+    def run_with(nj_):
+        group = ps.make_stream_pair_step(p, coefs, s=8, nj=nj_)
+        st = jextend(p, prep(zeros(p)), nj_)
+        for i in range(2):
+            st = group(st, (gts[0][i], gts[1][i]))
+        return rest(jrestore(p, st, nj_))
+
+    want = run_with(1)
+    got = run_with(2)
+    for c in COMPONENTS:
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, c)), np.asarray(getattr(want, c)),
+            atol=0.0, rtol=0, err_msg=f"lossy stream nj=2/{c}",
+        )
+
+
+def test_stream_pick_plan_orders_by_traffic():
+    """pick_plan prefers deep sweeps over j-tiles to shallow full-plane
+    ones (s=8 nj>1 models less HBM traffic than s=4 nj=1) and refuses
+    ping-pong footprints beyond HBM."""
+    from fdtd_tpu.ops.pallas_stream import pick_plan, stream_vmem_estimate
+    from fdtd_tpu.params import Mode as M, Params, SourceConfig
+    from fdtd_tpu.state import update_coefs
+
+    def mkp(n, dtype):
+        return Params(
+            length=n * 0.001, width=n * 0.001, height=n * 0.001,
+            spatial_step=0.001, time_step=1e-12, simulation_time=1e-9,
+            sampling_rate=10**9, mode=M.COMPUTATION, dtype=dtype,
+            source=SourceConfig(),
+        )
+
+    p = mkp(512, "float32")
+    plan = pick_plan(p, update_coefs(p))
+    assert plan is not None and plan[0] == 8 and plan[1] > 1, plan
+    # the chosen plan actually fits the VMEM model
+    from fdtd_tpu.ops.pallas_temporal import VMEM_BUDGET
+
+    assert stream_vmem_estimate(p, s=plan[0], nj=plan[1]) <= VMEM_BUDGET
+    # 1024^3 fp32 ping-pong (2x 27 GB) can never stream single-chip
+    p = mkp(1024, "float32")
+    assert pick_plan(p, update_coefs(p)) is None
