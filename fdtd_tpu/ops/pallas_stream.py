@@ -123,12 +123,10 @@ def pick_plan(p: Params, coefs: UpdateCoefs,
     if sar and not lossy:
         return None  # vacuum has no dissipation
     S, J1, Ib = dims(p)
-    # HBM footprint: full-plane plans run in-place (field in/outs alias —
-    # 1x the state); j-tiled plans ping-pong (2x the fields — the in-place
-    # cross-tile stash is disabled pending a Mosaic aliased-write
-    # visibility bug, see _build_stream_call_jt).  Plus the read-only
-    # coefficient bulks and the fp32 SAR accumulator (aliased), with a
-    # 15% working margin.
+    # HBM footprint: every plan runs in-place (field in/outs alias — 1x
+    # the j-extended state; j-tiled plans add the small read-only
+    # lower-halo bands), plus the read-only coefficient bulks and the
+    # fp32 SAR accumulator (aliased), with a 15% working margin.
     item = jnp.dtype(p.dtype).itemsize
     fields = state_bytes(p)
     extras = (6 * S * J1 * Ib * item if lossy else 0) \
@@ -146,12 +144,12 @@ def pick_plan(p: Params, coefs: UpdateCoefs,
                     continue  # degenerate tiling (tiny grids / over-split)
                 amp = 1 + (tj + 2 * HJ) / tj
                 ext = Jt / J1
-                need = 1.15 * (2 * fields + extras) * ext
+                bands = 6 * (nj - 1) * S * HJ * Ib * item
             else:
                 amp = 2.0
                 ext = 1.0
-                need = 1.15 * (fields + extras)
-            if need >= HBM_BUDGET:
+                bands = 0
+            if 1.15 * ((fields + extras) * ext + bands) >= HBM_BUDGET:
                 continue
             cands.append((amp / (2 * s), -s, nj, s))
     for _, _, nj, s in sorted(cands):
@@ -175,7 +173,7 @@ def supported(p: Params, coefs: UpdateCoefs, sar: bool = False) -> bool:
 
 
 def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
-            dt_step, dwin, nk, shard, jt, stash, *refs):
+            dt_step, dwin, nk, shard, jt, band, *refs):
     """One sweep step: advance all s levels by tk=s rows.
 
     ``jt``: j-tile rows when j-tiled (grid (nj, nk+ofs), k inner so the
@@ -186,23 +184,23 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
     *recompute* instead of exchange).  None = full-plane (j masks use
     local rows; joff = 0).
 
-    ``stash``: in-place j-tiled mode.  Input/output field arrays alias,
+    ``band``: in-place j-tiled mode.  Input/output field arrays alias,
     so tile jb's lower-halo rows were already overwritten by tile jb-1's
-    interior emit; the previous tile stashed their PRE-sweep values in
-    the aliased (S, HJ, Ib) stash operands (written from its own input
-    window rows [tj, tj+HJ) before any overwrite — read-before-write on
-    an aliased pair, the SAR-accumulator pattern), and this tile splices
-    them over window rows [0, HJ).  At jb=0 the stash holds garbage and
-    the splice lands on the dead band — harmless by the mask calculus.
-    Within a tile in-place is safe unconditionally: the write frontier
-    (block g+ofs-1) trails the read frontier (block g+ofs) by one block,
-    and drain re-reads of dead block 0 see zeros before and after their
-    re-zeroing write.
+    interior emit; the CALLER pre-copied every tile's pre-sweep lower
+    halo (rows [jb*tj + DJ - HJ, jb*tj + DJ), all k) into read-only
+    (S, (nj-1)*HJ, Ib) band operands with plain XLA slicing before the
+    sweep, and this tile splices band slot jb-1 over window rows
+    [0, HJ).  At jb=0 the slot index clamps to 0 and the splice lands on
+    the dead band — harmless by the mask calculus.  Within a tile
+    in-place is safe unconditionally: the write frontier (block g+ofs-1)
+    trails the read frontier (block g+ofs) by one block, and drain
+    re-reads of dead block 0 see zeros before and after their re-zeroing
+    write.
 
     refs: koff, 6 input tiles, [chy, chz], [de2, dh2],
     [cax, cay, caz, cbx, cby, cbz when lossy — Element windows covering
-    every level's E rows], [sigma, acc_in when sar], [6 stash inputs],
-    6 outputs [+ acc_out] [+ 6 stash outputs],
+    every level's E rows], [sigma, acc_in when sar], [6 band inputs],
+    6 outputs [+ acc_out],
     then scratch: tex, tey, tez, thx, thy, thz — each (s+1, J, Ib) holding
     every level's retained top row from the previous grid step
     [+ accb, the rolling 3*tk-row SAR band].
@@ -235,17 +233,14 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
     if sar:
         sg_ref, accin_ref = refs[idx : idx + 2]
         idx += 2
-    if stash:
-        stash_ins = refs[idx : idx + 6]
+    if band:
+        band_ins = refs[idx : idx + 6]
         idx += 6
     outs = refs[idx : idx + 6]
     idx += 6
     if sar:
         oacc = refs[idx]
         idx += 1
-    if stash:
-        stash_outs = refs[idx : idx + 6]
-        idx += 6
     tex, tey, tez, thx, thy, thz = refs[idx : idx + 6]
     if sar:
         accb = refs[idx + 6]
@@ -276,19 +271,12 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
 
     st_dt = ins[0].dtype
     cd = jnp.float32 if st_dt == jnp.bfloat16 else st_dt
-    if stash:
-        # stash this window's rows [tj, tj+HJ) — the next tile's lower
-        # halo — before anything overwrites them, then splice the
-        # previous tile's stash over the (aliasing-corrupted) rows [0, HJ)
-        win = [r[:] for r in ins]
-        for so, w in zip(stash_outs, win):
-            so[:] = w[:, jt : jt + HJ]
-        win = [
-            jnp.concatenate([si[:], w[:, HJ:]], axis=1)
-            for si, w in zip(stash_ins, win)
-        ]
+    if band:
+        # splice the pre-copied band (this tile's pre-sweep lower halo)
+        # over the aliasing-corrupted window rows [0, HJ)
         cur_ex, cur_ey, cur_ez, cur_hx, cur_hy, cur_hz = (
-            w.astype(cd) for w in win
+            jnp.concatenate([bi[:], r[:][:, HJ:]], axis=1).astype(cd)
+            for bi, r in zip(band_ins, ins)
         )
     else:
         cur_ex, cur_ey, cur_ez, cur_hx, cur_hy, cur_hz = (
@@ -583,7 +571,7 @@ def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
         return _build_stream_call_jt(
             p, coefs, interpret, s, sar, nj, S, J1, Ib, W, tk, ofs, nk,
             dtype, compute_dtype, lossy, f_h, f_e, patch, use_corr, nd,
-            inplace and not interpret)
+            inplace)
 
     bulk_shape = jax.ShapeDtypeStruct((S, J1, Ib), dtype)
     acc_shape = jax.ShapeDtypeStruct((S, J1, Ib), jnp.float32)
@@ -761,35 +749,35 @@ def _build_stream_call_jt(p, coefs, interpret, s, sar, nj, S, J1, Ib, W,
     smem = pl.BlockSpec((1, 1), lambda jb, g: (0, 0),
                         memory_space=pltpu.SMEM)
 
-    # in-place (DEBUG-ONLY, FDTD_STREAM_INPLACE_JT=1): field in/outs
-    # alias; the previous tile's pre-sweep top-HJ rows ride in 6 aliased
-    # (S, HJ, Ib) stash operands (see _kernel docstring).  Stash contents
-    # never survive a sweep (tile 0's lower halo is the dead band), so
-    # the caller-side slices are only distinct donatable buffers, not
-    # data.  KNOWN BROKEN on real TPUs: the stash writes are not visible
-    # to the next j-tile's reads (they land in VMEM but the aliased HBM
-    # buffer the next tile fetches still holds the dummies) — interpret
-    # mode and a minimal aliased-Element repro both behave correctly, so
-    # this is pinned on a Mosaic pipeline interaction not yet isolated;
-    # j-tiled plans therefore ping-pong (pick_plan models 2x fields).
-    stash_win = pl.BlockSpec(
+    # in-place (r3): field in/outs alias (1x-state HBM).  Tile jb's
+    # lower-halo rows (window rows [0, HJ)) sit inside tile jb-1's
+    # interior, already overwritten by the time tile jb runs — their
+    # pre-sweep values ride in 6 READ-ONLY (S, (nj-1)*HJ, Ib) band
+    # operands the caller pre-copies with plain XLA slicing before the
+    # sweep (slot jb-1 at j offset (jb-1)*HJ; slot index clamps to 0 at
+    # jb=0 where the splice lands on the dead band).  A read-only band
+    # avoids the earlier aliased-stash design, whose per-tile writes to
+    # jb-independent output blocks were elided on real TPUs (Pallas
+    # revisit semantics only guarantee the LAST visit of an output block
+    # lands in HBM — with nj tiles revisiting every stash block, tiles
+    # 0..nj-2's writes never became visible to the next tile's reads).
+    band_win = pl.BlockSpec(
         (pl.Element(tk), pl.Element(HJ), pl.Element(Ib)),
-        lambda jb, g: (jnp.where(g < nk, g + ofs, 0) * tk, 0, 0),
+        lambda jb, g: (
+            jnp.where(g < nk, g + ofs, 0) * tk,
+            jnp.maximum(jb - 1, 0) * HJ,
+            0,
+        ),
         memory_space=pltpu.VMEM,
     )
-    stash_shape = jax.ShapeDtypeStruct((S, HJ, Ib), dtype)
     in_specs = (
         [smem] + [in_win] * 6
         + ([c_win] * 2 if use_corr else [])
         + ([drv_spec] * 2 if patch is not None else [])
         + ([coef_win] * 6 if lossy else [])
-        + ([stash_win] * 6 if inplace else [])
+        + ([band_win] * 6 if inplace else [])
     )
-    n_in = len(in_specs)
-    aliases = {}
-    if inplace:
-        aliases.update({i + 1: i for i in range(6)})
-        aliases.update({n_in - 6 + i: 6 + i for i in range(6)})
+    aliases = {i + 1: i for i in range(6)} if inplace and not interpret else {}
     tail = pltpu.VMEM((s + 1, tjw, Ib), compute_dtype)
     inner = pl.pallas_call(
         functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, s, use_corr,
@@ -797,8 +785,8 @@ def _build_stream_call_jt(p, coefs, interpret, s, sar, nj, S, J1, Ib, W,
                           inplace),
         grid=grid,
         in_specs=in_specs,
-        out_specs=[out_win] * 6 + ([stash_win] * 6 if inplace else []),
-        out_shape=(bulk_shape,) * 6 + ((stash_shape,) * 6 if inplace else ()),
+        out_specs=[out_win] * 6,
+        out_shape=(bulk_shape,) * 6,
         input_output_aliases=aliases,
         scratch_shapes=[tail] * 6,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET),
@@ -816,10 +804,15 @@ def _build_stream_call_jt(p, coefs, interpret, s, sar, nj, S, J1, Ib, W,
             args += list(coef6)
         if inplace:
             args += [
-                jax.lax.slice_in_dim(f, 0, HJ, axis=1)
+                jnp.concatenate(
+                    [jax.lax.slice_in_dim(f, b * tj + DJ - HJ, b * tj + DJ,
+                                          axis=1)
+                     for b in range(1, nj)],
+                    axis=1,
+                )
                 for f in (ex, ey, ez, hx, hy, hz)
             ]
-        return inner(*args)[: 6] if inplace else inner(*args)
+        return inner(*args)
 
     return call, nd
 
@@ -871,15 +864,10 @@ def make_stream_pair_step(p: Params, coefs: UpdateCoefs,
     f_h32 = jnp.float32(coefs.h_factor)
     inject = p.mode == Mode.COMPUTATION
     plan = make_source_plan(p) if inject else None
-    # Full-plane sweeps run in-place (verified bit-exact on device).  The
-    # j-tiled in-place stash is OFF by default: its cross-tile aliased
-    # stash writes are not visible to the next tile's reads on real TPUs
-    # (suspected Mosaic revisit/alias interaction — see
-    # _build_stream_call_jt); FDTD_STREAM_INPLACE_JT=1 re-enables it for
-    # debugging only.
+    # Sweeps run in-place (field in/outs alias, 1x-state HBM): full-plane
+    # directly; j-tiled via pre-copied read-only halo bands (see
+    # _build_stream_call_jt).  Both verified bit-exact on device.
     inplace = os.environ.get("FDTD_STREAM_INPLACE", "1") != "0"
-    if nj > 1 and os.environ.get("FDTD_STREAM_INPLACE_JT") != "1":
-        inplace = False
     call, nd = build_stream_call(p, coefs, interpret, s=s,
                                  sar=accumulate_power, nj=nj,
                                  inplace=inplace)
@@ -1056,6 +1044,16 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
         + ([drv_spec] * 2 if patch is not None else [])
         + ([coef_win] * 6 if lossy else [])
     )
+    # in-place (r3): same race-free argument as the single-chip sweep —
+    # the write frontier (block g-1+b0) trails the read frontier (g+b0)
+    # by one block; at g=0 in and out are the SAME bottom-halo block,
+    # the read-before-write-within-a-step aliased pattern (and its value
+    # is dead anyway: the next exchange refreshes it before any read).
+    # Halves per-shard HBM and measured ~1.4x faster single-chip.
+    import os as _os
+
+    inplace = (not interpret
+               and _os.environ.get("FDTD_STREAM_INPLACE", "1") != "0")
     tail = pltpu.VMEM((s + 1, J1, Ib), compute_dtype)
     inner = pl.pallas_call(
         functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, s, use_corr,
@@ -1064,6 +1062,7 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
         in_specs=in_specs,
         out_specs=[out_blk] * 6,
         out_shape=(bulk_shape,) * 6,
+        input_output_aliases={i + 1: i for i in range(6)} if inplace else {},
         scratch_shapes=[tail] * 6,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET),
         interpret=interpret,
