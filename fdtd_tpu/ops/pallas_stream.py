@@ -36,9 +36,10 @@ Lossy media (homogeneous mu, computation mode) stream the six ca/cb
 coefficient arrays as (tk+s)-row Element windows — the heating workload;
 SAR rides a rolling 3*tk-row fp32 accumulator band in scratch (a cell
 row's s per-step contributions straddle two grid steps in the skewed
-schedule; full-plane plans only — the j-tiled emit would split the
-band's cell rows across tiles).  Single-chip layouts here; the sharded
-composition is below (build_stream_shard_call).
+schedule); it composes with j-tiling (r3) — the band spans the tjw-row
+window and acc emits are tile interiors, disjoint across tiles.
+Single-chip layouts here; the sharded composition is below
+(build_stream_shard_call).
 """
 
 from __future__ import annotations
@@ -108,10 +109,10 @@ def pick_plan(p: Params, coefs: UpdateCoefs,
     admits 512^3 (any dtype) and 384^3 fp32 at s=8.
 
     Vacuum in both modes; lossy media (homogeneous mu) in computation
-    mode stream the six ca/cb windows.  SAR composes with lossy on
-    full-plane plans (rolling accumulator band; the j-tiled emit slice
-    would split the band's cell rows across tiles) — when no plan fits,
-    resolve_backend falls back to lossy temporal."""
+    mode stream the six ca/cb windows.  SAR composes with lossy on any
+    plan (r3: the rolling accumulator band rides the tjw-row tile
+    geometry; acc emits are tile interiors, disjoint across tiles) —
+    when no plan fits, resolve_backend falls back to lossy temporal."""
     if coefs.heterogeneous_mu:
         return None
     lossy = not isinstance(coefs.ca_x, (int, float))
@@ -135,9 +136,9 @@ def pick_plan(p: Params, coefs: UpdateCoefs,
     for s in (TS, TS // 2):
         if D % s or (S - D) % s or (S - D) // s < 2:
             continue
-        for nj in (1, 2, 4, 8, 16):
+        for nj in (1, 2, 3, 4, 6, 8, 12, 16):
             if nj > 1:
-                if sar or s > HJ:
+                if s > HJ:
                     continue
                 tj, Jt = jt_extents(p, nj)
                 if tj <= 2 * HJ or (nj - 1) * tj >= J1:
@@ -294,7 +295,7 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
         sg_blk = sg_ref[:].astype(jnp.float32)  # cells [g*tk, (g+1)*tk)
         # full band-aligned sigma: cells [(g-2)tk, (g+1)tk)
         sg_w = jnp.concatenate([sring[:], sg_blk], axis=0)
-        band = accb[:]                          # same rows, fp32
+        accband = accb[:]                       # same rows, fp32
         dt_f = jnp.float32(dt_step)
     if patch is not None:
         de2 = de2_ref[:].astype(cd)
@@ -474,7 +475,7 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
             inc = jnp.where(m_sar, inc * dt_f, jnp.float32(0.0))
             # static-offset add (Mosaic has no scatter-add): pad to band rows
             tail_sh = (3 * tk - b0 - tk,) + inc.shape[1:]
-            band = band + jnp.concatenate(
+            accband = accband + jnp.concatenate(
                 [jnp.zeros((b0,) + inc.shape[1:], jnp.float32), inc,
                  jnp.zeros(tail_sh, jnp.float32)],
                 axis=0,
@@ -518,17 +519,23 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
             o[:] = (v if jt is None else v[:, HJ : HJ + jt]).astype(st_dt)
 
     if sar:
-        # emit cell block g-2 (complete at step g), shift the band down
+        # emit cell block g-2 (complete at step g), shift the band down;
+        # j-tiled: emit the tile interior (acc interiors are disjoint
+        # across tiles, so the aliased read-before-write stays race-free)
+        acc_emit = (accband[:tk] if jt is None
+                    else accband[:tk, HJ : HJ + jt])
+
         @pl.when((g >= 2) & (g <= nk + 1))
         def _emit_acc():
-            oacc[:] = accin_ref[:] + band[:tk]
+            oacc[:] = accin_ref[:] + acc_emit
 
         @pl.when(g < 2)
         def _emit_acc_dead():
             oacc[:] = jnp.zeros(oacc.shape, jnp.float32)
 
         accb[:] = jnp.concatenate(
-            [band[tk:], jnp.zeros((tk,) + band.shape[1:], jnp.float32)], axis=0
+            [accband[tk:], jnp.zeros((tk,) + accband.shape[1:], jnp.float32)],
+            axis=0,
         )
         sring[:] = sg_w[tk:]  # ring shifts one block per step
 
@@ -705,13 +712,13 @@ def _build_stream_call_jt(p, coefs, interpret, s, sar, nj, S, J1, Ib, W,
     exclude every read across the content edges (Ex/Ez need j >= 1; H
     reads j+1 only below J), so stale pad rows feed only masked
     copy-through lanes that jrestore drops."""
-    assert not sar, "SAR rides full-plane plans only (see pick_plan)"
     assert s <= HJ, (s, HJ)
     tj, Jt = jt_extents(p, nj)
     tjw = tj + 2 * HJ
 
     bulk_shape = jax.ShapeDtypeStruct((S, Jt, Ib), dtype)
-    grid = (nj, nk + ofs)
+    acc_shape = jax.ShapeDtypeStruct((S, Jt, Ib), jnp.float32)
+    grid = (nj, nk + ofs + (1 if sar else 0))
 
     def jstart(jb):
         return pl.multiple_of(jb * tj + DJ - HJ, 8)
@@ -770,25 +777,56 @@ def _build_stream_call_jt(p, coefs, interpret, s, sar, nj, S, J1, Ib, W,
         ),
         memory_space=pltpu.VMEM,
     )
+    # SAR composes with j-tiling (r3): the sigma window rides the tjw-row
+    # Element geometry; the acc in/out windows are TILE INTERIORS at the
+    # full-plane acc block's clipped k map — interiors are disjoint across
+    # tiles, so the aliased read-before-write per block races nothing
+    sg_win = pl.BlockSpec(
+        (pl.Element(tk), pl.Element(tjw), pl.Element(Ib)),
+        lambda jb, g: ((jnp.minimum(g, nk - 1) + ofs) * tk, jstart(jb), 0),
+        memory_space=pltpu.VMEM,
+    )
+    acc_win = pl.BlockSpec(
+        (pl.Element(tk), pl.Element(tj), pl.Element(Ib)),
+        lambda jb, g: (
+            jnp.clip(jnp.where(g < 2, jnp.minimum(g, ofs - 1), g + ofs - 2),
+                     0, nk + ofs - 1) * tk,
+            pl.multiple_of(jb * tj + DJ, 8),
+            0,
+        ),
+        memory_space=pltpu.VMEM,
+    )
     in_specs = (
         [smem] + [in_win] * 6
         + ([c_win] * 2 if use_corr else [])
         + ([drv_spec] * 2 if patch is not None else [])
         + ([coef_win] * 6 if lossy else [])
+        + ([sg_win, acc_win] if sar else [])
         + ([band_win] * 6 if inplace else [])
     )
-    aliases = {i + 1: i for i in range(6)} if inplace and not interpret else {}
+    n_in = len(in_specs)
+    aliases = {}
+    if not interpret:
+        if inplace:
+            aliases.update({i + 1: i for i in range(6)})
+        if sar:
+            aliases[n_in - 7 if inplace else n_in - 1] = 6
     tail = pltpu.VMEM((s + 1, tjw, Ib), compute_dtype)
+    scratch = [tail] * 6 + (
+        [pltpu.VMEM((3 * tk, tjw, Ib), jnp.float32),   # accumulator band
+         pltpu.VMEM((2 * tk, tjw, Ib), jnp.float32)]   # sigma ring
+        if sar else []
+    )
     inner = pl.pallas_call(
         functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, s, use_corr,
-                          lossy, False, p.time_step, None, nk, False, tj,
+                          lossy, sar, p.time_step, None, nk, False, tj,
                           inplace),
         grid=grid,
         in_specs=in_specs,
-        out_specs=[out_win] * 6,
-        out_shape=(bulk_shape,) * 6,
+        out_specs=[out_win] * 6 + ([acc_win] if sar else []),
+        out_shape=(bulk_shape,) * 6 + ((acc_shape,) if sar else ()),
         input_output_aliases=aliases,
-        scratch_shapes=[tail] * 6,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET),
         interpret=interpret,
     )
@@ -802,6 +840,8 @@ def _build_stream_call_jt(p, coefs, interpret, s, sar, nj, S, J1, Ib, W,
             args += [de2, dh2]
         if lossy:
             args += list(coef6)
+        if sar:
+            args += [sigma, acc]
         if inplace:
             args += [
                 jnp.concatenate(
@@ -826,7 +866,8 @@ def make_stream_pair_step(p: Params, coefs: UpdateCoefs,
     ``s=``/``nj=`` or ``FDTD_STREAM_S``/``FDTD_STREAM_NJ``); with
     ``accumulate_power``: ``((state, acc), xs) -> (state, acc)`` where
     acc is fp32 in the storage layout (pallas_temporal.embed_power_acc
-    at nj=1).
+    at the plan's nj — the accumulator rides the same j-extension as
+    the fields).
 
     Same contract as pallas_temporal.make_temporal_pair_step: with
     ``group_step.nj`` > 1 the state must round-trip through
@@ -852,7 +893,6 @@ def make_stream_pair_step(p: Params, coefs: UpdateCoefs,
         s = plan_[0]
     lossy = not isinstance(coefs.ca_x, (int, float))
     assert s in (TS, TS // 2) and D % s == 0, s
-    assert nj == 1 or not accumulate_power, "SAR is full-plane only"
     if interpret is None:
         dd = jax.config.jax_default_device
         interpret = (dd.platform != "tpu") if dd is not None else (jax.default_backend() != "tpu")
@@ -944,8 +984,9 @@ def make_stream_pair_step(p: Params, coefs: UpdateCoefs,
     return group_step
 
 
-def pick_shard_s(p: Params, coefs: UpdateCoefs, Klp: int) -> int | None:
-    """Steps-per-sweep for the SHARDED streaming pipeline, or None.
+def pick_shard_plan(p: Params, coefs: UpdateCoefs,
+                    Klp: int) -> tuple[int, int] | None:
+    """(steps-per-sweep, j-tiles) for the SHARDED streaming pipeline.
 
     The per-shard sweep runs over [D - s, D + Klp + s): the dead slab and
     top pad host s-row halo bands (imported by ppermute before each sweep)
@@ -955,7 +996,16 @@ def pick_shard_s(p: Params, coefs: UpdateCoefs, Klp: int) -> int | None:
     D - 2s, so configs that carry them (validation corr; lossy ca/cb)
     need s <= D/2 = 4; computation-mode vacuum has no windows and runs
     s = 8.  SAR is not composed here (sharded SAR runs use the temporal
-    or two-pass sharded paths)."""
+    or two-pass sharded paths).
+
+    ``nj`` > 1 j-tiles each shard's sweep exactly like the single-chip
+    j-tiled plan (grid (nj, nb), k inner, HJ-column halo recompute per
+    tile side) — 1-D z sharding shrinks k only, so a 512^3-class J still
+    busts full-plane VMEM per shard; without this the multi-chip default
+    silently fell back to the slower temporal/two-pass sharded paths at
+    exactly the grid sizes sharding exists for.  A deep j-tiled sweep
+    beats a shallow full-plane one (measured single-chip, DESIGN.md), so
+    candidates are ranked s-major."""
     if coefs.heterogeneous_mu:
         return None
     lossy = not isinstance(coefs.ca_x, (int, float))
@@ -964,26 +1014,43 @@ def pick_shard_s(p: Params, coefs: UpdateCoefs, Klp: int) -> int | None:
             return None
     elif coefs.ca_x != 1.0:
         return None
+    _, J1, _ = dims(p)
     windows = lossy or p.mode != Mode.COMPUTATION
     for s in ((TS // 2,) if windows else (TS, TS // 2)):
-        if (
-            D % s == 0
-            and Klp % s == 0
-            and Klp // s >= 1
-            and stream_vmem_estimate(p, s=s, lossy=lossy)
-            <= VMEM_BUDGET - 6 * 1024 * 1024
-        ):
-            return s
+        if D % s or Klp % s or Klp // s < 1:
+            continue
+        for nj in (1, 2, 3, 4, 6, 8, 12, 16):
+            if nj > 1:
+                if s > HJ:
+                    continue
+                tj, _ = jt_extents(p, nj)
+                if tj <= 2 * HJ or (nj - 1) * tj >= J1:
+                    continue  # degenerate tiling (tiny grids / over-split)
+            if (
+                stream_vmem_estimate(p, s=s, lossy=lossy, nj=nj)
+                <= VMEM_BUDGET - 6 * 1024 * 1024
+            ):
+                return s, nj
     return None
 
 
+def pick_shard_s(p: Params, coefs: UpdateCoefs, Klp: int) -> int | None:
+    """Steps-per-sweep of the best sharded plan (see pick_shard_plan)."""
+    plan = pick_shard_plan(p, coefs, Klp)
+    return plan[0] if plan else None
+
+
 def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
-                            Klp: int, s: int, interpret: bool):
-    """Streaming sweep pallas_call on a per-shard slab (see pick_shard_s).
+                            Klp: int, s: int, interpret: bool, nj: int = 1):
+    """Streaming sweep pallas_call on a per-shard slab (see pick_shard_plan).
 
     Same caller contract as build_stream_call (koff carries the shard's
     global-k offset r*Klp - s); operands are (S_sh, J1, Ib) local slabs
-    whose halo bands the caller refreshed via ppermute."""
+    whose halo bands the caller refreshed via ppermute.  ``nj`` > 1:
+    operands in the j-extended layout (pallas_temporal.jextend applied to
+    the per-shard slabs — j is unsharded, so the extension is uniform
+    across shards); grid (nj, nb), k INNER, same window calculus as the
+    single-chip j-tiled sweep."""
     _, J1, Ib = dims(p)
     W = corr_width(Ib)
     tk = s
@@ -1000,12 +1067,18 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
     if p.mode == Mode.COMPUTATION:
         plan = make_source_plan(p)
         patch = (plan.j0, plan.j1, plan.i0, plan.i1)
-        row0 = plan.j0 // 8 * 8
-        dwin = (row0, min(-(-(plan.j1 - row0) // 8) * 8, J1 - row0))
+        if nj == 1:
+            row0 = plan.j0 // 8 * 8
+            dwin = (row0, min(-(-(plan.j1 - row0) // 8) * 8, J1 - row0))
     use_corr = p.mode != Mode.COMPUTATION
     if (use_corr or lossy) and D - 2 * s < 0:
         raise NotImplementedError("corr/coef windows need s <= D/2")
     nd = max(s - 1, 1)
+
+    if nj > 1:
+        return _build_stream_shard_call_jt(
+            p, S_sh, s, interpret, nj, J1, Ib, W, tk, b0, nb, dtype,
+            compute_dtype, lossy, f_h, f_e, patch, use_corr, nd)
 
     bulk_shape = jax.ShapeDtypeStruct((S_sh, J1, Ib), dtype)
     grid = (nb,)
@@ -1080,6 +1153,117 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
             args += [de2, dh2]
         if lossy:
             args += list(coef6)
+        return inner(*args)
+
+    return call, nd
+
+
+def _build_stream_shard_call_jt(p, S_sh, s, interpret, nj, J1, Ib, W, tk,
+                                b0, nb, dtype, compute_dtype, lossy, f_h,
+                                f_e, patch, use_corr, nd):
+    """j-tiled sharded streaming sweep: grid (nj, nb), k inner.
+
+    The k calculus is the sharded full-plane sweep's (block g + b0 in,
+    max(g-1, 0) + b0 out, two steps of bottom-halo ramp); the j calculus
+    is the single-chip j-tiled sweep's (tjw-row Element windows at
+    jb*tj + DJ - HJ, interior-only emits, HJ-column halo recompute,
+    global-j masks via joff).  In-place aliasing composes with the same
+    pre-copied read-only lower-halo band operands as single-chip
+    (_build_stream_call_jt): tile jb-1 finishes its whole k sweep before
+    tile jb starts, so every k block's lower-halo rows are overwritten by
+    the time tile jb reads them — the caller's pre-sweep band copies are
+    the pristine values."""
+    tj, Jt = jt_extents(p, nj)
+    tjw = tj + 2 * HJ
+    bulk_shape = jax.ShapeDtypeStruct((S_sh, Jt, Ib), dtype)
+    grid = (nj, nb)
+
+    def jstart(jb):
+        return pl.multiple_of(jb * tj + DJ - HJ, 8)
+
+    in_win = pl.BlockSpec(
+        (pl.Element(tk), pl.Element(tjw), pl.Element(Ib)),
+        lambda jb, g: ((g + b0) * tk, jstart(jb), 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_win = pl.BlockSpec(
+        (pl.Element(tk), pl.Element(tj), pl.Element(Ib)),
+        lambda jb, g: (
+            (jnp.maximum(g - 1, 0) + b0) * tk,
+            pl.multiple_of(jb * tj + DJ, 8),
+            0,
+        ),
+        memory_space=pltpu.VMEM,
+    )
+    c_win = pl.BlockSpec(
+        (pl.Element(tk + s, (0, 2 * s)), pl.Element(tjw), pl.Element(W)),
+        lambda jb, g: ((g + b0 + 1) * tk - 2 * s, jstart(jb), 0),
+        memory_space=pltpu.VMEM,
+    )
+    coef_win = pl.BlockSpec(
+        (pl.Element(tk + s, (0, 2 * s)), pl.Element(tjw), pl.Element(Ib)),
+        lambda jb, g: ((g + b0 + 1) * tk - 2 * s, jstart(jb), 0),
+        memory_space=pltpu.VMEM,
+    )
+    drv_spec = pl.BlockSpec(
+        (pl.Element(nd), pl.Element(tjw), pl.Element(Ib)),
+        lambda jb, g: (0, jstart(jb), 0),
+        memory_space=pltpu.VMEM,
+    )
+    smem = pl.BlockSpec((1, 1), lambda jb, g: (0, 0),
+                        memory_space=pltpu.SMEM)
+    band_win = pl.BlockSpec(
+        (pl.Element(tk), pl.Element(HJ), pl.Element(Ib)),
+        lambda jb, g: ((g + b0) * tk, jnp.maximum(jb - 1, 0) * HJ, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    import os as _os
+
+    # band splice exercised everywhere (interpret included); the aliasing
+    # itself is real-hardware-only — same gating as _build_stream_call_jt
+    inplace = _os.environ.get("FDTD_STREAM_INPLACE", "1") != "0"
+    in_specs = (
+        [smem] + [in_win] * 6
+        + ([c_win] * 2 if use_corr else [])
+        + ([drv_spec] * 2 if patch is not None else [])
+        + ([coef_win] * 6 if lossy else [])
+        + ([band_win] * 6 if inplace else [])
+    )
+    aliases = {i + 1: i for i in range(6)} if inplace and not interpret else {}
+    tail = pltpu.VMEM((s + 1, tjw, Ib), compute_dtype)
+    inner = pl.pallas_call(
+        functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, s, use_corr,
+                          lossy, False, p.time_step, None, nb - 1, True, tj,
+                          inplace),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[out_win] * 6,
+        out_shape=(bulk_shape,) * 6,
+        input_output_aliases=aliases,
+        scratch_shapes=[tail] * 6,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET),
+        interpret=interpret,
+    )
+
+    def call(koff, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2, *coef6):
+        args = [koff, ex, ey, ez, hx, hy, hz]
+        if use_corr:
+            args += [chy, chz]
+        if patch is not None:
+            args += [de2, dh2]
+        if lossy:
+            args += list(coef6)
+        if inplace:
+            args += [
+                jnp.concatenate(
+                    [jax.lax.slice_in_dim(f, b * tj + DJ - HJ, b * tj + DJ,
+                                          axis=1)
+                     for b in range(1, nj)],
+                    axis=1,
+                )
+                for f in (ex, ey, ez, hx, hy, hz)
+            ]
         return inner(*args)
 
     return call, nd

@@ -1160,15 +1160,16 @@ def pick_sharded_temporal_s(p: Params, nz: int, ny: int) -> int | None:
 
 def sharded_stream_supported(p: Params, n: int, materials=None) -> bool:
     """True when the streaming wavefront composes with 1-D z sharding."""
-    from ..ops.pallas_stream import pick_shard_s
+    from ..ops.pallas_stream import pick_shard_plan
 
     coefs = update_coefs(p, materials)
     Klp = _geometry(p, n)[4]
-    return pick_shard_s(p, coefs, Klp) is not None
+    return pick_shard_plan(p, coefs, Klp) is not None
 
 
 def make_sharded_stream_step(p: Params, mesh: Mesh,
-                             interpret: bool | None = None, materials=None):
+                             interpret: bool | None = None, materials=None,
+                             nj: int | None = None):
     """Streaming wavefront kernel composed with 1-D spatial sharding.
 
     Per s-step sweep each shard imports an s-row halo band on both sides
@@ -1183,9 +1184,15 @@ def make_sharded_stream_step(p: Params, mesh: Mesh,
 
     Returns ``group_step(state, xs_group) -> state`` advancing
     ``group_step.s`` steps (8 for computation-mode vacuum, else 4 —
-    corr/coef windows need s <= D/2; see pick_shard_s).
-    """
-    from ..ops.pallas_stream import build_stream_shard_call, pick_shard_s
+    corr/coef windows need s <= D/2; see pick_shard_plan).  When
+    ``group_step.nj`` > 1 (big-J grids whose full-plane windows bust
+    per-shard VMEM — 1-D z sharding shrinks k only) the state's
+    kernel-windowed arrays must be j-extended for the sweep; the runner
+    round-trips them per chunk.  Force the tiling via ``nj=`` or
+    ``FDTD_SSTREAM_NJ``."""
+    import os
+
+    from ..ops.pallas_stream import build_stream_shard_call, pick_shard_plan
 
     coefs = update_coefs(p, materials)
     if interpret is None:
@@ -1193,11 +1200,23 @@ def make_sharded_stream_step(p: Params, mesh: Mesh,
         interpret = (dd.platform != "tpu") if dd is not None else (jax.default_backend() != "tpu")
     n = mesh.shape["z"]
     S_c, J1p, Ib, K1, Klp, S_sh = _geometry(p, n)
-    s = pick_shard_s(p, coefs, Klp)
-    if s is None:
+    if nj is None:
+        env = os.environ.get("FDTD_SSTREAM_NJ")
+        if env:
+            nj = int(env)
+    plan_ = pick_shard_plan(p, coefs, Klp)
+    if plan_ is None:
         raise NotImplementedError("sharded streaming unsupported for this config")
+    s = plan_[0]
+    if nj is None:
+        nj = plan_[1]
     lossy = not isinstance(coefs.ca_x, (int, float))
-    call, nd = build_stream_shard_call(p, coefs, S_sh, Klp, s, interpret)
+    call, nd = build_stream_shard_call(p, coefs, S_sh, Klp, s, interpret,
+                                       nj=nj)
+    from ..ops.pallas_temporal import DJ, jt_extents
+
+    djo = DJ if nj > 1 else 0        # content-j offset in the sweep layout
+    Jd = jt_extents(p, nj)[1] if nj > 1 else J1p  # drive-array j rows
 
     dtype = jnp.dtype(p.dtype)
     compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
@@ -1244,14 +1263,14 @@ def make_sharded_stream_step(p: Params, mesh: Mesh,
     import numpy as _np
 
     # host numpy, never a closed-over jax.Array (axon lowering deadlock, r3)
-    zero_drv = _np.zeros((nd, J1p, Ib), dtype)
+    zero_drv = _np.zeros((nd, Jd, Ib), dtype)
 
     def drive_patch(amp):
         amp_j = jnp.asarray(amp)
         prof_row = jnp.asarray(plan.profile, dtype=jnp.result_type(amp_j))
         row = amp_j * prof_row
-        nj, ni = plan.j1 - plan.j0, len(plan.profile)
-        return jnp.broadcast_to(row[None, :], (nj, ni))
+        rows, ni = plan.j1 - plan.j0, len(plan.profile)
+        return jnp.broadcast_to(row[None, :], (rows, ni))
 
     def group_step(st: ShardedFastState, xs_group) -> ShardedFastState:
         ts_g, amps_g = xs_group
@@ -1259,7 +1278,8 @@ def make_sharded_stream_step(p: Params, mesh: Mesh,
         if inject:
             pv1 = drive_patch(amps_g[0])
             zero = jnp.zeros_like(pv1).astype(dtype)
-            sl = (D, slice(plan.j0, plan.j1), slice(plan.i0, plan.i1))
+            sl = (D, slice(djo + plan.j0, djo + plan.j1),
+                  slice(plan.i0, plan.i1))
             st = dataclasses.replace(
                 st,
                 ez=st.ez.at[sl].set(pv1.astype(dtype)),
@@ -1268,7 +1288,8 @@ def make_sharded_stream_step(p: Params, mesh: Mesh,
                 hx=st.hx.at[sl].set((-plan.inv_z_te * pv1).astype(dtype)),
             )
             pvs = jnp.stack([drive_patch(amps_g[m]) for m in range(1, s)])
-            sl2 = (slice(0, nd), slice(plan.j0, plan.j1), slice(plan.i0, plan.i1))
+            sl2 = (slice(0, nd), slice(djo + plan.j0, djo + plan.j1),
+                   slice(plan.i0, plan.i1))
             de2 = zero_drv_t.at[sl2].set(pvs.astype(dtype))
             dh2 = zero_drv_t.at[sl2].set((-plan.inv_z_te * pvs).astype(dtype))
         else:
@@ -1290,16 +1311,63 @@ def make_sharded_stream_step(p: Params, mesh: Mesh,
         return dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
 
     group_step.s = s
+    group_step.nj = nj
     return group_step
 
 
+def _jt_windowed_fields(p: Params, lossy: bool, use_corr: bool):
+    """State fields the j-tiled sharded sweep windows (and so must be
+    j-extended): the six bulks, plus the corr slabs (validation) and the
+    ca/cb coefficient slabs (lossy media)."""
+    names = ["ex", "ey", "ez", "hx", "hy", "hz"]
+    if use_corr:
+        names += ["corr_hy", "corr_hz"]
+    if lossy:
+        names += ["ca_x", "ca_y", "ca_z", "cb_x", "cb_y", "cb_z"]
+    return names
+
+
+def jt_extend_sharded(p: Params, st: ShardedFastState, nj: int,
+                      lossy: bool, use_corr: bool) -> ShardedFastState:
+    """j-extend a ShardedFastState's kernel-windowed arrays (j is
+    unsharded, so the padding is uniform across z shards); strips and
+    het-mu factors stay in the canonical layout."""
+    from ..ops.pallas_temporal import DJ, jt_extents
+
+    _, J1, _ = dims(p)
+    _, Jt = jt_extents(p, nj)
+    pad = lambda a: jnp.pad(a, ((0, 0), (DJ, Jt - DJ - J1), (0, 0)))
+    ups = {n: pad(getattr(st, n))
+           for n in _jt_windowed_fields(p, lossy, use_corr)}
+    return dataclasses.replace(st, **ups)
+
+
+def jt_restore_sharded(p: Params, st: ShardedFastState, nj: int,
+                       lossy: bool, use_corr: bool) -> ShardedFastState:
+    """Inverse of jt_extend_sharded."""
+    from ..ops.pallas_temporal import DJ
+
+    _, J1, _ = dims(p)
+    unpad = lambda a: a[:, DJ : DJ + J1]
+    ups = {n: unpad(getattr(st, n))
+           for n in _jt_windowed_fields(p, lossy, use_corr)}
+    return dataclasses.replace(st, **ups)
+
+
 def make_sharded_stream_runner(p: Params, mesh: Mesh,
-                               interpret: bool | None = None, materials=None):
+                               interpret: bool | None = None, materials=None,
+                               nj: int | None = None):
     """Jitted ``run(state, xs) -> state``; trailing steps (n % s) use the
-    single-step sharded fast path."""
-    group_step = make_sharded_stream_step(p, mesh, interpret, materials)
+    single-step sharded fast path.  j-tiled plans round-trip the
+    kernel-windowed arrays through the j-extended layout per call."""
+    group_step = make_sharded_stream_step(p, mesh, interpret, materials,
+                                          nj=nj)
     s = group_step.s
+    njg = group_step.nj
     single_step = make_sharded_fast_step(p, mesh, interpret, materials)
+    coefs = update_coefs(p, materials)
+    lossy = not isinstance(coefs.ca_x, (int, float))
+    use_corr = p.mode != Mode.COMPUTATION
 
     @jax.jit
     def run(st, xs):
@@ -1312,7 +1380,11 @@ def make_sharded_stream_runner(p: Params, mesh: Mesh,
             def body(st, x):
                 return group_step(st, x), None
 
+            if njg > 1:
+                st = jt_extend_sharded(p, st, njg, lossy, use_corr)
             st, _ = lax.scan(body, st, g)
+            if njg > 1:
+                st = jt_restore_sharded(p, st, njg, lossy, use_corr)
         for r in range(nsteps % s):
             idx = s * n_grp + r
             st = single_step(st, (ts[idx], amps[idx]))

@@ -295,6 +295,14 @@ def dryrun(n_devices: int, devices=None) -> None:
         st4 = run_stream(st4, xs8)  # 8 steps = one full wavefront sweep
         jax.block_until_ready(st4.ex)
 
+        # j-tiled sharded streaming (r3: big-J grids whose full-plane
+        # windows bust per-shard VMEM); forced nj=2 on the tiny grid
+        st5 = to_sharded_fast(p, zeros(p), mesh_z)
+        run_sjt = make_sharded_stream_runner(p, mesh_z, interpret=interp,
+                                             nj=2)
+        st5 = run_sjt(st5, xs8)
+        jax.block_until_ready(st5.ex)
+
     # and the 2-D (z x y) fast path when the device count splits
     if n_devices >= 4 and n_devices % 2 == 0:
         from .sharded_fast import (

@@ -376,3 +376,57 @@ def test_sharded_stream_lossy_matches_single_device(tiny_params):
         g = np.asarray(getattr(got, c))[:, :, : p.maxi]
         w = np.asarray(getattr(want, c))[:, :, : p.maxi]
         np.testing.assert_allclose(g, w, atol=1e-6, rtol=0, err_msg=c)
+
+
+@pytest.mark.parametrize("mode", [Mode.VALIDATION, Mode.COMPUTATION])
+@pytest.mark.parametrize("nj", [2, 4])
+def test_sharded_stream_jtiled_matches_single_device(tiny_params, mode, nj):
+    """j-tiled streaming x 1-D sharding (r3): big-J grids whose full-plane
+    windows bust per-shard VMEM run the same skewed pipeline over
+    (nj, nb) tiles per shard — bit-class equal to the single-device run.
+    Forced nj on a tiny grid exercises heavy tile overlap (tj < 2*HJ)."""
+    from fdtd_tpu.parallel.sharded_fast import make_sharded_stream_runner
+
+    p = dataclasses.replace(tiny_params, dtype="float32", mode=mode)
+    n_steps = 19  # sweeps + single-step tail (tail runs canonical layout)
+    s0 = init_validation(p) if mode == Mode.VALIDATION else zeros(p)
+    run_ref = make_chunk_runner(p)
+    xs = scan_inputs(p, time_values(p)[:n_steps])
+    want, _ = run_ref(s0, xs, None)
+
+    mesh = make_mesh(2, (2, 1, 1), devices=jax.devices("cpu"))
+    st = to_sharded_fast(p, s0, mesh)
+    run = make_sharded_stream_runner(p, mesh, interpret=True, nj=nj)
+    st = run(st, xs)
+    got = from_sharded_fast(p, st, mesh)
+    for c in COMPONENTS:
+        g = np.asarray(getattr(got, c))[:, :, : p.maxi]
+        w = np.asarray(getattr(want, c))[:, :, : p.maxi]
+        np.testing.assert_allclose(g, w, atol=1e-6, rtol=0, err_msg=c)
+
+
+def test_sharded_stream_jtiled_lossy_matches_single_device(tiny_params):
+    """Lossy j-tiled streaming x 1-D sharding: the six ca/cb slabs ride
+    the same j-extension as the fields."""
+    from fdtd_tpu.parallel.sharded_fast import make_sharded_stream_runner
+    from fdtd_tpu.state import update_coefs, water_block
+
+    p = dataclasses.replace(tiny_params, dtype="float32", mode=Mode.COMPUTATION)
+    mats = water_block(p, lo=(0.1, 0.1, 0.1), hi=(0.9, 0.9, 0.9))
+    coefs = update_coefs(p, mats)
+    n_steps = 11
+    s0 = zeros(p)
+    run_ref = make_chunk_runner(p, mats)
+    xs = scan_inputs(p, time_values(p)[:n_steps])
+    want, _ = run_ref(s0, xs, None)
+
+    mesh = make_mesh(2, (2, 1, 1), devices=jax.devices("cpu"))
+    st = to_sharded_fast(p, s0, mesh, coefs=coefs)
+    run = make_sharded_stream_runner(p, mesh, interpret=True, materials=mats,
+                                     nj=2)
+    st = run(st, xs)
+    got = from_sharded_fast(p, st, mesh)
+    for c in COMPONENTS:
+        g = np.asarray(getattr(got, c))[:, :, : p.maxi]
+        w = np.asarray(getattr(want, c))[:, :, : p.maxi]
+        np.testing.assert_allclose(g, w, atol=1e-6, rtol=0, err_msg=c)
