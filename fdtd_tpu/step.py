@@ -268,7 +268,7 @@ def make_chunk_runner(
             n = ts.shape[0]
             n_grp = n // sgrp
             if accumulate_power:
-                acc_st = embed_power_acc(p, power_acc, 1)
+                acc_st = embed_power_acc(p, power_acc, njt)
             if n_grp:
                 gts = (
                     ts[: sgrp * n_grp].reshape(n_grp, sgrp),
@@ -287,7 +287,7 @@ def make_chunk_runner(
                     s, _ = jax.lax.scan(body, s, gts)
                 s = jrestore(p, s, njt)
             if accumulate_power:
-                power_acc = crop_power_acc(p, acc_st, 1)
+                power_acc = crop_power_acc(p, acc_st, njt)
             for r in range(n % sgrp):
                 idx = sgrp * n_grp + r
                 s = odd_step(s, (ts[idx], amps[idx]))

@@ -443,6 +443,37 @@ def test_stream_jtiled_lossy_matches_untiled(tiny_params):
         )
 
 
+@pytest.mark.parametrize("nj", [2, 4])
+def test_stream_jtiled_sar_matches_twopass(tiny_params, monkeypatch, nj):
+    """SAR x j-tiling (r3): the rolling accumulator band rides the
+    tjw-row tile geometry and acc emits are tile interiors — fields and
+    accumulator match the two-pass path's per-step jnp accumulation."""
+    from fdtd_tpu.state import water_block
+    from fdtd_tpu.step import zero_power_acc
+
+    monkeypatch.setenv("FDTD_STREAM_NJ", str(nj))
+    p = dataclasses.replace(tiny_params, dtype="float32", mode=Mode.COMPUTATION)
+    mats = water_block(p, lo=(0.2, 0.2, 0.2), hi=(0.8, 0.8, 0.8))
+    run_ref = make_chunk_runner(p, mats, backend="pallas_fused",
+                                accumulate_power=True)
+    run_st = make_chunk_runner(p, mats, backend="pallas_stream",
+                               accumulate_power=True)
+    prep, rest = backend_adapters(p, "pallas_fused", mats)
+    xs = scan_inputs(p, time_values(p)[:19])  # 2 sweeps + 3 odd steps
+    want, acc_w = run_ref(prep(zeros(p)), xs, zero_power_acc(p))
+    got, acc_g = run_st(prep(zeros(p)), xs, zero_power_acc(p))
+    wantf, gotf = rest(want), rest(got)
+    for c in COMPONENTS:
+        g = np.asarray(getattr(gotf, c))[:, :, : p.maxi]
+        w = np.asarray(getattr(wantf, c))[:, :, : p.maxi]
+        np.testing.assert_allclose(g, w, atol=1e-6, rtol=0, err_msg=c)
+    np.testing.assert_allclose(
+        np.asarray(acc_g), np.asarray(acc_w), rtol=2e-5, atol=1e-30,
+        err_msg="SAR accumulator",
+    )
+    assert float(np.asarray(acc_g).max()) > 0
+
+
 def test_stream_pick_plan_orders_by_traffic():
     """pick_plan prefers deep sweeps over j-tiles to shallow full-plane
     ones (s=8 nj>1 models less HBM traffic than s=4 nj=1) and refuses
