@@ -26,7 +26,7 @@ recompute).  Source semantics, masks, and arithmetic are identical to
 ops/pallas_temporal (same _curl helpers) — bit-class parity with the
 two-pass and xla paths.
 
-Plan space (pick_plan): s = tk in {8, 4} x nj in {1, 2, 4, 8} j-tiles,
+Plan space (pick_plan): s = tk in {8, 4} x nj in {1..16} j-tiles,
 ranked by modeled HBM traffic — j-tiling (the r3 big-grid extension)
 replaces the full plane with tj + 2*HJ-row Element windows and a per-tile
 halo-recompute wedge, which is what lets 512^3-class grids stream (the
@@ -99,14 +99,15 @@ def pick_plan(p: Params, coefs: UpdateCoefs,
               sar: bool = False) -> tuple[int, int] | None:
     """Feasible (steps-per-sweep, j-tiles) minimizing HBM traffic, or None.
 
-    Candidates are s in {8, 4} x nj in {1, 2, 4, 8}, ranked by modeled
+    Candidates are s in {8, 4} x nj in {1, 2, 3, 4, 6, 8, 12, 16}, ranked by modeled
     per-step bytes ~ (reads + writes)/(2s) where j-tiling amplifies reads
     by (tj + 2*HJ)/tj — so a deep sweep over j-tiles (s=8, nj=4) beats a
     shallow full-plane one (s=4, nj=1).  Smaller s halves every window
     and tail; j-tiling shrinks them by ~nj at an s-row halo *recompute*
     wedge per tile side (the k pipeline itself stays zero-recompute).
-    s=4 full-plane is what admits 256^3 fp32 lossy/SAR; nj>1 is what
-    admits 512^3 (any dtype) and 384^3 fp32 at s=8.
+    nj>1 is what admits 512^3 (any dtype), 384^3 fp32 at s=8, and the
+    deep (8, 2) plan for 256^3 fp32 lossy+SAR (r3; was the s=4
+    full-plane fallback).
 
     Vacuum in both modes; lossy media (homogeneous mu) in computation
     mode stream the six ca/cb windows.  SAR composes with lossy on any
@@ -497,9 +498,12 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
     if shard:
         # sharded sweep: the first two steps ramp through the bottom halo
         # block (zeroed — the exchange refreshes it before the next sweep
-        # reads it); every later step emits a fully-valid own block
-        dead_cond = g < 2
-        emit_cond = g >= 2
+        # reads it); every later step emits a fully-valid own block.  The
+        # SAR drain step (grid nb+1, g = nk+1) maps its field output to
+        # the top halo block — zeroed here (deterministic; the next
+        # exchange refreshes it before any read)
+        dead_cond = (g < 2) | (g > nk)
+        emit_cond = (g >= 2) & (g <= nk)
     else:
         dead_cond = (g == 0) | (g > nk)
         emit_cond = (g > 0) & (g <= nk)
@@ -521,15 +525,19 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
     if sar:
         # emit cell block g-2 (complete at step g), shift the band down;
         # j-tiled: emit the tile interior (acc interiors are disjoint
-        # across tiles, so the aliased read-before-write stays race-free)
+        # across tiles, so the aliased read-before-write stays race-free).
+        # Sharded: g=2's cell block is the NEIGHBOR's top cells — its
+        # halo-ramp contributions are invalid, so the first own emit is
+        # g=3 and g<3 zeroes the (cropped-away) bottom halo acc block
         acc_emit = (accband[:tk] if jt is None
                     else accband[:tk, HJ : HJ + jt])
+        g_acc0 = 3 if shard else 2
 
-        @pl.when((g >= 2) & (g <= nk + 1))
+        @pl.when((g >= g_acc0) & (g <= nk + 1))
         def _emit_acc():
             oacc[:] = accin_ref[:] + acc_emit
 
-        @pl.when(g < 2)
+        @pl.when(g < g_acc0)
         def _emit_acc_dead():
             oacc[:] = jnp.zeros(oacc.shape, jnp.float32)
 
@@ -984,8 +992,8 @@ def make_stream_pair_step(p: Params, coefs: UpdateCoefs,
     return group_step
 
 
-def pick_shard_plan(p: Params, coefs: UpdateCoefs,
-                    Klp: int) -> tuple[int, int] | None:
+def pick_shard_plan(p: Params, coefs: UpdateCoefs, Klp: int,
+                    sar: bool = False) -> tuple[int, int] | None:
     """(steps-per-sweep, j-tiles) for the SHARDED streaming pipeline.
 
     The per-shard sweep runs over [D - s, D + Klp + s): the dead slab and
@@ -995,8 +1003,10 @@ def pick_shard_plan(p: Params, coefs: UpdateCoefs,
     with zero recompute.  Corr/coef Element windows start at array row
     D - 2s, so configs that carry them (validation corr; lossy ca/cb)
     need s <= D/2 = 4; computation-mode vacuum has no windows and runs
-    s = 8.  SAR is not composed here (sharded SAR runs use the temporal
-    or two-pass sharded paths).
+    s = 8.  SAR composes (r3): sigma rides a per-shard slab (neighbor
+    halo rows baked), the accumulator's own blocks trail the fields by
+    one more step (one extra drain step), and the bottom-halo acc block
+    collects the invalid halo-ramp contributions and is cropped away.
 
     ``nj`` > 1 j-tiles each shard's sweep exactly like the single-chip
     j-tiled plan (grid (nj, nb), k inner, HJ-column halo recompute per
@@ -1014,6 +1024,8 @@ def pick_shard_plan(p: Params, coefs: UpdateCoefs,
             return None
     elif coefs.ca_x != 1.0:
         return None
+    if sar and not lossy:
+        return None  # vacuum has no dissipation
     _, J1, _ = dims(p)
     windows = lossy or p.mode != Mode.COMPUTATION
     for s in ((TS // 2,) if windows else (TS, TS // 2)):
@@ -1027,8 +1039,8 @@ def pick_shard_plan(p: Params, coefs: UpdateCoefs,
                 if tj <= 2 * HJ or (nj - 1) * tj >= J1:
                     continue  # degenerate tiling (tiny grids / over-split)
             if (
-                stream_vmem_estimate(p, s=s, lossy=lossy, nj=nj)
-                <= VMEM_BUDGET - 6 * 1024 * 1024
+                stream_vmem_estimate(p, s=s, lossy=lossy, sar=sar, nj=nj)
+                <= VMEM_BUDGET - (0 if sar else 6 * 1024 * 1024)
             ):
                 return s, nj
     return None
@@ -1041,7 +1053,8 @@ def pick_shard_s(p: Params, coefs: UpdateCoefs, Klp: int) -> int | None:
 
 
 def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
-                            Klp: int, s: int, interpret: bool, nj: int = 1):
+                            Klp: int, s: int, interpret: bool, nj: int = 1,
+                            sar: bool = False):
     """Streaming sweep pallas_call on a per-shard slab (see pick_shard_plan).
 
     Same caller contract as build_stream_call (koff carries the shard's
@@ -1078,13 +1091,17 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
     if nj > 1:
         return _build_stream_shard_call_jt(
             p, S_sh, s, interpret, nj, J1, Ib, W, tk, b0, nb, dtype,
-            compute_dtype, lossy, f_h, f_e, patch, use_corr, nd)
+            compute_dtype, lossy, f_h, f_e, patch, use_corr, nd, sar)
 
     bulk_shape = jax.ShapeDtypeStruct((S_sh, J1, Ib), dtype)
-    grid = (nb,)
+    acc_shape = jax.ShapeDtypeStruct((S_sh, J1, Ib), jnp.float32)
+    # SAR: one extra drain step emits the final own acc block (the acc
+    # trails the fields by one more block in the skewed schedule)
+    grid = (nb + (1 if sar else 0),)
 
     in_blk = pl.BlockSpec(
-        (tk, J1, Ib), lambda g: (g + b0, 0, 0), memory_space=pltpu.VMEM
+        (tk, J1, Ib), lambda g: (jnp.minimum(g, nb - 1) + b0, 0, 0),
+        memory_space=pltpu.VMEM,
     )
     # level-s output of step g is input block g-1; blocks below validity
     # (g < 2) zero the bottom halo block, refreshed by the next exchange
@@ -1111,12 +1128,27 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
 
+    # SAR (r3): sigma tiles follow the input blocks; the acc in/out tiles
+    # trail by two (cell block g-2 completes at step g) — g < 3 visits
+    # clamp to the bottom halo acc block, which collects the invalid
+    # halo-ramp contributions, is zeroed, and is cropped by the caller
+    sg_blk = pl.BlockSpec(
+        (tk, J1, Ib), lambda g: (jnp.minimum(g, nb - 1) + b0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    acc_blk = pl.BlockSpec(
+        (tk, J1, Ib),
+        lambda g: (jnp.clip(g - 2, 0, nb - 1) + b0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     in_specs = (
         [smem] + [in_blk] * 6
         + ([c_win] * 2 if use_corr else [])
         + ([drv_spec] * 2 if patch is not None else [])
         + ([coef_win] * 6 if lossy else [])
+        + ([sg_blk, acc_blk] if sar else [])
     )
+    n_in = len(in_specs)
     # in-place (r3): same race-free argument as the single-chip sweep —
     # the write frontier (block g-1+b0) trails the read frontier (g+b0)
     # by one block; at g=0 in and out are the SAME bottom-halo block,
@@ -1127,21 +1159,31 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
 
     inplace = (not interpret
                and _os.environ.get("FDTD_STREAM_INPLACE", "1") != "0")
+    aliases = {i + 1: i for i in range(6)} if inplace else {}
+    if sar and not interpret:
+        aliases[n_in - 1] = 6
     tail = pltpu.VMEM((s + 1, J1, Ib), compute_dtype)
+    scratch = [tail] * 6 + (
+        [pltpu.VMEM((3 * tk, J1, Ib), jnp.float32),
+         pltpu.VMEM((2 * tk, J1, Ib), jnp.float32)]
+        if sar else []
+    )
     inner = pl.pallas_call(
         functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, s, use_corr,
-                          lossy, False, p.time_step, dwin, nb - 1, True, None, False),
+                          lossy, sar, p.time_step, dwin, nb - 1, True, None,
+                          False),
         grid=grid,
         in_specs=in_specs,
-        out_specs=[out_blk] * 6,
-        out_shape=(bulk_shape,) * 6,
-        input_output_aliases={i + 1: i for i in range(6)} if inplace else {},
-        scratch_shapes=[tail] * 6,
+        out_specs=[out_blk] * 6 + ([acc_blk] if sar else []),
+        out_shape=(bulk_shape,) * 6 + ((acc_shape,) if sar else ()),
+        input_output_aliases=aliases,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET),
         interpret=interpret,
     )
 
-    def call(koff, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2, *coef6):
+    def call(koff, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2, *coef6,
+             sigma=None, acc=None):
         args = [koff, ex, ey, ez, hx, hy, hz]
         if use_corr:
             args += [chy, chz]
@@ -1153,6 +1195,8 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
             args += [de2, dh2]
         if lossy:
             args += list(coef6)
+        if sar:
+            args += [sigma, acc]
         return inner(*args)
 
     return call, nd
@@ -1160,7 +1204,7 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
 
 def _build_stream_shard_call_jt(p, S_sh, s, interpret, nj, J1, Ib, W, tk,
                                 b0, nb, dtype, compute_dtype, lossy, f_h,
-                                f_e, patch, use_corr, nd):
+                                f_e, patch, use_corr, nd, sar=False):
     """j-tiled sharded streaming sweep: grid (nj, nb), k inner.
 
     The k calculus is the sharded full-plane sweep's (block g + b0 in,
@@ -1176,14 +1220,15 @@ def _build_stream_shard_call_jt(p, S_sh, s, interpret, nj, J1, Ib, W, tk,
     tj, Jt = jt_extents(p, nj)
     tjw = tj + 2 * HJ
     bulk_shape = jax.ShapeDtypeStruct((S_sh, Jt, Ib), dtype)
-    grid = (nj, nb)
+    acc_shape = jax.ShapeDtypeStruct((S_sh, Jt, Ib), jnp.float32)
+    grid = (nj, nb + (1 if sar else 0))
 
     def jstart(jb):
         return pl.multiple_of(jb * tj + DJ - HJ, 8)
 
     in_win = pl.BlockSpec(
         (pl.Element(tk), pl.Element(tjw), pl.Element(Ib)),
-        lambda jb, g: ((g + b0) * tk, jstart(jb), 0),
+        lambda jb, g: ((jnp.minimum(g, nb - 1) + b0) * tk, jstart(jb), 0),
         memory_space=pltpu.VMEM,
     )
     out_win = pl.BlockSpec(
@@ -1214,7 +1259,26 @@ def _build_stream_shard_call_jt(p, S_sh, s, interpret, nj, J1, Ib, W, tk,
                         memory_space=pltpu.SMEM)
     band_win = pl.BlockSpec(
         (pl.Element(tk), pl.Element(HJ), pl.Element(Ib)),
-        lambda jb, g: ((g + b0) * tk, jnp.maximum(jb - 1, 0) * HJ, 0),
+        lambda jb, g: ((jnp.minimum(g, nb - 1) + b0) * tk,
+                       jnp.maximum(jb - 1, 0) * HJ, 0),
+        memory_space=pltpu.VMEM,
+    )
+    # SAR x jt x sharding (r3): sigma windows follow the input tiles, acc
+    # in/out tiles are tile interiors trailing by two k blocks (see the
+    # full-plane sharded variant for the k schedule, the single-chip jt
+    # variant for the tile-interior argument)
+    sg_win = pl.BlockSpec(
+        (pl.Element(tk), pl.Element(tjw), pl.Element(Ib)),
+        lambda jb, g: ((jnp.minimum(g, nb - 1) + b0) * tk, jstart(jb), 0),
+        memory_space=pltpu.VMEM,
+    )
+    acc_win = pl.BlockSpec(
+        (pl.Element(tk), pl.Element(tj), pl.Element(Ib)),
+        lambda jb, g: (
+            (jnp.clip(g - 2, 0, nb - 1) + b0) * tk,
+            pl.multiple_of(jb * tj + DJ, 8),
+            0,
+        ),
         memory_space=pltpu.VMEM,
     )
 
@@ -1228,25 +1292,35 @@ def _build_stream_shard_call_jt(p, S_sh, s, interpret, nj, J1, Ib, W, tk,
         + ([c_win] * 2 if use_corr else [])
         + ([drv_spec] * 2 if patch is not None else [])
         + ([coef_win] * 6 if lossy else [])
+        + ([sg_win, acc_win] if sar else [])
         + ([band_win] * 6 if inplace else [])
     )
+    n_in = len(in_specs)
     aliases = {i + 1: i for i in range(6)} if inplace and not interpret else {}
+    if sar and not interpret:
+        aliases[n_in - 7 if inplace else n_in - 1] = 6
     tail = pltpu.VMEM((s + 1, tjw, Ib), compute_dtype)
+    scratch = [tail] * 6 + (
+        [pltpu.VMEM((3 * tk, tjw, Ib), jnp.float32),
+         pltpu.VMEM((2 * tk, tjw, Ib), jnp.float32)]
+        if sar else []
+    )
     inner = pl.pallas_call(
         functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, s, use_corr,
-                          lossy, False, p.time_step, None, nb - 1, True, tj,
+                          lossy, sar, p.time_step, None, nb - 1, True, tj,
                           inplace),
         grid=grid,
         in_specs=in_specs,
-        out_specs=[out_win] * 6,
-        out_shape=(bulk_shape,) * 6,
+        out_specs=[out_win] * 6 + ([acc_win] if sar else []),
+        out_shape=(bulk_shape,) * 6 + ((acc_shape,) if sar else ()),
         input_output_aliases=aliases,
-        scratch_shapes=[tail] * 6,
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET),
         interpret=interpret,
     )
 
-    def call(koff, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2, *coef6):
+    def call(koff, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2, *coef6,
+             sigma=None, acc=None):
         args = [koff, ex, ey, ez, hx, hy, hz]
         if use_corr:
             args += [chy, chz]
@@ -1254,6 +1328,8 @@ def _build_stream_shard_call_jt(p, S_sh, s, interpret, nj, J1, Ib, W, tk,
             args += [de2, dh2]
         if lossy:
             args += list(coef6)
+        if sar:
+            args += [sigma, acc]
         if inplace:
             args += [
                 jnp.concatenate(

@@ -52,7 +52,7 @@ from ..ops.pallas_fused import (
         "ex", "ey", "ez", "hx", "hy", "hz", "corr_hy", "corr_hz",
         "ey_s", "ez_s", "hx_s",
         "ca_x", "ca_y", "ca_z", "cb_x", "cb_y", "cb_z",
-        "hf_x", "hf_y", "hf_z", "hfx_s",
+        "hf_x", "hf_y", "hf_z", "hfx_s", "sigma_c",
     ],
     meta_fields=[],
 )
@@ -83,6 +83,7 @@ class ShardedFastState:
     hf_y: jax.Array | None = None
     hf_z: jax.Array | None = None
     hfx_s: jax.Array | None = None  # replicated strip-column factor
+    sigma_c: jax.Array | None = None  # cell sigma slab (streaming SAR, r3)
 
 
 def _geometry(p: Params, n: int):
@@ -157,6 +158,8 @@ def to_sharded_fast(
             cb_x=emb(st.cb_x, halo=True), cb_y=emb(st.cb_y, halo=True),
             cb_z=emb(st.cb_z, halo=True),
         )
+    if st.sigma_c is not None:
+        out = dataclasses.replace(out, sigma_c=emb(st.sigma_c, halo=True))
     if st.hf_x is not None:
         out = dataclasses.replace(
             out,
@@ -1158,18 +1161,20 @@ def pick_sharded_temporal_s(p: Params, nz: int, ny: int) -> int | None:
     return None
 
 
-def sharded_stream_supported(p: Params, n: int, materials=None) -> bool:
+def sharded_stream_supported(p: Params, n: int, materials=None,
+                             sar: bool = False) -> bool:
     """True when the streaming wavefront composes with 1-D z sharding."""
     from ..ops.pallas_stream import pick_shard_plan
 
     coefs = update_coefs(p, materials)
     Klp = _geometry(p, n)[4]
-    return pick_shard_plan(p, coefs, Klp) is not None
+    return pick_shard_plan(p, coefs, Klp, sar=sar) is not None
 
 
 def make_sharded_stream_step(p: Params, mesh: Mesh,
                              interpret: bool | None = None, materials=None,
-                             nj: int | None = None):
+                             nj: int | None = None,
+                             accumulate_power: bool = False):
     """Streaming wavefront kernel composed with 1-D spatial sharding.
 
     Per s-step sweep each shard imports an s-row halo band on both sides
@@ -1204,7 +1209,7 @@ def make_sharded_stream_step(p: Params, mesh: Mesh,
         env = os.environ.get("FDTD_SSTREAM_NJ")
         if env:
             nj = int(env)
-    plan_ = pick_shard_plan(p, coefs, Klp)
+    plan_ = pick_shard_plan(p, coefs, Klp, sar=accumulate_power)
     if plan_ is None:
         raise NotImplementedError("sharded streaming unsupported for this config")
     s = plan_[0]
@@ -1212,7 +1217,7 @@ def make_sharded_stream_step(p: Params, mesh: Mesh,
         nj = plan_[1]
     lossy = not isinstance(coefs.ca_x, (int, float))
     call, nd = build_stream_shard_call(p, coefs, S_sh, Klp, s, interpret,
-                                       nj=nj)
+                                       nj=nj, sar=accumulate_power)
     from ..ops.pallas_temporal import DJ, jt_extents
 
     djo = DJ if nj > 1 else 0        # content-j offset in the sweep layout
@@ -1241,21 +1246,26 @@ def make_sharded_stream_step(p: Params, mesh: Mesh,
         a = lax.dynamic_update_slice_in_dim(a, from_next, D + Klp, axis=0)
         return a
 
-    def shard_body(ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2, *cf):
+    def shard_body(ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2, *rest):
         r = lax.axis_index("z")
         koff2 = (r * Klp - s).astype(jnp.int32).reshape(1, 1)
         ex, ey, ez = exchange(ex), exchange(ey), exchange(ez)
         hx, hy, hz = exchange(hx), exchange(hy), exchange(hz)
-        return call(koff2, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2, *cf)
+        if accumulate_power:
+            cf, (sg, acc) = rest[:-2], rest[-2:]
+            return call(koff2, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2,
+                        *cf, sigma=sg, acc=acc)
+        return call(koff2, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2, *rest)
 
     bspec = P("z", None, None)
     rspec = P(None, None, None)
     ncf = 6 if lossy else 0
+    nsar = 2 if accumulate_power else 0
     smap = jax.shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(bspec,) * 8 + (rspec, rspec) + (bspec,) * ncf,
-        out_specs=(bspec,) * 6,
+        in_specs=(bspec,) * 8 + (rspec, rspec) + (bspec,) * (ncf + nsar),
+        out_specs=(bspec,) * (6 + (1 if accumulate_power else 0)),
         check_vma=False,
     )
 
@@ -1272,7 +1282,7 @@ def make_sharded_stream_step(p: Params, mesh: Mesh,
         rows, ni = plan.j1 - plan.j0, len(plan.profile)
         return jnp.broadcast_to(row[None, :], (rows, ni))
 
-    def group_step(st: ShardedFastState, xs_group) -> ShardedFastState:
+    def advance(st: ShardedFastState, acc, xs_group):
         ts_g, amps_g = xs_group
         zero_drv_t = jnp.asarray(zero_drv)
         if inject:
@@ -1295,10 +1305,16 @@ def make_sharded_stream_step(p: Params, mesh: Mesh,
         else:
             de2 = dh2 = zero_drv_t
         cf = (st.ca_x, st.ca_y, st.ca_z, st.cb_x, st.cb_y, st.cb_z) if lossy else ()
-        ex, ey, ez, hx, hy, hz = smap(
+        if accumulate_power:
+            cf = cf + (st.sigma_c, acc)
+        outs = smap(
             st.ex, st.ey, st.ez, st.hx, st.hy, st.hz,
             st.corr_hy, st.corr_hz, de2, dh2, *cf
         )
+        if accumulate_power:
+            ex, ey, ez, hx, hy, hz, acc = outs
+        else:
+            ex, ey, ez, hx, hy, hz = outs
         ey_s2 = st.ey_s[:, :, 0]
         ez_s2 = st.ez_s[:, :, 0]
         slk = (slice(D, D + K), slice(0, J))
@@ -1308,22 +1324,33 @@ def make_sharded_stream_step(p: Params, mesh: Mesh,
         hx_s = st.hx_s
         for _ in range(s):
             hx_s = hx_s.at[slk[0], slk[1], 0].add((f_h * curl).astype(st.hx_s.dtype))
-        return dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
+        st = dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
+        return st, acc
+
+    if accumulate_power:
+        def group_step(carry, xs_group):
+            st, acc = carry
+            return advance(st, acc, xs_group)
+    else:
+        def group_step(st, xs_group):
+            return advance(st, None, xs_group)[0]
 
     group_step.s = s
     group_step.nj = nj
     return group_step
 
 
-def _jt_windowed_fields(p: Params, lossy: bool, use_corr: bool):
+def _jt_windowed_fields(st: ShardedFastState, lossy: bool, use_corr: bool):
     """State fields the j-tiled sharded sweep windows (and so must be
-    j-extended): the six bulks, plus the corr slabs (validation) and the
-    ca/cb coefficient slabs (lossy media)."""
+    j-extended): the six bulks, plus the corr slabs (validation), the
+    ca/cb coefficient slabs (lossy media), and the sigma slab (SAR)."""
     names = ["ex", "ey", "ez", "hx", "hy", "hz"]
     if use_corr:
         names += ["corr_hy", "corr_hz"]
     if lossy:
         names += ["ca_x", "ca_y", "ca_z", "cb_x", "cb_y", "cb_z"]
+    if st.sigma_c is not None:
+        names += ["sigma_c"]
     return names
 
 
@@ -1338,7 +1365,7 @@ def jt_extend_sharded(p: Params, st: ShardedFastState, nj: int,
     _, Jt = jt_extents(p, nj)
     pad = lambda a: jnp.pad(a, ((0, 0), (DJ, Jt - DJ - J1), (0, 0)))
     ups = {n: pad(getattr(st, n))
-           for n in _jt_windowed_fields(p, lossy, use_corr)}
+           for n in _jt_windowed_fields(st, lossy, use_corr)}
     return dataclasses.replace(st, **ups)
 
 
@@ -1350,24 +1377,83 @@ def jt_restore_sharded(p: Params, st: ShardedFastState, nj: int,
     _, J1, _ = dims(p)
     unpad = lambda a: a[:, DJ : DJ + J1]
     ups = {n: unpad(getattr(st, n))
-           for n in _jt_windowed_fields(p, lossy, use_corr)}
+           for n in _jt_windowed_fields(st, lossy, use_corr)}
     return dataclasses.replace(st, **ups)
 
 
 def make_sharded_stream_runner(p: Params, mesh: Mesh,
                                interpret: bool | None = None, materials=None,
-                               nj: int | None = None):
-    """Jitted ``run(state, xs) -> state``; trailing steps (n % s) use the
-    single-step sharded fast path.  j-tiled plans round-trip the
-    kernel-windowed arrays through the j-extended layout per call."""
+                               nj: int | None = None,
+                               accumulate_power: bool = False):
+    """Jitted runner; trailing steps (n % s) use the single-step sharded
+    fast path.  j-tiled plans round-trip the kernel-windowed arrays
+    through the j-extended layout per call.
+
+    Without SAR: ``run(state, xs) -> state``.  With ``accumulate_power``:
+    ``run(state, xs, acc) -> (state, acc)`` — same acc contract as
+    make_sharded_fast_runner ((n*Klp, J, I) fp32 sigma*|E|^2*dt rows);
+    the sweeps accumulate in-kernel into a slab-layout embedding, the
+    trailing steps through the per-step jnp increment."""
     group_step = make_sharded_stream_step(p, mesh, interpret, materials,
-                                          nj=nj)
+                                          nj=nj,
+                                          accumulate_power=accumulate_power)
     s = group_step.s
     njg = group_step.nj
     single_step = make_sharded_fast_step(p, mesh, interpret, materials)
     coefs = update_coefs(p, materials)
     lossy = not isinstance(coefs.ca_x, (int, float))
     use_corr = p.mode != Mode.COMPUTATION
+    n = mesh.shape["z"]
+    _, J1p, Ib, K1, Klp, S_sh = _geometry(p, n)[:6]
+    K, J, I = p.maxk, p.maxj, p.maxi
+
+    if accumulate_power:
+        from ..ops.pallas_temporal import DJ, jt_extents
+
+        inc_fn = make_sharded_power_inc(p, mesh, materials)
+        dt = p.time_step
+        dj = DJ if njg > 1 else 0
+        Jd = jt_extents(p, njg)[1] if njg > 1 else J1p
+
+        def embed_acc(acc):
+            a = acc.reshape(n, Klp, *acc.shape[1:])
+            out = jnp.zeros((n, S_sh, Jd, Ib), jnp.float32)
+            out = out.at[:, D : D + Klp, dj : dj + acc.shape[1],
+                         : acc.shape[2]].set(a)
+            return out.reshape(n * S_sh, Jd, Ib)
+
+        def crop_acc(acc_sl, jrows, icols):
+            a = acc_sl.reshape(n, S_sh, Jd, Ib)
+            a = a[:, D : D + Klp, dj : dj + jrows, :icols]
+            return a.reshape(n * Klp, jrows, icols)
+
+        @jax.jit
+        def run_acc(st, xs, acc):
+            ts, amps = xs
+            nsteps = ts.shape[0]
+            n_grp = nsteps // s
+            if n_grp:
+                g = (ts[: s * n_grp].reshape(n_grp, s),
+                     amps[: s * n_grp].reshape(n_grp, s))
+
+                def body(carry, x):
+                    return group_step(carry, x), None
+
+                jrows, icols = acc.shape[1], acc.shape[2]
+                acc_sl = embed_acc(acc)
+                if njg > 1:
+                    st = jt_extend_sharded(p, st, njg, lossy, use_corr)
+                (st, acc_sl), _ = lax.scan(body, (st, acc_sl), g)
+                if njg > 1:
+                    st = jt_restore_sharded(p, st, njg, lossy, use_corr)
+                acc = crop_acc(acc_sl, jrows, icols)
+            for r in range(nsteps % s):
+                idx = s * n_grp + r
+                st = single_step(st, (ts[idx], amps[idx]))
+                acc = acc + (inc_fn(st) * dt).astype(acc.dtype)
+            return st, acc
+
+        return run_acc
 
     @jax.jit
     def run(st, xs):

@@ -303,6 +303,21 @@ def dryrun(n_devices: int, devices=None) -> None:
         st5 = run_sjt(st5, xs8)
         jax.block_until_ready(st5.ex)
 
+        # SAR x sharded streaming (r3): in-kernel accumulation per shard
+        from ..state import update_coefs as _uc, water_block as _wb
+        from .sharded_fast import _geometry, sharded_stream_supported as _ss
+
+        mats_d = _wb(p, lo=(0.2, 0.2, 0.2), hi=(0.8, 0.8, 0.8))
+        if _ss(p, n_devices, mats_d, sar=True):
+            st6 = to_sharded_fast(p, zeros(p), mesh_z, coefs=_uc(p, mats_d))
+            run_sar = make_sharded_stream_runner(
+                p, mesh_z, interpret=interp, materials=mats_d,
+                accumulate_power=True)
+            Klp = _geometry(p, n_devices)[4]
+            acc0 = jnp.zeros((n_devices * Klp, p.maxj, p.maxi), jnp.float32)
+            st6, acc = run_sar(st6, xs8, acc0)
+            jax.block_until_ready(acc)
+
     # and the 2-D (z x y) fast path when the device count splits
     if n_devices >= 4 and n_devices % 2 == 0:
         from .sharded_fast import (

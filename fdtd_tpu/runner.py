@@ -174,8 +174,8 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
     eff = backend
     stream_ok = (
         ny == 1
-        and not accumulate_power
-        and sf.sharded_stream_supported(p, nz, materials)
+        and sf.sharded_stream_supported(p, nz, materials,
+                                        sar=accumulate_power)
     )
     if eff == "auto":
         if jnp.dtype(p.dtype) == jnp.float64:
@@ -195,9 +195,8 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
         eff = "pallas_fused"
     elif eff == "pallas_stream" and not stream_ok:
         log(
-            "notice: the sharded streaming kernel needs a 1-D z mesh, no "
-            "--sar, and a VMEM-feasible plan; using the temporal "
-            "composition instead"
+            "notice: the sharded streaming kernel needs a 1-D z mesh and "
+            "a VMEM-feasible plan; using the temporal composition instead"
         )
         eff = "pallas_temporal"
     if eff == "pallas_temporal" and (lossy or accumulate_power):
@@ -232,8 +231,25 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
         prep = lambda s: sf.to_sharded_fast(p, s, mesh, coefs=coefs)
         restore = lambda st: sf.from_sharded_fast(p, st, mesh)
         run_sh = sf.make_sharded_stream_runner(
-            p, mesh, interpret=interp, materials=materials
+            p, mesh, interpret=interp, materials=materials,
+            accumulate_power=accumulate_power,
         )
+        if accumulate_power:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            K, J = p.maxk, p.maxj
+            _, _, _, _, Klp, _ = sf._geometry(p, nz)
+            acc_sh = NamedSharding(mesh, P("z", None, None))
+
+            def run_chunk(st, chunk, power):
+                acc = jax.device_put(
+                    jnp.pad(jnp.asarray(power), ((0, nz * Klp - K), (0, 0), (0, 0))),
+                    acc_sh,
+                )
+                st, acc = run_sh(st, chunk, acc)
+                return st, acc[:K, :J]
+
+            return prep, restore, run_chunk
 
         def run_chunk(st, chunk, power):
             return run_sh(st, chunk), power

@@ -405,6 +405,58 @@ def test_sharded_stream_jtiled_matches_single_device(tiny_params, mode, nj):
         np.testing.assert_allclose(g, w, atol=1e-6, rtol=0, err_msg=c)
 
 
+@pytest.mark.parametrize("nj", [None, 2])
+def test_sharded_stream_sar_matches_single_device(tiny_params, nj):
+    """SAR x sharded streaming (r3): in-kernel sigma|E|^2*dt accumulation
+    per shard (slab-embedded acc; bottom-halo block collects the invalid
+    halo-ramp contributions and is cropped) == the single-chip two-pass
+    accumulator.  nj=2 forces the j-tiled composition on top."""
+    from fdtd_tpu.parallel.sharded_fast import (_geometry,
+                                                make_sharded_stream_runner)
+    from fdtd_tpu.state import update_coefs, water_block
+    from fdtd_tpu.step import zero_power_acc
+
+    p = dataclasses.replace(tiny_params, dtype="float32", mode=Mode.COMPUTATION)
+    mats = water_block(p, lo=(0.1, 0.1, 0.1), hi=(0.9, 0.9, 0.9))
+    coefs = update_coefs(p, mats)
+    n_steps = 19  # sweeps + single-step tail (tail uses the jnp increment)
+    s0 = zeros(p)
+    run_ref = make_chunk_runner(p, mats, backend="pallas_fused",
+                                accumulate_power=True)
+    from fdtd_tpu.step import backend_adapters
+
+    prep_f, _ = backend_adapters(p, "pallas_fused", mats)
+    xs = scan_inputs(p, time_values(p)[:n_steps])
+    want, acc_w = run_ref(prep_f(s0), xs, zero_power_acc(p))
+
+    nz = 2
+    mesh = make_mesh(nz, (nz, 1, 1), devices=jax.devices("cpu"))
+    st = to_sharded_fast(p, s0, mesh, coefs=coefs)
+    run = make_sharded_stream_runner(p, mesh, interpret=True, nj=nj,
+                                     materials=mats, accumulate_power=True)
+    K, J, I = p.maxk, p.maxj, p.maxi
+    Klp = _geometry(p, nz)[4]
+    acc0 = np.pad(np.asarray(zero_power_acc(p)), ((0, nz * Klp - K), (0, 0), (0, 0)))
+    st, acc = run(st, xs, jax.numpy.asarray(acc0))
+    got = from_sharded_fast(p, st, mesh)
+    for c in COMPONENTS:
+        g = np.asarray(getattr(got, c))[:, :, : p.maxi]
+        w = np.asarray(getattr(rest_like(want, p), c))[:, :, : p.maxi]
+        np.testing.assert_allclose(g, w, atol=1e-6, rtol=0, err_msg=c)
+    ag = np.asarray(acc)[:K, :J, :I]
+    aw = np.asarray(acc_w)
+    np.testing.assert_allclose(ag, aw, rtol=2e-5, atol=1e-30,
+                               err_msg="sharded SAR accumulator")
+    assert float(ag.max()) > 0
+
+
+def rest_like(stripped, p):
+    from fdtd_tpu.step import backend_adapters
+
+    _, rest = backend_adapters(p, "pallas_fused")
+    return rest(stripped)
+
+
 def test_sharded_stream_jtiled_lossy_matches_single_device(tiny_params):
     """Lossy j-tiled streaming x 1-D sharding: the six ca/cb slabs ride
     the same j-extension as the fields."""
