@@ -14,7 +14,7 @@ import sys
 
 from .params import Mode, load_parameters
 from .runner import run_simulation
-from .state import water_block
+from .state import ferrite_slab, water_block
 
 
 def build_arg_parser() -> argparse.ArgumentParser:
@@ -33,6 +33,8 @@ def build_arg_parser() -> argparse.ArgumentParser:
              "platform/config; explicit choices are honored or noticed)")
     ap.add_argument("--no-output", action="store_true", help="skip snapshots (benchmark mode)")
     ap.add_argument("--water-block", action="store_true", help="place a water load in the cavity")
+    ap.add_argument("--ferrite-slab", action="store_true",
+                    help="add a mu_r=4 ferrite shelf (heterogeneous mu; composes with --water-block)")
     ap.add_argument("--sar", action="store_true", help="accumulate power deposition (J/m^3)")
     ap.add_argument("--checkpoint-every", type=int, default=0, metavar="N", help="checkpoint every N steps")
     ap.add_argument("--resume", action="store_true", help="resume from latest checkpoint in --out")
@@ -98,6 +100,8 @@ def main(argv=None) -> int:
         )
 
     materials = water_block(p) if args.water_block else None
+    if args.ferrite_slab:
+        materials = ferrite_slab(p, base=materials)
 
     print("Initializing fields")
     if p.mode == Mode.VALIDATION:

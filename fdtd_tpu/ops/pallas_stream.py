@@ -70,7 +70,8 @@ TS = 8  # steps per sweep == tile rows (output lands exactly one block back)
 
 
 def stream_vmem_estimate(p: Params, s: int = TS, lossy: bool = False,
-                         sar: bool = False, nj: int = 1) -> int:
+                         sar: bool = False, nj: int = 1,
+                         het: bool = False) -> int:
     """In/out tile pairs (double-buffered) + tails scratch + live levels.
 
     ``nj`` > 1: j-tiled windows of tj + 2*HJ rows replace the full plane
@@ -85,6 +86,8 @@ def stream_vmem_estimate(p: Params, s: int = TS, lossy: bool = False,
     io = 2 * 2 * 6 * s * J1 * Ibp * item          # in + out, double-buffered
     if lossy:
         io += 2 * 6 * (2 * s) * J1 * Ibp * item   # ca/cb Element windows
+    if het:
+        io += 2 * 3 * (2 * s) * J1 * Ibp * item   # hf_x/y/z Element windows
     if sar:
         io += 2 * (3 * s) * J1 * Ibp * item       # sigma Element window
         io += 2 * 2 * s * J1 * Ibp * 4            # acc in/out fp32 tiles
@@ -113,9 +116,12 @@ def pick_plan(p: Params, coefs: UpdateCoefs,
     mode stream the six ca/cb windows.  SAR composes with lossy on any
     plan (r3: the rolling accumulator band rides the tjw-row tile
     geometry; acc emits are tile interiors, disjoint across tiles) —
-    when no plan fits, resolve_backend falls back to lossy temporal."""
-    if coefs.heterogeneous_mu:
-        return None
+    when no plan fits, resolve_backend falls back to lossy temporal.
+
+    Heterogeneous mu_r (r3) streams three extra hf_x/y/z factor windows
+    (same geometry as ca/cb) — every material class now runs the
+    flagship kernel."""
+    het = coefs.heterogeneous_mu
     lossy = not isinstance(coefs.ca_x, (int, float))
     if lossy:
         if p.mode != Mode.COMPUTATION:
@@ -132,6 +138,7 @@ def pick_plan(p: Params, coefs: UpdateCoefs,
     item = jnp.dtype(p.dtype).itemsize
     fields = state_bytes(p)
     extras = (6 * S * J1 * Ib * item if lossy else 0) \
+        + (3 * S * J1 * Ib * item if het else 0) \
         + (S * J1 * Ib * 4 if sar else 0)
     cands = []
     for s in (TS, TS // 2):
@@ -156,7 +163,8 @@ def pick_plan(p: Params, coefs: UpdateCoefs,
             cands.append((amp / (2 * s), -s, nj, s))
     for _, _, nj, s in sorted(cands):
         if (
-            stream_vmem_estimate(p, s=s, lossy=lossy, sar=sar, nj=nj)
+            stream_vmem_estimate(p, s=s, lossy=lossy, sar=sar, nj=nj,
+                                 het=het)
             <= VMEM_BUDGET - (0 if sar else 6 * 1024 * 1024)
         ):
             return s, nj
@@ -175,7 +183,7 @@ def supported(p: Params, coefs: UpdateCoefs, sar: bool = False) -> bool:
 
 
 def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
-            dt_step, dwin, nk, shard, jt, band, *refs):
+            dt_step, dwin, nk, shard, jt, band, het, *refs):
     """One sweep step: advance all s levels by tk=s rows.
 
     ``jt``: j-tile rows when j-tiled (grid (nj, nk+ofs), k inner so the
@@ -232,6 +240,9 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
     if lossy:
         coef_refs = refs[idx : idx + 6]
         idx += 6
+    if het:
+        hf_refs = refs[idx : idx + 3]
+        idx += 3
     if sar:
         sg_ref, accin_ref = refs[idx : idx + 2]
         idx += 2
@@ -292,6 +303,10 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
         caxw, cayw, cazw, cbxw, cbyw, cbzw = (
             r[:].astype(cd) for r in coef_refs
         )
+    if het:
+        # per-component face-averaged H factors, same window geometry as
+        # the ca/cb streams (every level's H rows live in [L0-s, L0+tk))
+        hfxw, hfyw, hfzw = (r[:].astype(cd) for r in hf_refs)
     if sar:
         sg_blk = sg_ref[:].astype(jnp.float32)  # cells [g*tk, (g+1)*tk)
         # full band-aligned sigma: cells [(g-2)tk, (g+1)tk)
@@ -414,9 +429,14 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
             m_hx = k_lt_K & jm_j
             m_hz = (kv < K + 1) & jm_j
         m_hy = jnp.broadcast_to(k_lt_K, hx_p.shape)
-        hx_n = jnp.where(m_hx, hx_p + f_h * inc_hx, hx_p)
-        hy_n = jnp.where(m_hy, hy_p + f_h * inc_hy, hy_p)
-        hz_n = jnp.where(m_hz, hz_p + f_h * inc_hz, hz_p)
+        if het:
+            co2 = slice(s - m, s - m + tk)  # this level's H rows
+            fhx, fhy, fhz = hfxw[co2], hfyw[co2], hfzw[co2]
+        else:
+            fhx = fhy = fhz = f_h
+        hx_n = jnp.where(m_hx, hx_p + fhx * inc_hx, hx_p)
+        hy_n = jnp.where(m_hy, hy_p + fhy * inc_hy, hy_p)
+        hz_n = jnp.where(m_hz, hz_p + fhz * inc_hz, hz_p)
 
         # ---- E^m on the same rows (needs own-level H tail at o_m - 1) ----
         hx_x = jnp.concatenate([t_hx[m][None], hx_n], axis=0)
@@ -569,6 +589,7 @@ def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
     dtype = jnp.dtype(p.dtype)
     compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
     lossy = not isinstance(coefs.ca_x, (int, float))
+    het = coefs.heterogeneous_mu
     f_h = compute_dtype.type(coefs.h_factor)
     f_e = compute_dtype.type(0.0) if lossy else compute_dtype.type(coefs.cb_x)
     patch = None
@@ -586,7 +607,7 @@ def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
         return _build_stream_call_jt(
             p, coefs, interpret, s, sar, nj, S, J1, Ib, W, tk, ofs, nk,
             dtype, compute_dtype, lossy, f_h, f_e, patch, use_corr, nd,
-            inplace)
+            inplace, het)
 
     bulk_shape = jax.ShapeDtypeStruct((S, J1, Ib), dtype)
     acc_shape = jax.ShapeDtypeStruct((S, J1, Ib), jnp.float32)
@@ -653,6 +674,7 @@ def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
         + ([c_win] * 2 if use_corr else [])
         + ([drv_spec] * 2 if patch is not None else [])
         + ([coef_win] * 6 if lossy else [])
+        + ([coef_win] * 3 if het else [])
         + ([sg_win, acc_blk] if sar else [])
     )
     n_in = len(in_specs)
@@ -677,7 +699,8 @@ def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
     )
     inner = pl.pallas_call(
         functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, s, use_corr,
-                          lossy, sar, p.time_step, dwin, nk, False, None, False),
+                          lossy, sar, p.time_step, dwin, nk, False, None,
+                          False, het),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -689,7 +712,7 @@ def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
     )
 
     def call(koff, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2, *coef6,
-             sigma=None, acc=None):
+             hf=(), sigma=None, acc=None):
         args = [koff, ex, ey, ez, hx, hy, hz]
         if use_corr:
             args += [chy, chz]
@@ -701,6 +724,8 @@ def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
             args += [de2, dh2]
         if lossy:
             args += list(coef6)
+        if het:
+            args += list(hf)
         if sar:
             args += [sigma, acc]
         return inner(*args)
@@ -710,7 +735,8 @@ def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
 
 def _build_stream_call_jt(p, coefs, interpret, s, sar, nj, S, J1, Ib, W,
                           tk, ofs, nk, dtype, compute_dtype, lossy, f_h,
-                          f_e, patch, use_corr, nd, inplace=False):
+                          f_e, patch, use_corr, nd, inplace=False,
+                          het=False):
     """j-tiled streaming sweep: grid (nj, nk+ofs), k inner (see
     build_stream_call).  Operands are (S, Jt, Ib) j-extended arrays;
     every window is an Element spec of tj + 2*HJ rows starting at
@@ -809,6 +835,7 @@ def _build_stream_call_jt(p, coefs, interpret, s, sar, nj, S, J1, Ib, W,
         + ([c_win] * 2 if use_corr else [])
         + ([drv_spec] * 2 if patch is not None else [])
         + ([coef_win] * 6 if lossy else [])
+        + ([coef_win] * 3 if het else [])
         + ([sg_win, acc_win] if sar else [])
         + ([band_win] * 6 if inplace else [])
     )
@@ -828,7 +855,7 @@ def _build_stream_call_jt(p, coefs, interpret, s, sar, nj, S, J1, Ib, W,
     inner = pl.pallas_call(
         functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, s, use_corr,
                           lossy, sar, p.time_step, None, nk, False, tj,
-                          inplace),
+                          inplace, het),
         grid=grid,
         in_specs=in_specs,
         out_specs=[out_win] * 6 + ([acc_win] if sar else []),
@@ -840,7 +867,7 @@ def _build_stream_call_jt(p, coefs, interpret, s, sar, nj, S, J1, Ib, W,
     )
 
     def call(koff, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2, *coef6,
-             sigma=None, acc=None):
+             hf=(), sigma=None, acc=None):
         args = [koff, ex, ey, ez, hx, hy, hz]
         if use_corr:
             args += [chy, chz]
@@ -848,6 +875,8 @@ def _build_stream_call_jt(p, coefs, interpret, s, sar, nj, S, J1, Ib, W,
             args += [de2, dh2]
         if lossy:
             args += list(coef6)
+        if het:
+            args += list(hf)
         if sar:
             args += [sigma, acc]
         if inplace:
@@ -900,6 +929,7 @@ def make_stream_pair_step(p: Params, coefs: UpdateCoefs,
     elif s is None:
         s = plan_[0]
     lossy = not isinstance(coefs.ca_x, (int, float))
+    het = coefs.heterogeneous_mu
     assert s in (TS, TS // 2) and D % s == 0, s
     if interpret is None:
         dd = jax.config.jax_default_device
@@ -960,6 +990,7 @@ def make_stream_pair_step(p: Params, coefs: UpdateCoefs,
         outs = call(
             jnp.asarray(zoff), st.ex, st.ey, st.ez, st.hx, st.hy, st.hz,
             st.corr_hy, st.corr_hz, de2, dh2, *coef6,
+            hf=(st.hf_x, st.hf_y, st.hf_z) if het else (),
             sigma=st.sigma_c if accumulate_power else None,
             acc=acc,
         )
@@ -973,9 +1004,10 @@ def make_stream_pair_step(p: Params, coefs: UpdateCoefs,
         curl = (ey_s2[D + 1 : D + K + 1, dj : dj + J] - ey_s2[sl2]) - (
             ez_s2[D : D + K, dj + 1 : dj + J + 1] - ez_s2[sl2]
         )
+        fh_s = st.hfx_s[sl2[0], sl2[1], 0] if het else f_h32
         hx_s = st.hx_s
         for _ in range(s):
-            hx_s = hx_s.at[sl2[0], sl2[1], 0].add((f_h32 * curl).astype(st.hx_s.dtype))
+            hx_s = hx_s.at[sl2[0], sl2[1], 0].add((fh_s * curl).astype(st.hx_s.dtype))
         st = dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
         return st, acc
 
@@ -1016,8 +1048,7 @@ def pick_shard_plan(p: Params, coefs: UpdateCoefs, Klp: int,
     exactly the grid sizes sharding exists for.  A deep j-tiled sweep
     beats a shallow full-plane one (measured single-chip, DESIGN.md), so
     candidates are ranked s-major."""
-    if coefs.heterogeneous_mu:
-        return None
+    het = coefs.heterogeneous_mu
     lossy = not isinstance(coefs.ca_x, (int, float))
     if lossy:
         if p.mode != Mode.COMPUTATION:
@@ -1027,7 +1058,7 @@ def pick_shard_plan(p: Params, coefs: UpdateCoefs, Klp: int,
     if sar and not lossy:
         return None  # vacuum has no dissipation
     _, J1, _ = dims(p)
-    windows = lossy or p.mode != Mode.COMPUTATION
+    windows = lossy or het or p.mode != Mode.COMPUTATION
     for s in ((TS // 2,) if windows else (TS, TS // 2)):
         if D % s or Klp % s or Klp // s < 1:
             continue
@@ -1039,7 +1070,8 @@ def pick_shard_plan(p: Params, coefs: UpdateCoefs, Klp: int,
                 if tj <= 2 * HJ or (nj - 1) * tj >= J1:
                     continue  # degenerate tiling (tiny grids / over-split)
             if (
-                stream_vmem_estimate(p, s=s, lossy=lossy, sar=sar, nj=nj)
+                stream_vmem_estimate(p, s=s, lossy=lossy, sar=sar, nj=nj,
+                                     het=het)
                 <= VMEM_BUDGET - (0 if sar else 6 * 1024 * 1024)
             ):
                 return s, nj
@@ -1073,6 +1105,7 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
     dtype = jnp.dtype(p.dtype)
     compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
     lossy = not isinstance(coefs.ca_x, (int, float))
+    het = coefs.heterogeneous_mu
     f_h = compute_dtype.type(coefs.h_factor)
     f_e = compute_dtype.type(0.0) if lossy else compute_dtype.type(coefs.cb_x)
     patch = None
@@ -1084,14 +1117,14 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
             row0 = plan.j0 // 8 * 8
             dwin = (row0, min(-(-(plan.j1 - row0) // 8) * 8, J1 - row0))
     use_corr = p.mode != Mode.COMPUTATION
-    if (use_corr or lossy) and D - 2 * s < 0:
-        raise NotImplementedError("corr/coef windows need s <= D/2")
+    if (use_corr or lossy or het) and D - 2 * s < 0:
+        raise NotImplementedError("corr/coef/hf windows need s <= D/2")
     nd = max(s - 1, 1)
 
     if nj > 1:
         return _build_stream_shard_call_jt(
             p, S_sh, s, interpret, nj, J1, Ib, W, tk, b0, nb, dtype,
-            compute_dtype, lossy, f_h, f_e, patch, use_corr, nd, sar)
+            compute_dtype, lossy, f_h, f_e, patch, use_corr, nd, sar, het)
 
     bulk_shape = jax.ShapeDtypeStruct((S_sh, J1, Ib), dtype)
     acc_shape = jax.ShapeDtypeStruct((S_sh, J1, Ib), jnp.float32)
@@ -1146,6 +1179,7 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
         + ([c_win] * 2 if use_corr else [])
         + ([drv_spec] * 2 if patch is not None else [])
         + ([coef_win] * 6 if lossy else [])
+        + ([coef_win] * 3 if het else [])
         + ([sg_blk, acc_blk] if sar else [])
     )
     n_in = len(in_specs)
@@ -1171,7 +1205,7 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
     inner = pl.pallas_call(
         functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, s, use_corr,
                           lossy, sar, p.time_step, dwin, nb - 1, True, None,
-                          False),
+                          False, het),
         grid=grid,
         in_specs=in_specs,
         out_specs=[out_blk] * 6 + ([acc_blk] if sar else []),
@@ -1183,7 +1217,7 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
     )
 
     def call(koff, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2, *coef6,
-             sigma=None, acc=None):
+             hf=(), sigma=None, acc=None):
         args = [koff, ex, ey, ez, hx, hy, hz]
         if use_corr:
             args += [chy, chz]
@@ -1195,6 +1229,8 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
             args += [de2, dh2]
         if lossy:
             args += list(coef6)
+        if het:
+            args += list(hf)
         if sar:
             args += [sigma, acc]
         return inner(*args)
@@ -1204,7 +1240,8 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
 
 def _build_stream_shard_call_jt(p, S_sh, s, interpret, nj, J1, Ib, W, tk,
                                 b0, nb, dtype, compute_dtype, lossy, f_h,
-                                f_e, patch, use_corr, nd, sar=False):
+                                f_e, patch, use_corr, nd, sar=False,
+                                het=False):
     """j-tiled sharded streaming sweep: grid (nj, nb), k inner.
 
     The k calculus is the sharded full-plane sweep's (block g + b0 in,
@@ -1292,6 +1329,7 @@ def _build_stream_shard_call_jt(p, S_sh, s, interpret, nj, J1, Ib, W, tk,
         + ([c_win] * 2 if use_corr else [])
         + ([drv_spec] * 2 if patch is not None else [])
         + ([coef_win] * 6 if lossy else [])
+        + ([coef_win] * 3 if het else [])
         + ([sg_win, acc_win] if sar else [])
         + ([band_win] * 6 if inplace else [])
     )
@@ -1308,7 +1346,7 @@ def _build_stream_shard_call_jt(p, S_sh, s, interpret, nj, J1, Ib, W, tk,
     inner = pl.pallas_call(
         functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, s, use_corr,
                           lossy, sar, p.time_step, None, nb - 1, True, tj,
-                          inplace),
+                          inplace, het),
         grid=grid,
         in_specs=in_specs,
         out_specs=[out_win] * 6 + ([acc_win] if sar else []),
@@ -1320,7 +1358,7 @@ def _build_stream_shard_call_jt(p, S_sh, s, interpret, nj, J1, Ib, W, tk,
     )
 
     def call(koff, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2, *coef6,
-             sigma=None, acc=None):
+             hf=(), sigma=None, acc=None):
         args = [koff, ex, ey, ez, hx, hy, hz]
         if use_corr:
             args += [chy, chz]
@@ -1328,6 +1366,8 @@ def _build_stream_shard_call_jt(p, S_sh, s, interpret, nj, J1, Ib, W, tk,
             args += [de2, dh2]
         if lossy:
             args += list(coef6)
+        if het:
+            args += list(hf)
         if sar:
             args += [sigma, acc]
         if inplace:

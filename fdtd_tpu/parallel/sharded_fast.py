@@ -161,9 +161,14 @@ def to_sharded_fast(
     if st.sigma_c is not None:
         out = dataclasses.replace(out, sigma_c=emb(st.sigma_c, halo=True))
     if st.hf_x is not None:
+        # halo=True (r3): the streaming composition advances halo H rows
+        # with the NEIGHBOR's mu factors; the single-step kernel masks
+        # its writes to own rows, so true neighbor values vs zeros are
+        # behavior-identical there
         out = dataclasses.replace(
             out,
-            hf_x=emb(st.hf_x), hf_y=emb(st.hf_y), hf_z=emb(st.hf_z),
+            hf_x=emb(st.hf_x, halo=True), hf_y=emb(st.hf_y, halo=True),
+            hf_z=emb(st.hf_z, halo=True),
             hfx_s=jax.device_put(st.hfx_s, rep),
         )
     return out
@@ -473,9 +478,14 @@ def to_sharded_fast_2d(p: Params, s: FieldState, mesh: Mesh, coefs=None) -> Shar
             cb_x=emb(st.cb_x), cb_y=emb(st.cb_y), cb_z=emb(st.cb_z),
         )
     if st.hf_x is not None:
+        # halo=True (r3): the streaming composition advances halo H rows
+        # with the NEIGHBOR's mu factors; the single-step kernel masks
+        # its writes to own rows, so true neighbor values vs zeros are
+        # behavior-identical there
         out = dataclasses.replace(
             out,
-            hf_x=emb(st.hf_x), hf_y=emb(st.hf_y), hf_z=emb(st.hf_z),
+            hf_x=emb(st.hf_x, halo=True), hf_y=emb(st.hf_y, halo=True),
+            hf_z=emb(st.hf_z, halo=True),
             hfx_s=jax.device_put(st.hfx_s, rep),
         )
     return out
@@ -1216,6 +1226,7 @@ def make_sharded_stream_step(p: Params, mesh: Mesh,
     if nj is None:
         nj = plan_[1]
     lossy = not isinstance(coefs.ca_x, (int, float))
+    het = coefs.heterogeneous_mu
     call, nd = build_stream_shard_call(p, coefs, S_sh, Klp, s, interpret,
                                        nj=nj, sar=accumulate_power)
     from ..ops.pallas_temporal import DJ, jt_extents
@@ -1252,19 +1263,28 @@ def make_sharded_stream_step(p: Params, mesh: Mesh,
         ex, ey, ez = exchange(ex), exchange(ey), exchange(ez)
         hx, hy, hz = exchange(hx), exchange(hy), exchange(hz)
         if accumulate_power:
-            cf, (sg, acc) = rest[:-2], rest[-2:]
+            sg, acc = rest[-2:]
+            rest = rest[:-2]
+        if het:
+            hf3 = rest[-3:]
+            rest = rest[:-3]
+        else:
+            hf3 = ()
+        if accumulate_power:
             return call(koff2, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2,
-                        *cf, sigma=sg, acc=acc)
-        return call(koff2, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2, *rest)
+                        *rest, hf=hf3, sigma=sg, acc=acc)
+        return call(koff2, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2,
+                    *rest, hf=hf3)
 
     bspec = P("z", None, None)
     rspec = P(None, None, None)
     ncf = 6 if lossy else 0
+    nhf = 3 if het else 0
     nsar = 2 if accumulate_power else 0
     smap = jax.shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(bspec,) * 8 + (rspec, rspec) + (bspec,) * (ncf + nsar),
+        in_specs=(bspec,) * 8 + (rspec, rspec) + (bspec,) * (ncf + nhf + nsar),
         out_specs=(bspec,) * (6 + (1 if accumulate_power else 0)),
         check_vma=False,
     )
@@ -1305,6 +1325,8 @@ def make_sharded_stream_step(p: Params, mesh: Mesh,
         else:
             de2 = dh2 = zero_drv_t
         cf = (st.ca_x, st.ca_y, st.ca_z, st.cb_x, st.cb_y, st.cb_z) if lossy else ()
+        if het:
+            cf = cf + (st.hf_x, st.hf_y, st.hf_z)
         if accumulate_power:
             cf = cf + (st.sigma_c, acc)
         outs = smap(
@@ -1321,9 +1343,10 @@ def make_sharded_stream_step(p: Params, mesh: Mesh,
         curl = (ey_s2[D + 1 : D + K + 1, :J] - ey_s2[slk]) - (
             ez_s2[D : D + K, 1 : J + 1] - ez_s2[slk]
         )
+        fh_s = st.hfx_s[slk[0], slk[1], 0] if het else f_h
         hx_s = st.hx_s
         for _ in range(s):
-            hx_s = hx_s.at[slk[0], slk[1], 0].add((f_h * curl).astype(st.hx_s.dtype))
+            hx_s = hx_s.at[slk[0], slk[1], 0].add((fh_s * curl).astype(st.hx_s.dtype))
         st = dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
         return st, acc
 
@@ -1349,6 +1372,8 @@ def _jt_windowed_fields(st: ShardedFastState, lossy: bool, use_corr: bool):
         names += ["corr_hy", "corr_hz"]
     if lossy:
         names += ["ca_x", "ca_y", "ca_z", "cb_x", "cb_y", "cb_z"]
+    if st.hf_x is not None:
+        names += ["hf_x", "hf_y", "hf_z"]
     if st.sigma_c is not None:
         names += ["sigma_c"]
     return names

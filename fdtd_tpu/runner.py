@@ -60,11 +60,11 @@ def resolve_backend(
     """Resolve "auto" and fall back from unsupported combinations with a notice.
 
     "auto" picks the fastest supported path for the platform: on TPU,
-    pallas_temporal when the config supports it (vacuum both modes; lossy
-    media incl. SAR in computation mode), else pallas_fused — which covers
-    everything else, including heterogeneous mu_r (r3: the H pass streams
-    per-component face-averaged factors); off-TPU (tests/debug), the jnp
-    xla path (the Pallas kernels only interpret there).
+    pallas_stream when a plan fits (vacuum both modes; lossy media incl.
+    SAR and heterogeneous mu_r in computation mode — r3: every material
+    class streams), then pallas_temporal, else pallas_fused; off-TPU
+    (tests/debug), the jnp xla path (the Pallas kernels only interpret
+    there).
     """
     from .ops.pallas_stream import supported as stream_supported
     from .ops.pallas_temporal import supported
@@ -82,9 +82,9 @@ def resolve_backend(
     if backend == "pallas_stream":
         if not stream_supported(p, coefs, sar=accumulate_power):
             log(
-                "notice: the streaming kernel needs homogeneous mu and "
-                "full-plane VMEM windows (lossy media/SAR need computation "
-                "mode); falling back to pallas_temporal"
+                "notice: the streaming kernel needs a VMEM-feasible plan "
+                "(lossy media/SAR need computation mode); falling back to "
+                "pallas_temporal"
             )
             return resolve_backend(p, "pallas_temporal", materials,
                                    accumulate_power, log)

@@ -114,6 +114,24 @@ def water_block(p: Params, lo=(0.3, 0.3, 0.3), hi=(0.7, 0.7, 0.7), eps_r=78.0, s
     return Materials(eps_r=er, sigma=sg)
 
 
+def ferrite_slab(p: Params, base: Materials | None = None,
+                 lo=(0.0, 0.0, 0.5), hi=(1.0, 0.5, 1.0),
+                 mu_r=4.0) -> Materials:
+    """A heterogeneous-``mu_r`` slab spanning fractional box coords
+    [lo, hi) ((x, y, z) fractions, like :func:`water_block`), optionally
+    layered on top of an existing scene (``base``) — e.g. a water block
+    plus a ferrite shelf.  Capability extension over the vacuum-only
+    reference (scalar ``MU``, main.c:441)."""
+    K, J, I = p.maxk, p.maxj, p.maxi
+    mu = np.ones((K, J, I))
+    k0, j0, i0 = int(lo[2] * K), int(lo[1] * J), int(lo[0] * I)
+    k1, j1, i1 = int(hi[2] * K), int(hi[1] * J), int(hi[0] * I)
+    mu[k0:k1, j0:j1, i0:i1] = mu_r
+    if base is None:
+        return Materials(mu_r=mu)
+    return dataclasses.replace(base, mu_r=mu)
+
+
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=[

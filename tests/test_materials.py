@@ -5,6 +5,7 @@ import dataclasses
 
 import jax
 import numpy as np
+import pytest
 
 from fdtd_tpu import diagnostics
 from fdtd_tpu.params import Mode, time_values
@@ -203,6 +204,69 @@ def test_het_mu_fast_backend_matches_xla(tiny_params):
             np.asarray(getattr(got, c)), np.asarray(getattr(want, c)),
             atol=2e-7, rtol=0, err_msg=c,
         )
+
+
+@pytest.mark.parametrize("nj", [None, 2])
+def test_het_mu_stream_backend_matches_xla(tiny_params, nj, monkeypatch):
+    """Heterogeneous mu_r on the streaming wavefront (r3): hf_x/y/z ride
+    three extra coefficient windows, every level's H rows sliced per
+    level; the strip column uses hfx_s.  nj=2 forces the j-tiled plan."""
+    import dataclasses
+
+    import jax
+
+    from fdtd_tpu.params import Mode, time_values
+    from fdtd_tpu.step import backend_adapters, make_chunk_runner, scan_inputs
+    from fdtd_tpu.state import zeros
+
+    if nj is not None:
+        monkeypatch.setenv("FDTD_STREAM_NJ", str(nj))
+    p = dataclasses.replace(tiny_params, dtype="float32", mode=Mode.COMPUTATION)
+    mats = _ferrite_water_scene(p)
+    xs = scan_inputs(p, time_values(p)[:19])  # 2 sweeps + 3 odd steps
+    run_x = make_chunk_runner(p, mats, backend="xla")
+    want, _ = run_x(zeros(p), xs, None)
+    run_s = make_chunk_runner(p, mats, backend="pallas_stream")
+    prep, rest = backend_adapters(p, "pallas_stream", mats)
+    got = rest(run_s(prep(zeros(p)), xs, None)[0])
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, c)), np.asarray(getattr(want, c)),
+            atol=2e-7, rtol=0, err_msg=c,
+        )
+
+
+def test_het_mu_sharded_stream_matches_single(tiny_params):
+    """Heterogeneous mu_r on the sharded streaming composition: hf slabs
+    baked with neighbor halo rows advance halo H rows exactly."""
+    import dataclasses
+
+    import jax
+
+    from fdtd_tpu.params import Mode, time_values
+    from fdtd_tpu.parallel.mesh import make_mesh
+    from fdtd_tpu.parallel.sharded_fast import (from_sharded_fast,
+                                                make_sharded_stream_runner,
+                                                to_sharded_fast)
+    from fdtd_tpu.state import update_coefs, zeros
+    from fdtd_tpu.step import make_chunk_runner, scan_inputs
+
+    p = dataclasses.replace(tiny_params, dtype="float32", mode=Mode.COMPUTATION)
+    mats = _ferrite_water_scene(p)
+    coefs = update_coefs(p, mats)
+    xs = scan_inputs(p, time_values(p)[:19])
+    run_x = make_chunk_runner(p, mats, backend="xla")
+    want, _ = run_x(zeros(p), xs, None)
+
+    mesh = make_mesh(2, (2, 1, 1), devices=jax.devices("cpu"))
+    st = to_sharded_fast(p, zeros(p), mesh, coefs=coefs)
+    run = make_sharded_stream_runner(p, mesh, interpret=True, materials=mats)
+    st = run(st, xs)
+    got = from_sharded_fast(p, st, mesh)
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        g = np.asarray(getattr(got, c))[:, :, : p.maxi]
+        w = np.asarray(getattr(want, c))[:, :, : p.maxi]
+        np.testing.assert_allclose(g, w, atol=1e-6, rtol=0, err_msg=c)
 
 
 def test_het_mu_sharded_fast_matches_single(tiny_params, tmp_path):

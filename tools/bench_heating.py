@@ -8,7 +8,8 @@ main.c:441,479); this measures the framework's namesake workload
 Usage: python tools/bench_heating.py [n] [steps]
 Env: FDTD_HEAT_BACKEND (default auto), FDTD_HEAT_DTYPE (default bfloat16 —
 the documented heating/serving dtype), FDTD_HEAT_SAR=1 for in-kernel
-sigma*|E|^2*dt accumulation.
+sigma*|E|^2*dt accumulation, FDTD_HEAT_FERRITE=1 to add a mu_r=4 shelf
+(heterogeneous mu on the streaming kernel, r3).
 
 Prints one line per config: backend, Gcells/s, ms/step.
 """
@@ -31,7 +32,7 @@ import numpy as np
 
 from fdtd_tpu.params import Mode, Params, SourceConfig
 from fdtd_tpu.runner import resolve_backend
-from fdtd_tpu.state import water_block, zeros
+from fdtd_tpu.state import ferrite_slab, water_block, zeros
 from fdtd_tpu.step import (
     backend_adapters,
     make_chunk_runner,
@@ -51,6 +52,9 @@ p = Params(length=n * dx, width=n * dx, height=n * dx, spatial_step=dx,
            sampling_rate=10**9, mode=Mode.COMPUTATION, dtype=dtype,
            source=SourceConfig())
 mats = water_block(p)
+ferrite = bool(os.environ.get("FDTD_HEAT_FERRITE"))
+if ferrite:
+    mats = ferrite_slab(p, base=mats)
 backend = resolve_backend(p, backend, mats, sar)
 run = make_chunk_runner(p, mats, backend=backend, accumulate_power=sar)
 prep, _ = backend_adapters(p, backend, mats)
@@ -77,6 +81,6 @@ for rep in range(3):
     best = min(best, time.perf_counter() - t0)
 
 g = n**3 * steps / best / 1e9
-tag = "+SAR" if sar else ""
+tag = ("+SAR" if sar else "") + ("+ferrite" if ferrite else "")
 print(f"heating{tag} {n}^3 {dtype} [{backend}]: {g:6.2f} Gcells/s "
       f"({best * 1000 / steps:.4f} ms/step)", flush=True)
