@@ -26,7 +26,7 @@ recompute).  Source semantics, masks, and arithmetic are identical to
 ops/pallas_temporal (same _curl helpers) — bit-class parity with the
 two-pass and xla paths.
 
-Plan space (pick_plan): s = tk in {8, 4} x nj in {1..16} j-tiles,
+Plan space (pick_plan): s = tk in {8, 4, 2} x nj in {1..16} j-tiles,
 ranked by modeled HBM traffic — j-tiling (the r3 big-grid extension)
 replaces the full plane with tj + 2*HJ-row Element windows and a per-tile
 halo-recompute wedge, which is what lets 512^3-class grids stream (the
@@ -71,14 +71,16 @@ TS = 8  # steps per sweep == tile rows (output lands exactly one block back)
 
 def stream_vmem_estimate(p: Params, s: int = TS, lossy: bool = False,
                          sar: bool = False, nj: int = 1,
-                         het: bool = False) -> int:
+                         het: bool = False, rows: int | None = None) -> int:
     """In/out tile pairs (double-buffered) + tails scratch + live levels.
 
     ``nj`` > 1: j-tiled windows of tj + 2*HJ rows replace the full plane
     (the r3 big-grid extension — 512^3-class grids whose full-plane
     plans exceed VMEM)."""
     _, J1, Ib = dims(p)
-    if nj > 1:
+    if rows is not None:
+        J1 = rows
+    elif nj > 1:
         tj, _ = jt_extents(p, nj)
         J1 = tj + 2 * HJ
     item = jnp.dtype(p.dtype).itemsize
@@ -102,7 +104,7 @@ def pick_plan(p: Params, coefs: UpdateCoefs,
               sar: bool = False) -> tuple[int, int] | None:
     """Feasible (steps-per-sweep, j-tiles) minimizing HBM traffic, or None.
 
-    Candidates are s in {8, 4} x nj in {1, 2, 3, 4, 6, 8, 12, 16}, ranked by modeled
+    Candidates are s in {8, 4, 2} x nj in {1, 2, 3, 4, 6, 8, 12, 16}, ranked by modeled
     per-step bytes ~ (reads + writes)/(2s) where j-tiling amplifies reads
     by (tj + 2*HJ)/tj — so a deep sweep over j-tiles (s=8, nj=4) beats a
     shallow full-plane one (s=4, nj=1).  Smaller s halves every window
@@ -141,7 +143,7 @@ def pick_plan(p: Params, coefs: UpdateCoefs,
         + (3 * S * J1 * Ib * item if het else 0) \
         + (S * J1 * Ib * 4 if sar else 0)
     cands = []
-    for s in (TS, TS // 2):
+    for s in (TS, TS // 2, TS // 4):
         if D % s or (S - D) % s or (S - D) // s < 2:
             continue
         for nj in (1, 2, 3, 4, 6, 8, 12, 16):
@@ -183,7 +185,7 @@ def supported(p: Params, coefs: UpdateCoefs, sar: bool = False) -> bool:
 
 
 def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
-            dt_step, dwin, nk, shard, jt, band, het, *refs):
+            dt_step, dwin, nk, shard, jt, band, het, joff2, *refs):
     """One sweep step: advance all s levels by tk=s rows.
 
     ``jt``: j-tile rows when j-tiled (grid (nj, nk+ofs), k inner so the
@@ -266,6 +268,10 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
         jb = pl.program_id(0)
         g = pl.program_id(1)
         joff = jb * jt - HJ  # content-global j of window row 0
+    if joff2:
+        # 2-D sharding: the shard's content-global j offset rides the
+        # second SMEM slot (ry*Jlp - DJ2 — local row 0 is a halo slot)
+        joff = joff + koff_ref[0, 1]
     K, J = p.maxk, p.maxj
     L0 = g * tk + koff_ref[0, 0]  # global k of the input block's first row
 
@@ -324,7 +330,7 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
             dh2 = jnp.pad(dh2, padj)
         j0, j1, i0, i1 = patch
         jrow = jax.lax.broadcasted_iota(jnp.int32, cur_ex.shape[1:], 0)
-        if jt is not None:
+        if jt is not None or joff2:
             jrow = jrow + joff
         mrow = (
             (jrow >= j0)
@@ -349,7 +355,7 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
     # iotas + compares 2*s times per grid step (VPU is the limiter here)
     plane = cur_ex.shape[1:]
     jj2 = jax.lax.broadcasted_iota(jnp.int32, plane, 0)
-    if jt is not None:
+    if jt is not None or joff2:
         jj2 = jj2 + joff
     ln2 = jax.lax.broadcasted_iota(jnp.int32, plane, 1)
     jm_j = (jj2 < J)[None]                      # Hx/Hz row bound
@@ -700,7 +706,7 @@ def build_stream_call(p: Params, coefs: UpdateCoefs, interpret: bool,
     inner = pl.pallas_call(
         functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, s, use_corr,
                           lossy, sar, p.time_step, dwin, nk, False, None,
-                          False, het),
+                          False, het, False),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -855,7 +861,7 @@ def _build_stream_call_jt(p, coefs, interpret, s, sar, nj, S, J1, Ib, W,
     inner = pl.pallas_call(
         functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, s, use_corr,
                           lossy, sar, p.time_step, None, nk, False, tj,
-                          inplace, het),
+                          inplace, het, False),
         grid=grid,
         in_specs=in_specs,
         out_specs=[out_win] * 6 + ([acc_win] if sar else []),
@@ -930,7 +936,7 @@ def make_stream_pair_step(p: Params, coefs: UpdateCoefs,
         s = plan_[0]
     lossy = not isinstance(coefs.ca_x, (int, float))
     het = coefs.heterogeneous_mu
-    assert s in (TS, TS // 2) and D % s == 0, s
+    assert s in (TS, TS // 2, TS // 4) and D % s == 0, s
     if interpret is None:
         dd = jax.config.jax_default_device
         interpret = (dd.platform != "tpu") if dd is not None else (jax.default_backend() != "tpu")
@@ -1059,7 +1065,7 @@ def pick_shard_plan(p: Params, coefs: UpdateCoefs, Klp: int,
         return None  # vacuum has no dissipation
     _, J1, _ = dims(p)
     windows = lossy or het or p.mode != Mode.COMPUTATION
-    for s in ((TS // 2,) if windows else (TS, TS // 2)):
+    for s in ((TS // 2, TS // 4) if windows else (TS, TS // 2, TS // 4)):
         if D % s or Klp % s or Klp // s < 1:
             continue
         for nj in (1, 2, 3, 4, 6, 8, 12, 16):
@@ -1084,9 +1090,38 @@ def pick_shard_s(p: Params, coefs: UpdateCoefs, Klp: int) -> int | None:
     return plan[0] if plan else None
 
 
+def pick_shard_2d_s(p: Params, coefs: UpdateCoefs, Klp: int,
+                    Jt_sh: int) -> int | None:
+    """Steps-per-sweep for the 2-D (z x y) sharded streaming sweep.
+
+    Same config gates as pick_shard_plan; additionally s <= the DJ2 = 8
+    j halo slots per side (the j bands are exchanged like the k bands and
+    the same triangular validity covers the shard's own rows).  No
+    j-tiling — per-shard j is already ~J/ny.  SAR is not composed on the
+    2-D path (use 1-D or the single-step 2-D path)."""
+    het = coefs.heterogeneous_mu
+    lossy = not isinstance(coefs.ca_x, (int, float))
+    if lossy:
+        if p.mode != Mode.COMPUTATION:
+            return None
+    elif coefs.ca_x != 1.0:
+        return None
+    windows = lossy or het or p.mode != Mode.COMPUTATION
+    for s in ((TS // 2, TS // 4) if windows else (TS, TS // 2, TS // 4)):
+        if D % s or Klp % s or Klp // s < 1 or s > HJ:
+            continue
+        if (
+            stream_vmem_estimate(p, s=s, lossy=lossy, het=het, rows=Jt_sh)
+            <= VMEM_BUDGET - 6 * 1024 * 1024
+        ):
+            return s
+    return None
+
+
 def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
                             Klp: int, s: int, interpret: bool, nj: int = 1,
-                            sar: bool = False):
+                            sar: bool = False, J_rows: int | None = None,
+                            joff2: bool = False):
     """Streaming sweep pallas_call on a per-shard slab (see pick_shard_plan).
 
     Same caller contract as build_stream_call (koff carries the shard's
@@ -1095,8 +1130,16 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
     operands in the j-extended layout (pallas_temporal.jextend applied to
     the per-shard slabs — j is unsharded, so the extension is uniform
     across shards); grid (nj, nb), k INNER, same window calculus as the
-    single-chip j-tiled sweep."""
+    single-chip j-tiled sweep.
+
+    ``J_rows``/``joff2`` (2-D z x y sharding): operands carry J_rows
+    local j rows (DJ2 halo slots each side, exchanged like the k bands)
+    and koff becomes a (1, 2) (k, j) global-offset pair — the j validity
+    is the same triangular argument as k, with s <= DJ2 halo rows making
+    level s exact on the shard's own j rows."""
     _, J1, Ib = dims(p)
+    if J_rows is not None:
+        J1 = J_rows
     W = corr_width(Ib)
     tk = s
     b0 = (D - s) // tk          # pipeline base block (halo bottom)
@@ -1113,7 +1156,7 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
     if p.mode == Mode.COMPUTATION:
         plan = make_source_plan(p)
         patch = (plan.j0, plan.j1, plan.i0, plan.i1)
-        if nj == 1:
+        if nj == 1 and not joff2:
             row0 = plan.j0 // 8 * 8
             dwin = (row0, min(-(-(plan.j1 - row0) // 8) * 8, J1 - row0))
     use_corr = p.mode != Mode.COMPUTATION
@@ -1122,6 +1165,7 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
     nd = max(s - 1, 1)
 
     if nj > 1:
+        assert not joff2, "j-tiling and 2-D j sharding are exclusive"
         return _build_stream_shard_call_jt(
             p, S_sh, s, interpret, nj, J1, Ib, W, tk, b0, nb, dtype,
             compute_dtype, lossy, f_h, f_e, patch, use_corr, nd, sar, het)
@@ -1159,7 +1203,8 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
     drv_rows = dwin[1] if dwin is not None else J1
     drv_spec = pl.BlockSpec((nd, drv_rows, Ib), lambda g: (0, 0, 0),
                             memory_space=pltpu.VMEM)
-    smem = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
+    smem = pl.BlockSpec((1, 2 if joff2 else 1), lambda g: (0, 0),
+                        memory_space=pltpu.SMEM)
 
     # SAR (r3): sigma tiles follow the input blocks; the acc in/out tiles
     # trail by two (cell block g-2 completes at step g) — g < 3 visits
@@ -1205,7 +1250,7 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
     inner = pl.pallas_call(
         functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, s, use_corr,
                           lossy, sar, p.time_step, dwin, nb - 1, True, None,
-                          False, het),
+                          False, het, joff2),
         grid=grid,
         in_specs=in_specs,
         out_specs=[out_blk] * 6 + ([acc_blk] if sar else []),
@@ -1346,7 +1391,7 @@ def _build_stream_shard_call_jt(p, S_sh, s, interpret, nj, J1, Ib, W, tk,
     inner = pl.pallas_call(
         functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, s, use_corr,
                           lossy, sar, p.time_step, None, nb - 1, True, tj,
-                          inplace, het),
+                          inplace, het, False),
         grid=grid,
         in_specs=in_specs,
         out_specs=[out_win] * 6 + ([acc_win] if sar else []),

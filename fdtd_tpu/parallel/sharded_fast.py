@@ -472,16 +472,18 @@ def to_sharded_fast_2d(p: Params, s: FieldState, mesh: Mesh, coefs=None) -> Shar
         hx_s=jax.device_put(st.hx_s, rep),
     )
     if st.ca_x is not None:
-        out = dataclasses.replace(
-            out,
-            ca_x=emb(st.ca_x), ca_y=emb(st.ca_y), ca_z=emb(st.ca_z),
-            cb_x=emb(st.cb_x), cb_y=emb(st.cb_y), cb_z=emb(st.cb_z),
-        )
-    if st.hf_x is not None:
-        # halo=True (r3): the streaming composition advances halo H rows
-        # with the NEIGHBOR's mu factors; the single-step kernel masks
+        # halo=True (r3): the streaming composition advances halo E/H rows
+        # with the NEIGHBOR's coefficients; the single-step kernel masks
         # its writes to own rows, so true neighbor values vs zeros are
         # behavior-identical there
+        out = dataclasses.replace(
+            out,
+            ca_x=emb(st.ca_x, halo=True), ca_y=emb(st.ca_y, halo=True),
+            ca_z=emb(st.ca_z, halo=True),
+            cb_x=emb(st.cb_x, halo=True), cb_y=emb(st.cb_y, halo=True),
+            cb_z=emb(st.cb_z, halo=True),
+        )
+    if st.hf_x is not None:
         out = dataclasses.replace(
             out,
             hf_x=emb(st.hf_x, halo=True), hf_y=emb(st.hf_y, halo=True),
@@ -1109,6 +1111,221 @@ def make_sharded_temporal_2d_runner(p: Params, mesh: Mesh, s: int = 4,
     single-step 2-D sharded fast path."""
     group_step = make_sharded_temporal_2d_step(p, mesh, s, interpret)
     single_step = make_sharded_fast_2d_step(p, mesh, interpret)
+
+    @jax.jit
+    def run(st, xs):
+        ts, amps = xs
+        nsteps = ts.shape[0]
+        n_grp = nsteps // s
+        if n_grp:
+            g = (ts[: s * n_grp].reshape(n_grp, s), amps[: s * n_grp].reshape(n_grp, s))
+
+            def body(st, x):
+                return group_step(st, x), None
+
+            st, _ = lax.scan(body, st, g)
+        for r in range(nsteps % s):
+            idx = s * n_grp + r
+            st = single_step(st, (ts[idx], amps[idx]))
+        return st
+
+    return run
+
+
+def sharded_stream_2d_supported(p: Params, nz: int, ny: int,
+                                materials=None) -> bool:
+    """True when the streaming wavefront composes with 2-D z x y sharding."""
+    from ..ops.pallas_stream import pick_shard_2d_s
+
+    coefs = update_coefs(p, materials)
+    g = _geometry2d(p, nz, ny)
+    return pick_shard_2d_s(p, coefs, g[5], g[8]) is not None
+
+
+def make_sharded_stream_2d_step(p: Params, mesh: Mesh,
+                                interpret: bool | None = None,
+                                materials=None):
+    """Streaming wavefront composed with 2-D (z x y) spatial sharding.
+
+    The k axis runs the 1-D sharded stream schedule (s-row halo bands,
+    triangular validity, zero recompute); the j axis is handled the same
+    way — per sweep each shard imports s-row j bands into the DJ2 halo
+    slots first, then the k bands (which then carry fresh corner rows),
+    and level m's j validity shrinks one row per side per level, making
+    level s exact on the shard's own j rows (s <= DJ2 = 8).  The kernel
+    sees the local (S_sh, Jt_sh, Ib) slab as one full-plane sweep with a
+    global (k, j) offset pair in SMEM; halo-row updates that wrap the
+    local j edge only corrupt the halo wedge, refreshed by the next
+    exchange.  Constant slabs (corr, ca/cb, hf) are baked with neighbor
+    halo rows at prep.  SAR stays on the 1-D or single-step 2-D paths.
+    """
+    from ..ops.pallas_stream import build_stream_shard_call, pick_shard_2d_s
+
+    coefs = update_coefs(p, materials)
+    if interpret is None:
+        dd = jax.config.jax_default_device
+        interpret = (dd.platform != "tpu") if dd is not None else (jax.default_backend() != "tpu")
+    nz, ny = mesh.shape["z"], mesh.shape["y"]
+    S_c, J1p, Ib, K1, J1, Klp, S_sh, Jlp, Jt_sh = _geometry2d(p, nz, ny)
+    s = pick_shard_2d_s(p, coefs, Klp, Jt_sh)
+    if s is None:
+        raise NotImplementedError("2-D sharded streaming unsupported for this config")
+    lossy = not isinstance(coefs.ca_x, (int, float))
+    het = coefs.heterogeneous_mu
+    call, nd = build_stream_shard_call(p, coefs, S_sh, Klp, s, interpret,
+                                       J_rows=Jt_sh, joff2=True)
+
+    dtype = jnp.dtype(p.dtype)
+    compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
+    f_h = compute_dtype.type(coefs.h_factor)
+    inject = p.mode == Mode.COMPUTATION
+    if inject:
+        import numpy as _np
+
+        from ..source import make_source_plan
+
+        plan = make_source_plan(p)
+        jrows = _np.arange(plan.j0, plan.j1)
+        jstore = jnp.asarray((jrows // Jlp) * Jt_sh + DJ2 + (jrows % Jlp))
+
+    up_z = [(i, i - 1) for i in range(1, nz)]
+    down_z = [(i, i + 1) for i in range(nz - 1)]
+    up_y = [(i, i - 1) for i in range(1, ny)]
+    down_y = [(i, i + 1) for i in range(ny - 1)]
+
+    jrow_col = jnp.arange(Jt_sh)[None, :, None]
+
+    def exchange_j(a, ry):
+        if ny > 1:
+            first = lax.slice_in_dim(a, DJ2, DJ2 + s, axis=1)
+            last = lax.slice_in_dim(a, DJ2 + Jlp - s, DJ2 + Jlp, axis=1)
+            from_next = lax.ppermute(first, "y", up_y)
+            from_prev = lax.ppermute(last, "y", down_y)
+            a = lax.dynamic_update_slice_in_dim(a, from_prev, DJ2 - s, axis=1)
+            a = lax.dynamic_update_slice_in_dim(a, from_next, DJ2 + Jlp, axis=1)
+        # re-zero the GLOBAL-edge pad slots: the sweep writes its invalid
+        # wedge into the halo rows, but the canonical layout guarantees
+        # zeros beyond the grid (j=0's E update reads j-1 via an unmasked
+        # roll — zero there is the physics, not a don't-care)
+        edge = ((ry == 0) & (jrow_col < DJ2)) | (
+            (ry == ny - 1) & (jrow_col >= DJ2 + Jlp))
+        return jnp.where(edge, jnp.zeros((), a.dtype), a)
+
+    def exchange_k(a):
+        if nz == 1:
+            return a
+        first = lax.slice_in_dim(a, D, D + s, axis=0)
+        last = lax.slice_in_dim(a, D + Klp - s, D + Klp, axis=0)
+        from_next = lax.ppermute(first, "z", up_z)
+        from_prev = lax.ppermute(last, "z", down_z)
+        a = lax.dynamic_update_slice_in_dim(a, from_prev, D - s, axis=0)
+        a = lax.dynamic_update_slice_in_dim(a, from_next, D + Klp, axis=0)
+        return a
+
+    def shard_body(ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2, *rest):
+        rz = lax.axis_index("z")
+        ry = lax.axis_index("y")
+        koff2 = jnp.stack(
+            [(rz * Klp - s).astype(jnp.int32),
+             (ry * Jlp - DJ2).astype(jnp.int32)]
+        ).reshape(1, 2)
+        # j bands first, then k bands: the k bands span the full local j
+        # extent including just-filled j halos, so corner rows propagate
+        ex, ey, ez = exchange_j(ex, ry), exchange_j(ey, ry), exchange_j(ez, ry)
+        hx, hy, hz = exchange_j(hx, ry), exchange_j(hy, ry), exchange_j(hz, ry)
+        ex, ey, ez = exchange_k(ex), exchange_k(ey), exchange_k(ez)
+        hx, hy, hz = exchange_k(hx), exchange_k(hy), exchange_k(hz)
+        if het:
+            hf3 = rest[-3:]
+            rest = rest[:-3]
+        else:
+            hf3 = ()
+        return call(koff2, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2,
+                    *rest, hf=hf3)
+
+    bspec = P("z", "y", None)
+    dspec = P(None, "y", None)
+    ncf = (6 if lossy else 0) + (3 if het else 0)
+    smap = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(bspec,) * 8 + (dspec, dspec) + (bspec,) * ncf,
+        out_specs=(bspec,) * 6,
+        check_vma=False,
+    )
+
+    K, J = p.maxk, p.maxj
+    import numpy as _np
+
+    # host numpy, never a closed-over jax.Array (axon lowering deadlock, r3)
+    zero_drv = _np.zeros((nd, ny * Jt_sh, Ib), dtype)
+    zero_drv_canon = _np.zeros((nd, J1p, Ib), dtype)
+
+    def drive_patch(amp):
+        amp_j = jnp.asarray(amp)
+        prof_row = jnp.asarray(plan.profile, dtype=jnp.result_type(amp_j))
+        row = amp_j * prof_row
+        npj, ni = plan.j1 - plan.j0, len(plan.profile)
+        return jnp.broadcast_to(row[None, :], (npj, ni))
+
+    def drive_extended(pvs):
+        """Patch values in the per-shard extended layout WITH the halo
+        rows duplicated (see make_sharded_temporal_2d_step)."""
+        c = jnp.asarray(zero_drv_canon).at[
+            :, plan.j0 : plan.j1, plan.i0 : plan.i1
+        ].set(pvs.astype(dtype))
+        return _reshard_j(c, ny, Jlp, Jt_sh, halo=True)
+
+    def group_step(st: ShardedFastState, xs_group) -> ShardedFastState:
+        ts_g, amps_g = xs_group
+        if inject:
+            pv1 = drive_patch(amps_g[0])
+            zero = jnp.zeros_like(pv1).astype(dtype)
+            sl = (D, jstore, slice(plan.i0, plan.i1))
+            st = dataclasses.replace(
+                st,
+                ez=st.ez.at[sl].set(pv1.astype(dtype)),
+                ex=st.ex.at[sl].set(zero),
+                hz=st.hz.at[sl].set(zero),
+                hx=st.hx.at[sl].set((-plan.inv_z_te * pv1).astype(dtype)),
+            )
+            pvs = jnp.stack([drive_patch(amps_g[m]) for m in range(1, s)])
+            de2 = drive_extended(pvs)
+            dh2 = drive_extended(-plan.inv_z_te * pvs)
+        else:
+            de2 = dh2 = jnp.asarray(zero_drv)
+        cf = (st.ca_x, st.ca_y, st.ca_z, st.cb_x, st.cb_y, st.cb_z) if lossy else ()
+        if het:
+            cf = cf + (st.hf_x, st.hf_y, st.hf_z)
+        ex, ey, ez, hx, hy, hz = smap(
+            st.ex, st.ey, st.ez, st.hx, st.hy, st.hz,
+            st.corr_hy, st.corr_hz, de2, dh2, *cf
+        )
+        ey_s2 = st.ey_s[:, :, 0]
+        ez_s2 = st.ez_s[:, :, 0]
+        slk = (slice(D, D + K), slice(0, J))
+        curl = (ey_s2[D + 1 : D + K + 1, :J] - ey_s2[slk]) - (
+            ez_s2[D : D + K, 1 : J + 1] - ez_s2[slk]
+        )
+        fh_s = st.hfx_s[slk[0], slk[1], 0] if het else f_h
+        hx_s = st.hx_s
+        for _ in range(s):
+            hx_s = hx_s.at[slk[0], slk[1], 0].add((fh_s * curl).astype(st.hx_s.dtype))
+        return dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
+
+    group_step.s = s
+    return group_step
+
+
+def make_sharded_stream_2d_runner(p: Params, mesh: Mesh,
+                                  interpret: bool | None = None,
+                                  materials=None):
+    """Jitted ``run(state, xs) -> state``; trailing steps (n % s) use the
+    single-step 2-D sharded fast path."""
+    group_step = make_sharded_stream_2d_step(p, mesh, interpret, materials)
+    s = group_step.s
+    single_step = make_sharded_fast_2d_step(p, mesh, interpret,
+                                            materials=materials)
 
     @jax.jit
     def run(st, xs):

@@ -342,3 +342,17 @@ def dryrun(n_devices: int, devices=None) -> None:
         run_t2d = make_sharded_temporal_2d_runner(p, mesh_zy, s=2, interpret=interp)
         st4 = run_t2d(st4, xs)
         jax.block_until_ready(st4.ex)
+
+        # 2-D streaming composition (r3): j+k halo bands per sweep
+        from .sharded_fast import (
+            make_sharded_stream_2d_runner,
+            sharded_stream_2d_supported,
+        )
+
+        if sharded_stream_2d_supported(p, n_devices // 2, 2):
+            st7 = to_sharded_fast_2d(p, zeros(p), mesh_zy)
+            run_s2d = make_sharded_stream_2d_runner(p, mesh_zy, interpret=interp)
+            xs8b = (jnp.zeros(8, jnp.float64),
+                    jnp.asarray(np.linspace(0.0, 1.0, 8, dtype=np.float32)))
+            st7 = run_s2d(st7, xs8b)
+            jax.block_until_ready(st7.ex)

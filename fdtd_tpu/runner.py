@@ -176,6 +176,10 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
         ny == 1
         and sf.sharded_stream_supported(p, nz, materials,
                                         sar=accumulate_power)
+    ) or (
+        ny > 1
+        and not accumulate_power  # 2-D SAR: single-step path
+        and sf.sharded_stream_2d_supported(p, nz, ny, materials)
     )
     if eff == "auto":
         if jnp.dtype(p.dtype) == jnp.float64:
@@ -195,8 +199,9 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
         eff = "pallas_fused"
     elif eff == "pallas_stream" and not stream_ok:
         log(
-            "notice: the sharded streaming kernel needs a 1-D z mesh and "
-            "a VMEM-feasible plan; using the temporal composition instead"
+            "notice: the sharded streaming kernel needs a VMEM-feasible "
+            "plan (2-D meshes: no --sar); using the temporal composition "
+            "instead"
         )
         eff = "pallas_temporal"
     if eff == "pallas_temporal" and (lossy or accumulate_power):
@@ -228,6 +233,17 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
     coefs = update_coefs(p, materials) if materials is not None else None
 
     if eff == "pallas_stream":
+        if ny > 1:
+            prep = lambda s: sf.to_sharded_fast_2d(p, s, mesh, coefs=coefs)
+            restore = lambda st: sf.from_sharded_fast_2d(p, st, mesh)
+            run_2d = sf.make_sharded_stream_2d_runner(
+                p, mesh, interpret=interp, materials=materials
+            )
+
+            def run_chunk(st, chunk, power):
+                return run_2d(st, chunk), power
+
+            return prep, restore, run_chunk
         prep = lambda s: sf.to_sharded_fast(p, s, mesh, coefs=coefs)
         restore = lambda st: sf.from_sharded_fast(p, st, mesh)
         run_sh = sf.make_sharded_stream_runner(

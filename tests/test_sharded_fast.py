@@ -482,3 +482,74 @@ def test_sharded_stream_jtiled_lossy_matches_single_device(tiny_params):
         g = np.asarray(getattr(got, c))[:, :, : p.maxi]
         w = np.asarray(getattr(want, c))[:, :, : p.maxi]
         np.testing.assert_allclose(g, w, atol=1e-6, rtol=0, err_msg=c)
+
+
+@pytest.mark.parametrize("mesh_zy2", [(2, 2), (2, 4)])
+@pytest.mark.parametrize("mode", [Mode.VALIDATION, Mode.COMPUTATION])
+def test_sharded_stream_2d_matches_single_device(tiny_params, mode, mesh_zy2):
+    """Streaming wavefront x 2-D (z x y) sharding (r3): s-row halo bands
+    exchanged along BOTH axes, one full-plane sweep per shard with a
+    global (k, j) SMEM offset pair == the single-device run."""
+    from fdtd_tpu.parallel.sharded_fast import (
+        from_sharded_fast_2d,
+        make_sharded_stream_2d_runner,
+        to_sharded_fast_2d,
+    )
+
+    nz, ny = mesh_zy2
+    p = dataclasses.replace(tiny_params, dtype="float32", mode=mode)
+    n_steps = 19  # sweeps + single-step tail
+    s0 = init_validation(p) if mode == Mode.VALIDATION else zeros(p)
+    run_ref = make_chunk_runner(p)
+    xs = scan_inputs(p, time_values(p)[:n_steps])
+    want, _ = run_ref(s0, xs, None)
+
+    mesh = make_mesh(nz * ny, (nz, ny, 1), devices=jax.devices("cpu"))
+    st = to_sharded_fast_2d(p, s0, mesh)
+    run = make_sharded_stream_2d_runner(p, mesh, interpret=True)
+    st = run(st, xs)
+    got = from_sharded_fast_2d(p, st, mesh)
+    for c in COMPONENTS:
+        g = np.asarray(getattr(got, c))[:, :, : p.maxi]
+        w = np.asarray(getattr(want, c))[:, :, : p.maxi]
+        np.testing.assert_allclose(g, w, atol=1e-6, rtol=0, err_msg=c)
+
+
+def test_sharded_stream_2d_lossy_het_matches_single_device(tiny_params):
+    """Lossy + heterogeneous-mu streaming x 2-D sharding: the ca/cb and hf
+    slabs ride neighbor-baked halo rows along both axes."""
+    from fdtd_tpu.parallel.sharded_fast import (
+        from_sharded_fast_2d,
+        make_sharded_stream_2d_runner,
+        to_sharded_fast_2d,
+    )
+    from fdtd_tpu.state import Materials, update_coefs
+
+    p = dataclasses.replace(tiny_params, dtype="float32", mode=Mode.COMPUTATION)
+    import numpy as _np
+
+    K, J, I = p.maxk, p.maxj, p.maxi
+    er = _np.ones((K, J, I))
+    sg = _np.zeros((K, J, I))
+    mu = _np.ones((K, J, I))
+    er[2 : K - 2, 2 : J - 2, 2 : I - 2] = 20.0
+    sg[2 : K - 2, 2 : J - 2, 2 : I - 2] = 0.8
+    mu[K // 2 :, : J // 2, :] = 4.0
+    mats = Materials(eps_r=er, sigma=sg, mu_r=mu)
+    coefs = update_coefs(p, mats)
+    n_steps = 11
+    s0 = zeros(p)
+    run_ref = make_chunk_runner(p, mats)
+    xs = scan_inputs(p, time_values(p)[:n_steps])
+    want, _ = run_ref(s0, xs, None)
+
+    mesh = make_mesh(4, (2, 2, 1), devices=jax.devices("cpu"))
+    st = to_sharded_fast_2d(p, s0, mesh, coefs=coefs)
+    run = make_sharded_stream_2d_runner(p, mesh, interpret=True,
+                                        materials=mats)
+    st = run(st, xs)
+    got = from_sharded_fast_2d(p, st, mesh)
+    for c in COMPONENTS:
+        g = np.asarray(getattr(got, c))[:, :, : p.maxi]
+        w = np.asarray(getattr(want, c))[:, :, : p.maxi]
+        np.testing.assert_allclose(g, w, atol=1e-6, rtol=0, err_msg=c)

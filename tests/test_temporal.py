@@ -337,14 +337,17 @@ def test_stream_lossy_sar_matches_twopass(tiny_params):
     assert float(np.asarray(acc_g).max()) > 0
 
 
+@pytest.mark.parametrize("sdepth", [4, 2])
 @pytest.mark.parametrize("workload", ["vacuum", "lossy", "lossy_sar"])
-def test_stream_s4_matches_ref(tiny_params, workload, monkeypatch):
-    """s=4 streaming plans (pick_s's VMEM fallback; ofs=2 extra drain
-    steps re-zero the dead-slab blocks).  tiny grid: nk=4, ofs=2."""
+def test_stream_s4_matches_ref(tiny_params, workload, monkeypatch, sdepth):
+    """s=4 and s=2 streaming plans (pick_plan's VMEM fallbacks; ofs=D/s
+    extra drain steps re-zero the dead-slab blocks).  tiny grid: nk=4,
+    ofs=2 at s=4 / nk=8, ofs=4 at s=2 (the 2048^3-class lane-extent
+    fallback)."""
     from fdtd_tpu.state import water_block
     from fdtd_tpu.step import zero_power_acc
 
-    monkeypatch.setenv("FDTD_STREAM_S", "4")
+    monkeypatch.setenv("FDTD_STREAM_S", str(sdepth))
     p = dataclasses.replace(tiny_params, dtype="float32", mode=Mode.COMPUTATION)
     mats = None
     sar = False
