@@ -1091,28 +1091,34 @@ def pick_shard_s(p: Params, coefs: UpdateCoefs, Klp: int) -> int | None:
 
 
 def pick_shard_2d_s(p: Params, coefs: UpdateCoefs, Klp: int,
-                    Jt_sh: int) -> int | None:
+                    Jt_sh: int, sar: bool = False) -> int | None:
     """Steps-per-sweep for the 2-D (z x y) sharded streaming sweep.
 
     Same config gates as pick_shard_plan; additionally s <= the DJ2 = 8
     j halo slots per side (the j bands are exchanged like the k bands and
     the same triangular validity covers the shard's own rows).  No
-    j-tiling — per-shard j is already ~J/ny.  SAR is not composed on the
-    2-D path (use 1-D or the single-step 2-D path)."""
+    j-tiling — per-shard j is already ~J/ny.  SAR needs one extra halo
+    row per side (s + 1 <= DJ2): the level-m cell-center mean reads E^m
+    at j+1, so the row just above the shard's own rows must stay exact
+    through level s."""
     het = coefs.heterogeneous_mu
     lossy = not isinstance(coefs.ca_x, (int, float))
+    if sar and not lossy:
+        return None
     if lossy:
         if p.mode != Mode.COMPUTATION:
             return None
     elif coefs.ca_x != 1.0:
         return None
     windows = lossy or het or p.mode != Mode.COMPUTATION
+    bj_extra = 1 if sar else 0
     for s in ((TS // 2, TS // 4) if windows else (TS, TS // 2, TS // 4)):
-        if D % s or Klp % s or Klp // s < 1 or s > HJ:
+        if D % s or Klp % s or Klp // s < 1 or s + bj_extra > HJ:
             continue
         if (
-            stream_vmem_estimate(p, s=s, lossy=lossy, het=het, rows=Jt_sh)
-            <= VMEM_BUDGET - 6 * 1024 * 1024
+            stream_vmem_estimate(p, s=s, lossy=lossy, het=het, sar=sar,
+                                 rows=Jt_sh)
+            <= VMEM_BUDGET - (0 if sar else 6 * 1024 * 1024)
         ):
             return s
     return None

@@ -490,6 +490,8 @@ def to_sharded_fast_2d(p: Params, s: FieldState, mesh: Mesh, coefs=None) -> Shar
             hf_z=emb(st.hf_z, halo=True),
             hfx_s=jax.device_put(st.hfx_s, rep),
         )
+    if st.sigma_c is not None:
+        out = dataclasses.replace(out, sigma_c=emb(st.sigma_c, halo=True))
     return out
 
 
@@ -1133,18 +1135,19 @@ def make_sharded_temporal_2d_runner(p: Params, mesh: Mesh, s: int = 4,
 
 
 def sharded_stream_2d_supported(p: Params, nz: int, ny: int,
-                                materials=None) -> bool:
+                                materials=None, sar: bool = False) -> bool:
     """True when the streaming wavefront composes with 2-D z x y sharding."""
     from ..ops.pallas_stream import pick_shard_2d_s
 
     coefs = update_coefs(p, materials)
     g = _geometry2d(p, nz, ny)
-    return pick_shard_2d_s(p, coefs, g[5], g[8]) is not None
+    return pick_shard_2d_s(p, coefs, g[5], g[8], sar=sar) is not None
 
 
 def make_sharded_stream_2d_step(p: Params, mesh: Mesh,
                                 interpret: bool | None = None,
-                                materials=None):
+                                materials=None,
+                                accumulate_power: bool = False):
     """Streaming wavefront composed with 2-D (z x y) spatial sharding.
 
     The k axis runs the 1-D sharded stream schedule (s-row halo bands,
@@ -1156,8 +1159,16 @@ def make_sharded_stream_2d_step(p: Params, mesh: Mesh,
     sees the local (S_sh, Jt_sh, Ib) slab as one full-plane sweep with a
     global (k, j) offset pair in SMEM; halo-row updates that wrap the
     local j edge only corrupt the halo wedge, refreshed by the next
-    exchange.  Constant slabs (corr, ca/cb, hf) are baked with neighbor
-    halo rows at prep.  SAR stays on the 1-D or single-step 2-D paths.
+    exchange.  Constant slabs (corr, ca/cb, hf, sigma) are baked with
+    neighbor halo rows at prep.
+
+    With ``accumulate_power`` (r3): the in-kernel rolling accumulator
+    band runs per shard; the j bands widen to s + 1 rows (the level-m
+    cell-center mean reads E^m at j+1, so the row above the shard's own
+    rows must stay exact through level s — needs s + 1 <= DJ2) and the
+    caller crops the halo rows of the per-shard acc slab (their
+    contributions are the neighbor's, accumulated there too).  Returns
+    ``group_step((state, acc), xs_group) -> (state, acc)``.
     """
     from ..ops.pallas_stream import build_stream_shard_call, pick_shard_2d_s
 
@@ -1167,13 +1178,15 @@ def make_sharded_stream_2d_step(p: Params, mesh: Mesh,
         interpret = (dd.platform != "tpu") if dd is not None else (jax.default_backend() != "tpu")
     nz, ny = mesh.shape["z"], mesh.shape["y"]
     S_c, J1p, Ib, K1, J1, Klp, S_sh, Jlp, Jt_sh = _geometry2d(p, nz, ny)
-    s = pick_shard_2d_s(p, coefs, Klp, Jt_sh)
+    s = pick_shard_2d_s(p, coefs, Klp, Jt_sh, sar=accumulate_power)
     if s is None:
         raise NotImplementedError("2-D sharded streaming unsupported for this config")
     lossy = not isinstance(coefs.ca_x, (int, float))
     het = coefs.heterogeneous_mu
     call, nd = build_stream_shard_call(p, coefs, S_sh, Klp, s, interpret,
+                                       sar=accumulate_power,
                                        J_rows=Jt_sh, joff2=True)
+    bj = s + 1 if accumulate_power else s  # j-band rows (see docstring)
 
     dtype = jnp.dtype(p.dtype)
     compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
@@ -1197,11 +1210,11 @@ def make_sharded_stream_2d_step(p: Params, mesh: Mesh,
 
     def exchange_j(a, ry):
         if ny > 1:
-            first = lax.slice_in_dim(a, DJ2, DJ2 + s, axis=1)
-            last = lax.slice_in_dim(a, DJ2 + Jlp - s, DJ2 + Jlp, axis=1)
+            first = lax.slice_in_dim(a, DJ2, DJ2 + bj, axis=1)
+            last = lax.slice_in_dim(a, DJ2 + Jlp - bj, DJ2 + Jlp, axis=1)
             from_next = lax.ppermute(first, "y", up_y)
             from_prev = lax.ppermute(last, "y", down_y)
-            a = lax.dynamic_update_slice_in_dim(a, from_prev, DJ2 - s, axis=1)
+            a = lax.dynamic_update_slice_in_dim(a, from_prev, DJ2 - bj, axis=1)
             a = lax.dynamic_update_slice_in_dim(a, from_next, DJ2 + Jlp, axis=1)
         # re-zero the GLOBAL-edge pad slots: the sweep writes its invalid
         # wedge into the halo rows, but the canonical layout guarantees
@@ -1235,22 +1248,28 @@ def make_sharded_stream_2d_step(p: Params, mesh: Mesh,
         hx, hy, hz = exchange_j(hx, ry), exchange_j(hy, ry), exchange_j(hz, ry)
         ex, ey, ez = exchange_k(ex), exchange_k(ey), exchange_k(ez)
         hx, hy, hz = exchange_k(hx), exchange_k(hy), exchange_k(hz)
+        if accumulate_power:
+            sg, acc = rest[-2:]
+            rest = rest[:-2]
         if het:
             hf3 = rest[-3:]
             rest = rest[:-3]
         else:
             hf3 = ()
+        if accumulate_power:
+            return call(koff2, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2,
+                        *rest, hf=hf3, sigma=sg, acc=acc)
         return call(koff2, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2,
                     *rest, hf=hf3)
 
     bspec = P("z", "y", None)
     dspec = P(None, "y", None)
-    ncf = (6 if lossy else 0) + (3 if het else 0)
+    ncf = (6 if lossy else 0) + (3 if het else 0) + (2 if accumulate_power else 0)
     smap = jax.shard_map(
         shard_body,
         mesh=mesh,
         in_specs=(bspec,) * 8 + (dspec, dspec) + (bspec,) * ncf,
-        out_specs=(bspec,) * 6,
+        out_specs=(bspec,) * (6 + (1 if accumulate_power else 0)),
         check_vma=False,
     )
 
@@ -1276,7 +1295,7 @@ def make_sharded_stream_2d_step(p: Params, mesh: Mesh,
         ].set(pvs.astype(dtype))
         return _reshard_j(c, ny, Jlp, Jt_sh, halo=True)
 
-    def group_step(st: ShardedFastState, xs_group) -> ShardedFastState:
+    def advance(st: ShardedFastState, acc, xs_group):
         ts_g, amps_g = xs_group
         if inject:
             pv1 = drive_patch(amps_g[0])
@@ -1297,10 +1316,16 @@ def make_sharded_stream_2d_step(p: Params, mesh: Mesh,
         cf = (st.ca_x, st.ca_y, st.ca_z, st.cb_x, st.cb_y, st.cb_z) if lossy else ()
         if het:
             cf = cf + (st.hf_x, st.hf_y, st.hf_z)
-        ex, ey, ez, hx, hy, hz = smap(
+        if accumulate_power:
+            cf = cf + (st.sigma_c, acc)
+        outs = smap(
             st.ex, st.ey, st.ez, st.hx, st.hy, st.hz,
             st.corr_hy, st.corr_hz, de2, dh2, *cf
         )
+        if accumulate_power:
+            ex, ey, ez, hx, hy, hz, acc = outs
+        else:
+            ex, ey, ez, hx, hy, hz = outs
         ey_s2 = st.ey_s[:, :, 0]
         ez_s2 = st.ez_s[:, :, 0]
         slk = (slice(D, D + K), slice(0, J))
@@ -1311,7 +1336,16 @@ def make_sharded_stream_2d_step(p: Params, mesh: Mesh,
         hx_s = st.hx_s
         for _ in range(s):
             hx_s = hx_s.at[slk[0], slk[1], 0].add((fh_s * curl).astype(st.hx_s.dtype))
-        return dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
+        st = dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
+        return st, acc
+
+    if accumulate_power:
+        def group_step(carry, xs_group):
+            st, acc = carry
+            return advance(st, acc, xs_group)
+    else:
+        def group_step(st, xs_group):
+            return advance(st, None, xs_group)[0]
 
     group_step.s = s
     return group_step
@@ -1319,13 +1353,67 @@ def make_sharded_stream_2d_step(p: Params, mesh: Mesh,
 
 def make_sharded_stream_2d_runner(p: Params, mesh: Mesh,
                                   interpret: bool | None = None,
-                                  materials=None):
-    """Jitted ``run(state, xs) -> state``; trailing steps (n % s) use the
-    single-step 2-D sharded fast path."""
-    group_step = make_sharded_stream_2d_step(p, mesh, interpret, materials)
+                                  materials=None,
+                                  accumulate_power: bool = False):
+    """Jitted runner; trailing steps (n % s) use the single-step 2-D
+    sharded fast path.
+
+    Without SAR: ``run(state, xs) -> state``.  With ``accumulate_power``:
+    ``run(state, xs, acc) -> (state, acc)`` — acc is the sharded
+    (nz*Klp, jrows, icols) fp32 sigma*|E|^2*dt accumulator (jrows <=
+    ny*Jlp, the 2-D single-step contract); the sweeps accumulate
+    in-kernel into a per-shard slab embedding whose halo rows are
+    cropped back out (their contributions belong to — and are also
+    accumulated by — the neighbor)."""
+    group_step = make_sharded_stream_2d_step(p, mesh, interpret, materials,
+                                             accumulate_power=accumulate_power)
     s = group_step.s
     single_step = make_sharded_fast_2d_step(p, mesh, interpret,
                                             materials=materials)
+    nz, ny = mesh.shape["z"], mesh.shape["y"]
+    S_c, J1p, Ib, K1, J1, Klp, S_sh, Jlp, Jt_sh = _geometry2d(p, nz, ny)
+
+    if accumulate_power:
+        inc_fn = make_sharded_power_inc_2d(p, mesh, materials)
+        dt = p.time_step
+
+        def embed_acc(acc):
+            jrows, icols = acc.shape[1], acc.shape[2]
+            a = jnp.pad(acc, ((0, 0), (0, ny * Jlp - jrows), (0, Ib - icols)))
+            a = a.reshape(nz, Klp, ny, Jlp, Ib)
+            out = jnp.zeros((nz, S_sh, ny, Jt_sh, Ib), jnp.float32)
+            out = out.at[:, D : D + Klp, :, DJ2 : DJ2 + Jlp].set(a)
+            return out.reshape(nz * S_sh, ny * Jt_sh, Ib)
+
+        def crop_acc(acc_sl, jrows, icols):
+            a = acc_sl.reshape(nz, S_sh, ny, Jt_sh, Ib)
+            a = a[:, D : D + Klp, :, DJ2 : DJ2 + Jlp]
+            return a.reshape(nz * Klp, ny * Jlp, Ib)[:, :jrows, :icols]
+
+        @jax.jit
+        def run_acc(st, xs, acc):
+            ts, amps = xs
+            nsteps = ts.shape[0]
+            n_grp = nsteps // s
+            if n_grp:
+                g = (ts[: s * n_grp].reshape(n_grp, s),
+                     amps[: s * n_grp].reshape(n_grp, s))
+
+                def body(carry, x):
+                    return group_step(carry, x), None
+
+                jrows, icols = acc.shape[1], acc.shape[2]
+                acc_sl = embed_acc(acc)
+                (st, acc_sl), _ = lax.scan(body, (st, acc_sl), g)
+                acc = crop_acc(acc_sl, jrows, icols)
+            for r in range(nsteps % s):
+                idx = s * n_grp + r
+                st = single_step(st, (ts[idx], amps[idx]))
+                inc = inc_fn(st)[:, : acc.shape[1], : acc.shape[2]]
+                acc = acc + (inc * dt).astype(acc.dtype)
+            return st, acc
+
+        return run_acc
 
     @jax.jit
     def run(st, xs):

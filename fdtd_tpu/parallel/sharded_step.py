@@ -356,3 +356,24 @@ def dryrun(n_devices: int, devices=None) -> None:
                     jnp.asarray(np.linspace(0.0, 1.0, 8, dtype=np.float32)))
             st7 = run_s2d(st7, xs8b)
             jax.block_until_ready(st7.ex)
+
+        # SAR x 2-D streaming (r3): in-kernel acc, s+1-row j bands
+        from ..state import water_block
+        from ..step import zero_power_acc
+        from .sharded_fast import _geometry2d
+
+        mats_w = water_block(p, lo=(0.2, 0.2, 0.2), hi=(0.8, 0.8, 0.8))
+        if sharded_stream_2d_supported(p, n_devices // 2, 2, mats_w,
+                                       sar=True):
+            from ..state import update_coefs
+
+            st8 = to_sharded_fast_2d(p, zeros(p), mesh_zy,
+                                     coefs=update_coefs(p, mats_w))
+            run_s2ds = make_sharded_stream_2d_runner(
+                p, mesh_zy, interpret=interp, materials=mats_w,
+                accumulate_power=True)
+            g2 = _geometry2d(p, n_devices // 2, 2)
+            acc0 = np.zeros(((n_devices // 2) * g2[5], 2 * g2[7], p.maxi),
+                            np.float32)
+            st8, acc8 = run_s2ds(st8, xs8b, jnp.asarray(acc0))
+            jax.block_until_ready(acc8)

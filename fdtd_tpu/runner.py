@@ -178,8 +178,8 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
                                         sar=accumulate_power)
     ) or (
         ny > 1
-        and not accumulate_power  # 2-D SAR: single-step path
-        and sf.sharded_stream_2d_supported(p, nz, ny, materials)
+        and sf.sharded_stream_2d_supported(p, nz, ny, materials,
+                                           sar=accumulate_power)
     )
     if eff == "auto":
         if jnp.dtype(p.dtype) == jnp.float64:
@@ -200,8 +200,7 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
     elif eff == "pallas_stream" and not stream_ok:
         log(
             "notice: the sharded streaming kernel needs a VMEM-feasible "
-            "plan (2-D meshes: no --sar); using the temporal composition "
-            "instead"
+            "plan; using the temporal composition instead"
         )
         eff = "pallas_temporal"
     if eff == "pallas_temporal" and (lossy or accumulate_power):
@@ -237,8 +236,27 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
             prep = lambda s: sf.to_sharded_fast_2d(p, s, mesh, coefs=coefs)
             restore = lambda st: sf.from_sharded_fast_2d(p, st, mesh)
             run_2d = sf.make_sharded_stream_2d_runner(
-                p, mesh, interpret=interp, materials=materials
+                p, mesh, interpret=interp, materials=materials,
+                accumulate_power=accumulate_power,
             )
+            if accumulate_power:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                K, J = p.maxk, p.maxj
+                _, _, _, _, _, Klp2, _, Jlp2, _ = sf._geometry2d(p, nz, ny)
+                acc_sh = NamedSharding(mesh, P("z", "y", None))
+
+                def run_chunk(st, chunk, power):
+                    acc = jax.device_put(
+                        jnp.pad(jnp.asarray(power),
+                                ((0, nz * Klp2 - K), (0, ny * Jlp2 - J),
+                                 (0, 0))),
+                        acc_sh,
+                    )
+                    st, acc = run_2d(st, chunk, acc)
+                    return st, acc[:K, :J]
+
+                return prep, restore, run_chunk
 
             def run_chunk(st, chunk, power):
                 return run_2d(st, chunk), power

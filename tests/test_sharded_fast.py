@@ -515,6 +515,57 @@ def test_sharded_stream_2d_matches_single_device(tiny_params, mode, mesh_zy2):
         np.testing.assert_allclose(g, w, atol=1e-6, rtol=0, err_msg=c)
 
 
+def test_sharded_stream_2d_sar_matches_single_device(tiny_params):
+    """SAR x 2-D (z x y) sharded streaming (r3): the in-kernel rolling
+    accumulator runs per shard with s+1-row j halo bands (the cell-center
+    mean reads E^m at j+1, which must stay exact through level s); the
+    halo rows of the per-shard acc slab are cropped (their contributions
+    are the neighbor's own rows') == the single-chip two-pass
+    accumulator."""
+    from fdtd_tpu.parallel.sharded_fast import (
+        _geometry2d,
+        from_sharded_fast_2d,
+        make_sharded_stream_2d_runner,
+        to_sharded_fast_2d,
+    )
+    from fdtd_tpu.state import update_coefs, water_block
+    from fdtd_tpu.step import backend_adapters, zero_power_acc
+
+    p = dataclasses.replace(tiny_params, dtype="float32", mode=Mode.COMPUTATION)
+    mats = water_block(p, lo=(0.1, 0.1, 0.1), hi=(0.9, 0.9, 0.9))
+    coefs = update_coefs(p, mats)
+    n_steps = 19  # sweeps + single-step tail (tail uses the jnp increment)
+    s0 = zeros(p)
+    run_ref = make_chunk_runner(p, mats, backend="pallas_fused",
+                                accumulate_power=True)
+    prep_f, _ = backend_adapters(p, "pallas_fused", mats)
+    xs = scan_inputs(p, time_values(p)[:n_steps])
+    want, acc_w = run_ref(prep_f(s0), xs, zero_power_acc(p))
+
+    nz, ny = 2, 2
+    mesh = make_mesh(nz * ny, (nz, ny, 1), devices=jax.devices("cpu"))
+    st = to_sharded_fast_2d(p, s0, mesh, coefs=coefs)
+    run = make_sharded_stream_2d_runner(p, mesh, interpret=True,
+                                        materials=mats,
+                                        accumulate_power=True)
+    K, J, I = p.maxk, p.maxj, p.maxi
+    g2 = _geometry2d(p, nz, ny)
+    Klp, Jlp = g2[5], g2[7]
+    acc0 = np.pad(np.asarray(zero_power_acc(p)),
+                  ((0, nz * Klp - K), (0, ny * Jlp - J), (0, 0)))
+    st, acc = run(st, xs, jax.numpy.asarray(acc0))
+    got = from_sharded_fast_2d(p, st, mesh)
+    for c in COMPONENTS:
+        g = np.asarray(getattr(got, c))[:, :, : p.maxi]
+        w = np.asarray(getattr(rest_like(want, p), c))[:, :, : p.maxi]
+        np.testing.assert_allclose(g, w, atol=1e-6, rtol=0, err_msg=c)
+    ag = np.asarray(acc)[:K, :J, :I]
+    aw = np.asarray(acc_w)
+    np.testing.assert_allclose(ag, aw, rtol=2e-5, atol=1e-30,
+                               err_msg="2-D sharded SAR accumulator")
+    assert float(ag.max()) > 0
+
+
 def test_sharded_stream_2d_lossy_het_matches_single_device(tiny_params):
     """Lossy + heterogeneous-mu streaming x 2-D sharding: the ca/cb and hf
     slabs ride neighbor-baked halo rows along both axes."""

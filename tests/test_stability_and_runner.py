@@ -145,7 +145,12 @@ def test_runner_sharded_matches_single_device(tiny_params, tmp_path):
     a = read_vtr_cell_arrays(str(tmp_path / "wone" / "result0020.vtr"))
     b = read_vtr_cell_arrays(str(tmp_path / "wsh" / "result0020.vtr"))
     for k in ["ex", "ey", "ez", "hx", "hy", "hz"]:
-        np.testing.assert_array_equal(a[k], b[k], err_msg=f"lossy/{k}")
+        # auto now routes 2x2 water loads to the 2-D lossy streaming
+        # composition (r3) -- same documented 1-ulp FMA-reassociation
+        # tolerance as the other deep-unroll auto legs
+        np.testing.assert_allclose(
+            a[k], b[k], atol=1e-6, rtol=0, err_msg=f"lossy/{k}"
+        )
     # 1-D auto with a water load picks the LOSSY streaming composition (r3)
     run_simulation(p, out_dir=str(tmp_path / "wst"), materials=mats,
                    shard="4", log=lambda s: None)
