@@ -12,6 +12,7 @@ exchange — the TPU analogue of the reference's MPI slab decomposition.
 from .params import Mode, Params, SourceConfig, load_parameters, parse_params_text, time_values, num_steps
 from .state import FieldState, Materials, zeros, init_validation, update_coefs, water_block
 from .step import make_step, make_chunk_runner
+from .ops.cpml import PMLConfig
 from . import analytic, diagnostics, grid
 
 __all__ = [
@@ -30,6 +31,7 @@ __all__ = [
     "water_block",
     "make_step",
     "make_chunk_runner",
+    "PMLConfig",
     "analytic",
     "diagnostics",
     "grid",

@@ -57,7 +57,19 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     help="spatial decomposition over devices, e.g. 4 (z-slabs) "
                          "or 4x2 (z*y) — the reference MPI branch's 'mpirun -np N' "
                          "as a flag; needs that many JAX devices")
+    ap.add_argument("--pml", type=int, default=0, metavar="N",
+                    help="CPML absorbing boundaries, N cells per face "
+                         "(0 = closed PEC cavity like the reference; "
+                         "open-boundary extension, xla path)")
     return ap
+
+
+def _pml_config(cells: int):
+    if not cells:
+        return None
+    from .ops.cpml import PMLConfig
+
+    return PMLConfig(cells=cells)
 
 
 def main(argv=None) -> int:
@@ -127,6 +139,7 @@ def main(argv=None) -> int:
             quirk_compat=not args.physics_correct,
             diagnostics_log=args.diag_log,
             shard=args.shard,
+            pml=_pml_config(args.pml),
         )
     except NotImplementedError as e:
         # unsupported backend/feature combination that has no fallback

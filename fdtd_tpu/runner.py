@@ -373,6 +373,7 @@ def run_simulation(
     log: Callable[[str], None] = print,
     diagnostics_log: str | None = None,
     shard: str | None = None,
+    pml=None,
 ) -> RunResult:
     p.validate()
     ts = time_values(p)
@@ -395,7 +396,32 @@ def run_simulation(
             "for validation/accuracy runs"
         )
 
-    if shard is not None:
+    if pml is not None:
+        # CPML absorbing boundaries (ops/cpml.py; capability extension —
+        # the reference cavity is closed PEC).  xla ground-truth path only;
+        # psi memory variables ride the chunk carry as (state, psi).
+        from .ops.cpml import make_pml_chunk_runner
+
+        if shard is not None:
+            raise ValueError("--pml does not compose with --shard yet")
+        if checkpoint_every or resume:
+            raise ValueError(
+                "--pml does not compose with checkpoint/resume yet (the "
+                "psi memory variables are not checkpointed)"
+            )
+        if accumulate_power and materials is None:
+            raise ValueError("--sar needs lossy materials (e.g. --water-block)")
+        if backend not in ("auto", "xla"):
+            log(
+                f"notice: --pml runs the xla path (backend {backend!r} "
+                "keeps the closed-cavity scope); using xla"
+            )
+        backend = "xla"
+        run_pml = make_pml_chunk_runner(p, pml, materials, accumulate_power)
+
+        def run_chunk(carry, chunk, power):
+            return run_pml(carry, chunk, power)
+    elif shard is not None:
         # multi-device spatial decomposition (the reference MPI branch's
         # CLI story, description.pdf section 2.2); see parse_shard_spec
         if accumulate_power and materials is None:
@@ -428,7 +454,12 @@ def run_simulation(
 
     # hot-path layout conversion (identity for the xla backend); restore is
     # jitted: one dispatch per boundary, not an eager-op chain (axon, r3)
-    if shard is not None:
+    if pml is not None:
+        from .ops.cpml import init_psi
+
+        prep = lambda s: (s, init_psi(p))
+        restore = jax.jit(lambda carry: carry[0])
+    elif shard is not None:
         prep, restore = sh_prep, jax.jit(sh_restore)
     else:
         prep, restore = backend_adapters(p, backend, materials)

@@ -1,0 +1,206 @@
+"""CPML absorbing boundaries (ops/cpml.py — open-boundary extension).
+
+The reference cavity is closed PEC (main.c:469-500 implicit PEC bounds),
+so there is no reference behavior to match; these tests pin the physics
+instead: (1) the correction is exactly inert until a wave reaches the
+slabs, (2) an outgoing pulse is absorbed instead of reflected (energy
+drops by orders of magnitude vs the energy-conserving PEC run), and
+(3) the recursion is long-run stable.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fdtd_tpu.params import Mode, Params, time_values
+from fdtd_tpu.state import zeros
+from fdtd_tpu.step import make_chunk_runner, scan_inputs
+from fdtd_tpu import diagnostics
+from fdtd_tpu.ops.cpml import PMLConfig, init_psi, make_pml_chunk_runner
+
+
+def _box_params(n, steps, dtype="float32"):
+    return Params(
+        length=n * 1e-3,
+        width=n * 1e-3,
+        height=n * 1e-3,
+        spatial_step=1e-3,
+        time_step=1e-12,
+        simulation_time=steps * 1e-12,
+        sampling_rate=10**9,
+        mode=Mode.VALIDATION,  # no source; we seed a pulse by hand
+        dtype=dtype,
+    )
+
+
+def _gaussian_pulse(p, radius=3.0, cutoff=None):
+    """Zero fields + a Gaussian Ey ball at the cavity center.
+
+    ``cutoff`` (cells): truncate to compact support — a raw Gaussian's
+    tail is nonzero everywhere, including inside the PML slabs."""
+    s = zeros(p)
+    K1, J1, I1 = p.padded_shape
+    k = np.arange(K1)[:, None, None]
+    j = np.arange(J1)[None, :, None]
+    i = np.arange(I1)[None, None, :]
+    c = np.array([p.maxk / 2, p.maxj / 2, p.maxi / 2])
+    r2 = (k - c[0]) ** 2 + (j - c[1]) ** 2 + (i - c[2]) ** 2
+    blob = np.exp(-r2 / (2 * radius**2))
+    if cutoff is not None:
+        blob = np.where(r2 < cutoff**2, blob, 0.0)
+    blob[:, p.maxj :, :] = 0.0  # respect Ey's physical j extent
+    return dataclasses.replace(
+        s, ey=jnp.asarray(blob, s.ey.dtype)
+    )
+
+
+def _solenoidal_pulse(p, radius=3.0, cutoff=None):
+    """Divergence-free E pulse: E = discrete-curl(A_z g), so the Yee
+    divergence the updates preserve is EXACTLY zero and the whole pulse
+    is radiative.  (A single-component Gaussian ball keeps a ~1/3
+    electrostatic remainder that no absorber can remove — Gauss's law.)
+    """
+    s = zeros(p)
+    K1, J1, I1 = p.padded_shape
+    k = np.arange(K1)[:, None, None]
+    j = np.arange(J1)[None, :, None]
+    i = np.arange(I1)[None, None, :]
+    c = np.array([p.maxk / 2, p.maxj / 2, p.maxi / 2])
+    r2 = (k - c[0]) ** 2 + (j - c[1]) ** 2 + (i - c[2]) ** 2
+    g = np.exp(-r2 / (2 * radius**2))
+    if cutoff is not None:
+        g = np.where(r2 < cutoff**2, g, 0.0)
+    ex = np.zeros((K1, J1, I1))
+    ey = np.zeros((K1, J1, I1))
+    # BACKWARD differences: the Yee divergence the updates preserve is
+    # D_i^- ex + D_j^- ey (+ D_k^- ez), and D_i^- D_j^- commutes with
+    # D_j^- D_i^- exactly — mixed forward/backward stencils leave a ~2%
+    # static (non-radiative) remainder no absorber can remove
+    ex[:, 1:, :] = g[:, 1:, :] - g[:, :-1, :]      # +D_j^- g
+    ey[:, :, 1:] = -(g[:, :, 1:] - g[:, :, :-1])   # -D_i^- g
+    ey[:, p.maxj :, :] = 0.0
+    return dataclasses.replace(
+        s,
+        ex=jnp.asarray(ex, s.ex.dtype),
+        ey=jnp.asarray(ey, s.ey.dtype),
+    )
+
+
+def _total_energy(p, s):
+    return float(diagnostics.e_energy(p, s)) + float(diagnostics.h_energy(p, s))
+
+
+def test_pml_inert_until_wave_arrives():
+    """With the pulse confined to the interior, psi stays identically
+    zero and the PML run is BIT-EQUAL to the plain xla run (b = 1, c = 0
+    outside the slabs — the correction adds exact zeros)."""
+    p = _box_params(40, 6, dtype="float64")
+    cfg = PMLConfig(cells=8)
+    # compact support (radius 5) + 6 steps of 1-cell/step light cone
+    # stays strictly inside the interior (slabs start 12 cells out)
+    s0 = _gaussian_pulse(p, radius=1.5, cutoff=5.0)
+    xs = scan_inputs(p, time_values(p)[:6])
+
+    run_ref = make_chunk_runner(p)
+    want, _ = run_ref(s0, xs, None)
+
+    run_pml = make_pml_chunk_runner(p, cfg)
+    (got, psi), _ = run_pml((s0, init_psi(p)), xs, None)
+
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, c)), np.asarray(getattr(want, c)),
+            err_msg=c,
+        )
+    for name in ("hx_z", "ex_y", "ez_y"):
+        assert float(jnp.abs(getattr(psi, name)).max()) == 0.0, name
+
+
+def test_pml_absorbs_outgoing_pulse():
+    """After ~4 cavity transit times, the PEC cavity still holds the
+    pulse energy while the CPML walls have absorbed it."""
+    n, steps = 32, 400
+    p = _box_params(n, steps)
+    cfg = PMLConfig(cells=8)
+    s0 = _solenoidal_pulse(p, radius=3.0)
+    e0 = _total_energy(p, s0)
+    xs = scan_inputs(p, time_values(p)[:steps])
+
+    run_ref = make_chunk_runner(p)
+    pec, _ = run_ref(s0, xs, None)
+    e_pec = _total_energy(p, pec)
+
+    run_pml = make_pml_chunk_runner(p, cfg)
+    (absorbed, _psi), _ = run_pml((s0, init_psi(p)), xs, None)
+    e_pml = _total_energy(p, absorbed)
+
+    # leapfrog PEC conserves the pulse energy (to discrete-energy slosh)
+    assert e_pec > 0.2 * e0
+    # CPML absorbs it: orders of magnitude below both the PEC run and
+    # the initial energy (measured 2.0e-4 of e0 for 8-cell slabs)
+    assert e_pml < 1e-3 * e_pec, (e_pml, e_pec, e0)
+    assert e_pml < 1e-3 * e0
+
+
+def test_pml_long_run_stable():
+    """The CPML recursion must not blow up at late times (a classic
+    failure mode of mis-signed psi updates)."""
+    n, steps = 24, 1500
+    p = _box_params(n, steps)
+    cfg = PMLConfig(cells=6)
+    s0 = _solenoidal_pulse(p, radius=2.5)
+    e0 = _total_energy(p, s0)
+    xs = scan_inputs(p, time_values(p)[:steps])
+    run_pml = make_pml_chunk_runner(p, cfg)
+    (s1, psi), _ = run_pml((s0, init_psi(p)), xs, None)
+    e1 = _total_energy(p, s1)
+    assert np.isfinite(e1)
+    # measured 3.0e-3 of e0 (grazing incidence on the small box); the
+    # bound catches blowup, not absorber quality
+    assert e1 < 3e-2 * e0, (e1, e0)
+
+
+def test_pml_runner_and_materials(tiny_params, tmp_path):
+    """run_simulation(pml=...) end-to-end: snapshots written, composes
+    with lossy materials + SAR, and the unsupported combos error
+    cleanly."""
+    from fdtd_tpu.runner import run_simulation
+    from fdtd_tpu.state import water_block
+
+    p = dataclasses.replace(tiny_params, dtype="float32",
+                            mode=Mode.COMPUTATION, sampling_rate=10)
+    cfg = PMLConfig(cells=3)
+    r = run_simulation(p, out_dir=str(tmp_path / "a"), pml=cfg,
+                       log=lambda s: None)
+    assert r.iterations >= 20
+    assert (tmp_path / "a" / "result0020.vtr").exists()
+
+    mats = water_block(p, lo=(0.3, 0.3, 0.3), hi=(0.7, 0.7, 0.7))
+    r2 = run_simulation(p, out_dir=str(tmp_path / "b"), pml=cfg,
+                        materials=mats, accumulate_power=True,
+                        write_snapshots=False, log=lambda s: None)
+    assert r2.power_j is not None
+    assert float(np.asarray(r2.power_j).max()) >= 0
+
+    with pytest.raises(ValueError, match="shard"):
+        run_simulation(p, out_dir=str(tmp_path / "x"), pml=cfg, shard="4",
+                       log=lambda s: None)
+    with pytest.raises(ValueError, match="checkpoint"):
+        run_simulation(p, out_dir=str(tmp_path / "x"), pml=cfg,
+                       checkpoint_every=5, log=lambda s: None)
+    with pytest.raises(ValueError, match="PML"):
+        run_simulation(p, out_dir=str(tmp_path / "x"),
+                       pml=PMLConfig(cells=6), log=lambda s: None)
+
+
+def test_pml_cli_flag(tiny_params, tmp_path, capsys):
+    from fdtd_tpu.cli import main
+
+    params = tmp_path / "p.txt"
+    params.write_text("0.01\n0.01\n0.01\n0.001\n1e-12\n2e-11\n10\n0\n")
+    rc = main([str(params), "--out", str(tmp_path / "o"), "--pml", "3",
+               "--no-output"])
+    assert rc == 0
