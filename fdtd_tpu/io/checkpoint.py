@@ -29,10 +29,15 @@ def save_checkpoint(
     iteration: int,
     t: float,
     power: jnp.ndarray | np.ndarray | None = None,
+    aux: dict | None = None,
 ) -> None:
+    """``aux``: extra named arrays (e.g. the CPML psi memory variables),
+    stored under ``aux_<name>`` keys; see :func:`load_aux`."""
     arrays = {name: np.asarray(getattr(state, name)) for name in _FIELDS}
     if power is not None:
         arrays["power_acc"] = np.asarray(power)
+    for name, a in (aux or {}).items():
+        arrays[f"aux_{name}"] = np.asarray(a)
     tmp = path + ".tmp.npz"
     np.savez(tmp, iteration=np.int64(iteration), t=np.float64(t), **arrays)
     os.replace(tmp, path)
@@ -52,6 +57,13 @@ def load_checkpoint(
             arrays[name] = jnp.asarray(a, dtype=jnp.dtype(p.dtype))
         power = jnp.asarray(z["power_acc"]) if "power_acc" in z else None
         return FieldState(**arrays), int(z["iteration"]), float(z["t"]), power
+
+
+def load_aux(path: str) -> dict:
+    """The ``aux_<name>`` arrays of a checkpoint as ``{name: ndarray}``
+    (empty for checkpoints written without aux state)."""
+    with np.load(path) as z:
+        return {k[4:]: z[k] for k in z.files if k.startswith("aux_")}
 
 
 class CheckpointWriter:
@@ -77,7 +89,8 @@ class CheckpointWriter:
         self._pool = ThreadPoolExecutor(max_workers=1)
         self._inflight: Future | None = None
 
-    def submit(self, state: FieldState, iteration: int, t: float, power=None) -> None:
+    def submit(self, state: FieldState, iteration: int, t: float, power=None,
+               aux: dict | None = None) -> None:
         self.drain()
         path = os.path.join(self.out_dir, f"ckpt{iteration:06d}.npz")
         # Device->host on the MAIN thread (worker-thread device fetches
@@ -87,8 +100,9 @@ class CheckpointWriter:
 
         state_h = _jax.tree.map(np.asarray, state)
         power_h = None if power is None else np.asarray(power)
+        aux_h = None if aux is None else {k: np.asarray(v) for k, v in aux.items()}
         self._inflight = self._pool.submit(
-            save_checkpoint, path, state_h, iteration, t, power_h
+            save_checkpoint, path, state_h, iteration, t, power_h, aux_h
         )
 
     def drain(self) -> None:

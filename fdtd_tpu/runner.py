@@ -404,11 +404,6 @@ def run_simulation(
 
         if shard is not None:
             raise ValueError("--pml does not compose with --shard yet")
-        if checkpoint_every or resume:
-            raise ValueError(
-                "--pml does not compose with checkpoint/resume yet (the "
-                "psi memory variables are not checkpointed)"
-            )
         if accumulate_power and materials is None:
             raise ValueError("--sar needs lossy materials (e.g. --water-block)")
         if backend not in ("auto", "xla"):
@@ -437,6 +432,7 @@ def run_simulation(
     power = zero_power_acc(p) if accumulate_power else None
     start_step = 0
 
+    resumed_psi = None
     if resume:
         ck = latest_checkpoint(out_dir)
         if ck:
@@ -450,6 +446,23 @@ def run_simulation(
                         "WARNING: checkpoint has no power accumulator; "
                         "--sar totals restart from zero at this point"
                     )
+            if pml is not None:
+                from .io.checkpoint import load_aux
+                from .ops.cpml import PsiState
+
+                aux = load_aux(ck)
+                psi_keys = [f"psi_{n}" for n in PsiState.__dataclass_fields__]
+                if all(k in aux for k in psi_keys):
+                    resumed_psi = PsiState(
+                        **{n: jnp.asarray(aux[f"psi_{n}"]) for n in
+                           PsiState.__dataclass_fields__}
+                    )
+                else:
+                    log(
+                        "WARNING: checkpoint has no CPML psi state; the "
+                        "absorber memory restarts from zero (fields in "
+                        "the slabs will see a transient)"
+                    )
             log(f"Resuming from {ck} (after step {it_done})")
 
     # hot-path layout conversion (identity for the xla backend); restore is
@@ -457,7 +470,8 @@ def run_simulation(
     if pml is not None:
         from .ops.cpml import init_psi
 
-        prep = lambda s: (s, init_psi(p))
+        prep = lambda s: (s, resumed_psi if resumed_psi is not None
+                          else init_psi(p))
         restore = jax.jit(lambda carry: carry[0])
     elif shard is not None:
         prep, restore = sh_prep, jax.jit(sh_restore)
@@ -547,7 +561,12 @@ def run_simulation(
         if checkpoint_every and pos % checkpoint_every == 0:
             # async: the worker thread does the device->host copy + write
             # while the next chunk runs (see io.checkpoint.CheckpointWriter)
-            ckpt_writer.submit(full, pos, t_now, power=power)
+            aux = None
+            if pml is not None:
+                psi = state[1]
+                aux = {f"psi_{n}": getattr(psi, n)
+                       for n in type(psi).__dataclass_fields__}
+            ckpt_writer.submit(full, pos, t_now, power=power, aux=aux)
 
     state = restore(state)
     jax.block_until_ready(state.ex)

@@ -185,10 +185,10 @@ def test_async_checkpoint_overlaps_compute(tiny_params, tmp_path, monkeypatch):
     real_save = ck.save_checkpoint
     n_calls = []
 
-    def slow_save(path, state, iteration, t, power=None):
+    def slow_save(path, state, iteration, t, power=None, aux=None):
         time.sleep(delay)
         n_calls.append(iteration)
-        real_save(path, state, iteration, t, power)
+        real_save(path, state, iteration, t, power, aux)
 
     monkeypatch.setattr(ck, "save_checkpoint", slow_save)
     p = dataclasses.replace(tiny_params, sampling_rate=10**9)

@@ -188,12 +188,44 @@ def test_pml_runner_and_materials(tiny_params, tmp_path):
     with pytest.raises(ValueError, match="shard"):
         run_simulation(p, out_dir=str(tmp_path / "x"), pml=cfg, shard="4",
                        log=lambda s: None)
-    with pytest.raises(ValueError, match="checkpoint"):
-        run_simulation(p, out_dir=str(tmp_path / "x"), pml=cfg,
-                       checkpoint_every=5, log=lambda s: None)
     with pytest.raises(ValueError, match="PML"):
         run_simulation(p, out_dir=str(tmp_path / "x"),
                        pml=PMLConfig(cells=6), log=lambda s: None)
+
+
+def test_pml_checkpoint_resume_bit_exact(tiny_params, tmp_path):
+    """The psi memory variables ride the checkpoint (aux arrays), so a
+    resumed PML run is BIT-EQUAL to the uninterrupted one — resuming
+    with psi = 0 would give the slab fields a spurious transient."""
+    from fdtd_tpu.io.checkpoint import load_aux, latest_checkpoint
+    from fdtd_tpu.runner import run_simulation
+
+    p = dataclasses.replace(tiny_params, dtype="float32",
+                            mode=Mode.COMPUTATION, sampling_rate=10)
+    cfg = PMLConfig(cells=3)
+    ra = run_simulation(p, out_dir=str(tmp_path / "full"), pml=cfg,
+                        write_snapshots=False, log=lambda s: None)
+
+    # interrupted run: checkpoint at step 10, then a fresh resume
+    p_half = dataclasses.replace(p, simulation_time=1e-11)
+    run_simulation(p_half, out_dir=str(tmp_path / "part"), pml=cfg,
+                   checkpoint_every=10, write_snapshots=False,
+                   log=lambda s: None)
+    ck = latest_checkpoint(str(tmp_path / "part"))
+    assert ck is not None
+    aux = load_aux(ck)
+    assert any(k.startswith("psi_") for k in aux)
+    # psi has engaged by step 10 on this tiny (all-slab) grid
+    assert max(float(np.abs(v).max()) for v in aux.values()) > 0
+
+    rb = run_simulation(p, out_dir=str(tmp_path / "part"), pml=cfg,
+                        resume=True, checkpoint_every=10,
+                        write_snapshots=False, log=lambda s: None)
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(rb.state, c)), np.asarray(getattr(ra.state, c)),
+            err_msg=c,
+        )
 
 
 def test_pml_cli_flag(tiny_params, tmp_path, capsys):
