@@ -1054,17 +1054,11 @@ def pick_shard_plan(p: Params, coefs: UpdateCoefs, Klp: int,
     exactly the grid sizes sharding exists for.  A deep j-tiled sweep
     beats a shallow full-plane one (measured single-chip, DESIGN.md), so
     candidates are ranked s-major."""
-    het = coefs.heterogeneous_mu
-    lossy = not isinstance(coefs.ca_x, (int, float))
-    if lossy:
-        if p.mode != Mode.COMPUTATION:
-            return None
-    elif coefs.ca_x != 1.0:
+    gates = _shard_config_gates(p, coefs, sar)
+    if gates is None:
         return None
-    if sar and not lossy:
-        return None  # vacuum has no dissipation
+    lossy, het, windows = gates
     _, J1, _ = dims(p)
-    windows = lossy or het or p.mode != Mode.COMPUTATION
     for s in ((TS // 2, TS // 4) if windows else (TS, TS // 2, TS // 4)):
         if D % s or Klp % s or Klp // s < 1:
             continue
@@ -1090,6 +1084,28 @@ def pick_shard_s(p: Params, coefs: UpdateCoefs, Klp: int) -> int | None:
     return plan[0] if plan else None
 
 
+def _shard_config_gates(p: Params, coefs: UpdateCoefs, sar: bool):
+    """Shared material-class gates of the sharded stream pickers.
+
+    Returns ``(lossy, het, windows)`` or None when the config can't run
+    a sharded streaming sweep at any depth: lossy media serve
+    computation mode only, a non-vacuum scalar ca has no kernel, and
+    SAR without dissipation is meaningless.  Both pick_shard_plan and
+    pick_shard_2d_s consume this — a new gate added here covers 1-D and
+    2-D routing at once."""
+    het = coefs.heterogeneous_mu
+    lossy = not isinstance(coefs.ca_x, (int, float))
+    if lossy:
+        if p.mode != Mode.COMPUTATION:
+            return None
+    elif coefs.ca_x != 1.0:
+        return None
+    if sar and not lossy:
+        return None  # vacuum has no dissipation
+    windows = lossy or het or p.mode != Mode.COMPUTATION
+    return lossy, het, windows
+
+
 def pick_shard_2d_s(p: Params, coefs: UpdateCoefs, Klp: int,
                     Jt_sh: int, sar: bool = False) -> int | None:
     """Steps-per-sweep for the 2-D (z x y) sharded streaming sweep.
@@ -1101,19 +1117,15 @@ def pick_shard_2d_s(p: Params, coefs: UpdateCoefs, Klp: int,
     row per side (s + 1 <= DJ2): the level-m cell-center mean reads E^m
     at j+1, so the row just above the shard's own rows must stay exact
     through level s."""
-    het = coefs.heterogeneous_mu
-    lossy = not isinstance(coefs.ca_x, (int, float))
-    if sar and not lossy:
+    from ..parallel.sharded_fast import DJ2
+
+    gates = _shard_config_gates(p, coefs, sar)
+    if gates is None:
         return None
-    if lossy:
-        if p.mode != Mode.COMPUTATION:
-            return None
-    elif coefs.ca_x != 1.0:
-        return None
-    windows = lossy or het or p.mode != Mode.COMPUTATION
+    lossy, het, windows = gates
     bj_extra = 1 if sar else 0
     for s in ((TS // 2, TS // 4) if windows else (TS, TS // 2, TS // 4)):
-        if D % s or Klp % s or Klp // s < 1 or s + bj_extra > HJ:
+        if D % s or Klp % s or Klp // s < 1 or s + bj_extra > DJ2:
             continue
         if (
             stream_vmem_estimate(p, s=s, lossy=lossy, het=het, sar=sar,
