@@ -50,7 +50,7 @@ def _source_pattern(p: Params, shape_ji: tuple[int, int], dtype) -> tuple[np.nda
     return prof.astype(dtype), mask
 
 
-def make_sharded_step(p: Params, mesh: Mesh, materials=None):
+def make_sharded_step(p: Params, mesh: Mesh, materials=None, pml=None):
     """Build ``sharded_step(amp, state) -> state``.
 
     Operates on fields of the mesh-divisible global shape (see
@@ -58,6 +58,17 @@ def make_sharded_step(p: Params, mesh: Mesh, materials=None):
     ca/cb coefficient slabs (lossy media) and — for heterogeneous mu_r — the
     H update uses sharded per-component face-averaged factors; both are
     device-put once here and closed over as sharded constants.
+
+    With ``pml`` (a :class:`fdtd_tpu.ops.cpml.PMLConfig`): the CPML psi
+    memory variables ride the step as 12 extra sharded (Kp, Jp, Ip)
+    arrays and the signature becomes ``sharded_step(amp, state, psi12)
+    -> (state, psi12)``.  The correction is the same additive kappa=1
+    form as the single-chip :mod:`fdtd_tpu.ops.cpml`: the 1-D (b, c)
+    recursion profiles are replicated and sliced per shard at the
+    rank's global offset, the psi updates reuse the very same halo-
+    exchanged differences the curl updates consumed, and the correction
+    applies under the same global-index masks — outside the slabs
+    (b, c) = (1, 0) keeps psi identically zero.
     """
     from ..state import update_coefs
 
@@ -92,6 +103,32 @@ def make_sharded_step(p: Params, mesh: Mesh, materials=None):
                         ("ca_x", "ca_y", "ca_z", "cb_x", "cb_y", "cb_z")]
     if het_mu:
         coef_arrays += [padc(getattr(coefs, n)) for n in ("hf_x", "hf_y", "hf_z")]
+
+    if pml is not None:
+        from ..ops.cpml import _profile
+
+        if 2 * pml.cells >= min(K, J, I):
+            raise ValueError(
+                f"PML slabs ({pml.cells} cells/face) overlap: grid is "
+                f"({K}, {J}, {I}) cells"
+            )
+
+        # 1-D recursion profiles over the PADDED global extents; positions
+        # beyond the real grid get sigma = 0 -> (b, c) = (1, 0), so psi
+        # stays zero in the pad region.  Replicated; sliced per shard.
+        def prof1d(n_pos, offset, extent):
+            pos = np.arange(n_pos, dtype=np.float64) + offset
+            pos = np.where(pos <= extent, pos, np.float64(-1.0))  # pad: sigma=0
+            b, c = _profile(pos, extent, p, pml)
+            c = np.where(pos < 0, 0.0, c)
+            rep = NamedSharding(mesh, P())
+            return (jax.device_put(jnp.asarray(b, dtype), rep),
+                    jax.device_put(jnp.asarray(c, dtype), rep))
+
+        pml_profiles = [
+            prof1d(Kp, 0.5, K), prof1d(Jp, 0.5, J), prof1d(Ip, 0.5, I),  # H
+            prof1d(Kp, 0.0, K), prof1d(Jp, 0.0, J), prof1d(Ip, 0.0, I),  # E
+        ]
 
     prof_np, mask_np = _source_pattern(p, (Jp, Ip), dtype)
     src_sh = NamedSharding(mesh, P("y", "x"))
@@ -129,6 +166,26 @@ def make_sharded_step(p: Params, mesh: Mesh, materials=None):
         return io + r * lsz[dim]
 
     def local_step(amp, ex, ey, ez, hx, hy, hz, prof_l, msrc_l, *cf):
+        if pml is not None:
+            psi12 = cf[-12:]
+            prof12 = cf[-24:-12]
+            cf = cf[:-24]
+
+            def locp(b_g, c_g, dim):
+                r = lax.axis_index(AXES[dim])
+                shape = [1, 1, 1]
+                shape[dim] = lsz[dim]
+                return tuple(
+                    lax.dynamic_slice(g, (r * lsz[dim],), (lsz[dim],)).reshape(shape)
+                    for g in (b_g, c_g)
+                )
+
+            bz_h, cz_h = locp(prof12[0], prof12[1], 0)
+            by_h, cy_h = locp(prof12[2], prof12[3], 1)
+            bx_h, cx_h = locp(prof12[4], prof12[5], 2)
+            bz_e, cz_e = locp(prof12[6], prof12[7], 0)
+            by_e, cy_e = locp(prof12[8], prof12[9], 1)
+            bx_e, cx_e = locp(prof12[10], prof12[11], 2)
         if lossy:
             cax, cay, caz, cbx, cby, cbz = cf[:6]
         if het_mu:
@@ -168,6 +225,21 @@ def make_sharded_step(p: Params, mesh: Mesh, materials=None):
         hy = jnp.where(m_hy, hy + fhy * ((ez_px - ez) - (ex_pz - ex)), hy)
         hz = jnp.where(m_hz, hz + fhz * ((ex_py - ex) - (ey_px - ey)), hz)
 
+        if pml is not None:
+            # CPML H-pass correction (same additive kappa=1 form and
+            # ordering as ops.cpml.h_correct: psi from the exact same
+            # differences, f*psi added over the same component regions)
+            p_hx_z, p_hx_y, p_hy_x, p_hy_z, p_hz_y, p_hz_x = psi12[:6]
+            p_hx_z = bz_h * p_hx_z + cz_h * (ey_pz - ey)
+            p_hx_y = by_h * p_hx_y + cy_h * (ez_py - ez)
+            p_hy_x = bx_h * p_hy_x + cx_h * (ez_px - ez)
+            p_hy_z = bz_h * p_hy_z + cz_h * (ex_pz - ex)
+            p_hz_y = by_h * p_hz_y + cy_h * (ex_py - ex)
+            p_hz_x = bx_h * p_hz_x + cx_h * (ey_px - ey)
+            hx = jnp.where(m_hx, hx + fhx * (p_hx_z - p_hx_y), hx)
+            hy = jnp.where(m_hy, hy + fhy * (p_hy_x - p_hy_z), hy)
+            hz = jnp.where(m_hz, hz + fhz * (p_hz_y - p_hz_x), hz)
+
         if computation:
             ex, ez, hx, hz = inject(ex, ez, hx, hz)
 
@@ -194,10 +266,54 @@ def make_sharded_step(p: Params, mesh: Mesh, materials=None):
             ey = jnp.where(m_ey, ey + f_e * curl_y, ey)
             ez = jnp.where(m_ez, ez + f_e * curl_z, ez)
 
+        if pml is not None:
+            # CPML E-pass correction (ops.cpml.e_correct): psi from the
+            # post-H-update differences, cb*psi added under the E masks
+            p_ex_y, p_ex_z, p_ey_z, p_ey_x, p_ez_x, p_ez_y = psi12[6:]
+            p_ex_y = by_e * p_ex_y + cy_e * (hz - hz_my)
+            p_ex_z = bz_e * p_ex_z + cz_e * (hy - hy_mz)
+            p_ey_z = bz_e * p_ey_z + cz_e * (hx - hx_mz)
+            p_ey_x = bx_e * p_ey_x + cx_e * (hz - hz_mx)
+            p_ez_x = bx_e * p_ez_x + cx_e * (hy - hy_mx)
+            p_ez_y = by_e * p_ez_y + cy_e * (hx - hx_my)
+            gx_cb = cbx if lossy else f_e
+            gy_cb = cby if lossy else f_e
+            gz_cb = cbz if lossy else f_e
+            ex = jnp.where(m_ex, ex + gx_cb * (p_ex_y - p_ex_z), ex)
+            ey = jnp.where(m_ey, ey + gy_cb * (p_ey_z - p_ey_x), ey)
+            ez = jnp.where(m_ez, ez + gz_cb * (p_ez_x - p_ez_y), ez)
+            return (ex, ey, ez, hx, hy, hz, p_hx_z, p_hx_y, p_hy_x,
+                    p_hy_z, p_hz_y, p_hz_x, p_ex_y, p_ex_z, p_ey_z,
+                    p_ey_x, p_ez_x, p_ez_y)
+
         return ex, ey, ez, hx, hy, hz
 
     fspec = P(*AXES)
     n_cf = len(coef_arrays)
+    if pml is not None:
+        prof_flat = [a for pair in pml_profiles for a in pair]
+        smap = jax.shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), fspec, fspec, fspec, fspec, fspec, fspec,
+                      P("y", "x"), P("y", "x"))
+            + (fspec,) * n_cf + (P(),) * 12 + (fspec,) * 12,
+            out_specs=(fspec,) * 18,
+        )
+
+        def sharded_step_pml(amp, s: FieldState, psi12):
+            outs = smap(
+                amp, s.ex, s.ey, s.ez, s.hx, s.hy, s.hz, prof, msrc,
+                *coef_arrays, *prof_flat, *psi12
+            )
+            return FieldState(*outs[:6]), tuple(outs[6:])
+
+        sharded_step_pml.zero_psi = lambda: tuple(
+            jax.device_put(jnp.zeros((Kp, Jp, Ip), dtype), fsh)
+            for _ in range(12)
+        )
+        return sharded_step_pml
+
     smap = jax.shard_map(
         local_step,
         mesh=mesh,
@@ -215,9 +331,27 @@ def make_sharded_step(p: Params, mesh: Mesh, materials=None):
     return sharded_step
 
 
-def make_sharded_chunk_runner(p: Params, mesh: Mesh, materials=None):
-    """Jitted ``run(state, amps) -> state`` scanning the sharded step."""
-    sharded_step = make_sharded_step(p, mesh, materials)
+def make_sharded_chunk_runner(p: Params, mesh: Mesh, materials=None,
+                              pml=None):
+    """Jitted ``run(state, amps) -> state`` scanning the sharded step.
+
+    With ``pml``: ``run((state, psi12), amps) -> (state, psi12)`` — the
+    CPML memory variables ride the scan carry (see make_sharded_step).
+    """
+    sharded_step = make_sharded_step(p, mesh, materials, pml=pml)
+
+    if pml is not None:
+        @jax.jit
+        def run_pml(carry, amps):
+            def body(carry, amp):
+                s, psi12 = carry
+                return sharded_step(amp, s, psi12), None
+
+            carry, _ = lax.scan(body, carry, amps)
+            return carry
+
+        run_pml.zero_psi = sharded_step.zero_psi
+        return run_pml
 
     @jax.jit
     def run(s: FieldState, amps):
@@ -260,6 +394,15 @@ def dryrun(n_devices: int, devices=None) -> None:
     amps = jnp.asarray(np.array([0.0, 0.5, 1.0], dtype=np.float32))
     out = run(state, amps)
     jax.block_until_ready(out.ex)
+
+    # CPML x sharding (r3): psi12 rides the scan carry
+    from ..ops.cpml import PMLConfig
+
+    run_pml = make_sharded_chunk_runner(p, mesh, pml=PMLConfig(cells=4))
+    outp, _psi = run_pml(
+        (pad_state_for_mesh(p, zeros(p), mesh), run_pml.zero_psi()), amps
+    )
+    jax.block_until_ready(outp.ex)
     # a cross-shard reduction exercises the collective path end-to-end
     total = jax.jit(lambda s: sum(jnp.sum(jnp.square(a.astype(jnp.float32))) for a in (s.ex, s.ey, s.ez, s.hx, s.hy, s.hz)))(out)
     assert bool(jnp.isfinite(total)), total

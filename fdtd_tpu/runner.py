@@ -122,7 +122,8 @@ def parse_shard_spec(spec: str) -> tuple[int, int]:
 def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
                           accumulate_power: bool = False,
                           backend: str = "auto",
-                          log: Callable[[str], None] = print):
+                          log: Callable[[str], None] = print,
+                          pml=None):
     """(prep, restore, run_chunk) running chunks on a (nz, ny) device mesh.
 
     ``backend`` selects the per-shard kernels — the multi-chip analogue of
@@ -169,6 +170,29 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
     # with the CPU-device fallback above the default backend is still
     # "tpu", but Mosaic kernels can't compile for the CPU mesh
     interp = devs[0].platform != "tpu"
+
+    if pml is not None:
+        # CPML x spatial sharding: the jnp shard_map path carries the 12
+        # psi arrays in the scan (make_sharded_step(pml=)); the Pallas
+        # compositions keep the closed-cavity scope
+        from .parallel.mesh import pad_state_for_mesh, unpad_state
+        from .parallel.sharded_step import make_sharded_chunk_runner
+
+        if accumulate_power:
+            raise ValueError("--sar with --pml --shard is not supported")
+        if backend not in ("auto", "xla"):
+            log(
+                f"notice: --pml --shard runs the xla shard_map path "
+                f"(backend {backend!r} keeps the closed-cavity scope)"
+            )
+        run_jnp = make_sharded_chunk_runner(p, mesh, materials, pml=pml)
+        prep = lambda s: (pad_state_for_mesh(p, s, mesh), run_jnp.zero_psi())
+        restore = lambda carry: unpad_state(p, carry[0])
+
+        def run_chunk(st, chunk, power):
+            return run_jnp(st, jnp.asarray(chunk[1])), power
+
+        return prep, restore, run_chunk
 
     lossy = materials is not None
     eff = backend
@@ -396,14 +420,17 @@ def run_simulation(
             "for validation/accuracy runs"
         )
 
-    if pml is not None:
+    if pml is not None and shard is not None and (checkpoint_every or resume):
+        raise ValueError(
+            "--pml --shard does not compose with checkpoint/resume yet "
+            "(the sharded psi layout is not checkpointed)"
+        )
+    if pml is not None and shard is None:
         # CPML absorbing boundaries (ops/cpml.py; capability extension —
         # the reference cavity is closed PEC).  xla ground-truth path only;
         # psi memory variables ride the chunk carry as (state, psi).
         from .ops.cpml import make_pml_chunk_runner
 
-        if shard is not None:
-            raise ValueError("--pml does not compose with --shard yet")
         if accumulate_power and materials is None:
             raise ValueError("--sar needs lossy materials (e.g. --water-block)")
         if backend not in ("auto", "xla"):
@@ -422,7 +449,8 @@ def run_simulation(
         if accumulate_power and materials is None:
             raise ValueError("--sar needs lossy materials (e.g. --water-block)")
         sh_prep, sh_restore, run_chunk = _sharded_chunk_runner(
-            p, shard, materials, accumulate_power, backend=backend, log=log
+            p, shard, materials, accumulate_power, backend=backend, log=log,
+            pml=pml,
         )
     else:
         backend = resolve_backend(p, backend, materials, accumulate_power, log)
@@ -467,7 +495,7 @@ def run_simulation(
 
     # hot-path layout conversion (identity for the xla backend); restore is
     # jitted: one dispatch per boundary, not an eager-op chain (axon, r3)
-    if pml is not None:
+    if pml is not None and shard is None:
         from .ops.cpml import init_psi
 
         prep = lambda s: (s, resumed_psi if resumed_psi is not None

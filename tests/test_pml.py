@@ -185,12 +185,70 @@ def test_pml_runner_and_materials(tiny_params, tmp_path):
     assert r2.power_j is not None
     assert float(np.asarray(r2.power_j).max()) >= 0
 
-    with pytest.raises(ValueError, match="shard"):
-        run_simulation(p, out_dir=str(tmp_path / "x"), pml=cfg, shard="4",
-                       log=lambda s: None)
     with pytest.raises(ValueError, match="PML"):
         run_simulation(p, out_dir=str(tmp_path / "x"),
                        pml=PMLConfig(cells=6), log=lambda s: None)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 1, 1), (2, 2, 2)])
+def test_pml_sharded_matches_single_device(mesh_shape):
+    """CPML x spatial sharding (make_sharded_step(pml=)): the psi
+    recursion runs per shard on the halo-exchanged differences with
+    rank-offset profile slices == the single-chip cpml chunk runner."""
+    from fdtd_tpu.parallel.mesh import make_mesh, pad_state_for_mesh, unpad_state
+    from fdtd_tpu.parallel.sharded_step import make_sharded_chunk_runner
+
+    n, steps = 24, 60
+    p = _box_params(n, steps, dtype="float64")
+    cfg = PMLConfig(cells=6)
+    s0 = _solenoidal_pulse(p, radius=2.5)
+    xs = scan_inputs(p, time_values(p)[:steps])
+
+    run_ref = make_pml_chunk_runner(p, cfg)
+    (want, _), _ = run_ref((s0, init_psi(p)), xs, None)
+
+    ndev = int(np.prod(mesh_shape))
+    mesh = make_mesh(ndev, mesh_shape, devices=jax.devices("cpu"))
+    run_sh = make_sharded_chunk_runner(p, mesh, pml=cfg)
+    st = pad_state_for_mesh(p, s0, mesh)
+    st, _psi = run_sh((st, run_sh.zero_psi()), jnp.asarray(xs[1]))
+    got = unpad_state(p, st)
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, c)), np.asarray(getattr(want, c)),
+            atol=1e-20, rtol=1e-12, err_msg=c,
+        )
+    # absorption engaged (the pulse reached the slabs well within 60 steps)
+    assert _total_energy(p, got) < 0.9 * _total_energy(p, s0)
+
+
+def test_pml_sharded_runner_end_to_end(tiny_params, tmp_path):
+    """run_simulation(pml=..., shard=...): end-to-end == the unsharded
+    PML run through the full snapshot pipeline."""
+    from fdtd_tpu.io.vtr import read_vtr_cell_arrays
+    from fdtd_tpu.runner import run_simulation
+
+    p = dataclasses.replace(tiny_params, dtype="float32",
+                            mode=Mode.COMPUTATION, sampling_rate=10)
+    cfg = PMLConfig(cells=3)
+    run_simulation(p, out_dir=str(tmp_path / "one"), pml=cfg,
+                   log=lambda s: None)
+    run_simulation(p, out_dir=str(tmp_path / "sh"), pml=cfg, shard="4",
+                   log=lambda s: None)
+    a = read_vtr_cell_arrays(str(tmp_path / "one" / "result0020.vtr"))
+    b = read_vtr_cell_arrays(str(tmp_path / "sh" / "result0020.vtr"))
+    for k in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        np.testing.assert_allclose(a[k], b[k], atol=1e-7, rtol=1e-5,
+                                   err_msg=k)
+    with pytest.raises(ValueError, match="checkpoint"):
+        run_simulation(p, out_dir=str(tmp_path / "x"), pml=cfg, shard="4",
+                       checkpoint_every=5, log=lambda s: None)
+    with pytest.raises(ValueError, match="sar"):
+        from fdtd_tpu.state import water_block
+
+        run_simulation(p, out_dir=str(tmp_path / "x"), pml=cfg, shard="4",
+                       materials=water_block(p), accumulate_power=True,
+                       log=lambda s: None)
 
 
 def test_pml_checkpoint_resume_bit_exact(tiny_params, tmp_path):
