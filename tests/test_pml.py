@@ -251,6 +251,61 @@ def test_pml_sharded_runner_end_to_end(tiny_params, tmp_path):
                        log=lambda s: None)
 
 
+def test_pml_het_mu_lossy_sharded_matches_single_device():
+    """CPML x heterogeneous-mu + lossy media: the correction scales by
+    the per-component hf factors / cb slabs on both the single-chip and
+    sharded paths; pinned by (a) bit-inertness while the pulse is
+    interior and (b) sharded == single-chip over a (2,2,1) mesh."""
+    from fdtd_tpu.parallel.mesh import make_mesh, pad_state_for_mesh, unpad_state
+    from fdtd_tpu.parallel.sharded_step import make_sharded_chunk_runner
+    from fdtd_tpu.state import Materials
+
+    n = 32
+    p = _box_params(n, 50, dtype="float64")
+    cfg = PMLConfig(cells=6)
+    K, J, I = p.maxk, p.maxj, p.maxi
+    er = np.ones((K, J, I))
+    sg = np.zeros((K, J, I))
+    mu = np.ones((K, J, I))
+    c0, c1 = n // 2 - 3, n // 2 + 3  # interior blocks, clear of the slabs
+    er[c0:c1, c0:c1, c0:c1] = 8.0
+    sg[c0:c1, c0:c1, c0:c1] = 0.4
+    mu[c0:c1, c0:c1, c0:c1] = 3.0
+    mats = Materials(eps_r=er, sigma=sg, mu_r=mu)
+
+    s0 = _gaussian_pulse(p, radius=1.5, cutoff=4.0)
+
+    # (a) inert until the wave reaches the slabs: support |r| < 4 around
+    # center 16 ends at cell 19, the slab starts at 26, and the discrete
+    # light cone grows <= 1 cell/step -> 6 steps stay strictly interior
+    xs6 = scan_inputs(p, time_values(p)[:6])
+    want6, _ = make_chunk_runner(p, mats)(s0, xs6, None)
+    (got6, _), _ = make_pml_chunk_runner(p, cfg, mats)((s0, init_psi(p)), xs6, None)
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got6, c)), np.asarray(getattr(want6, c)),
+            err_msg=c,
+        )
+
+    # (b) sharded == single-chip after the wave engages the absorber
+    steps = 50
+    xs = scan_inputs(p, time_values(p)[:steps])
+    (want, _), _ = make_pml_chunk_runner(p, cfg, mats)((s0, init_psi(p)), xs, None)
+    mesh = make_mesh(4, (2, 2, 1), devices=jax.devices("cpu"))
+    run_sh = make_sharded_chunk_runner(p, mesh, mats, pml=cfg)
+    st = pad_state_for_mesh(p, s0, mesh)
+    st, _psi = run_sh((st, run_sh.zero_psi()), jnp.asarray(xs[1]))
+    got = unpad_state(p, st)
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        # the material coefficient multiplies group differently between
+        # the masked sharded path and the slice-based single-chip one
+        # (fp64 FMA reassociation; measured max rel 4.3e-12)
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, c)), np.asarray(getattr(want, c)),
+            atol=1e-18, rtol=1e-10, err_msg=c,
+        )
+
+
 def test_pml_checkpoint_resume_bit_exact(tiny_params, tmp_path):
     """The psi memory variables ride the checkpoint (aux arrays), so a
     resumed PML run is BIT-EQUAL to the uninterrupted one — resuming
