@@ -28,8 +28,11 @@ cost.
 
 This is the ground-truth (xla-backend) implementation; the Pallas kernel
 families keep the reference's closed-cavity production scope.  psi
-arrays are update-region sized (12 arrays ~ 2x the field state); a
-slab-restricted layout is the documented future optimization.
+arrays are SLAB-RESTRICTED (r3): each stores only the 2*cells rows of
+its PML axis, so PML memory and per-step traffic scale with the PML
+volume (~12*cells/N of the field state) instead of the 2x of a
+full-shape layout, and the correction touches nothing outside the
+slabs by construction.
 """
 
 from __future__ import annotations
@@ -40,6 +43,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from ..constants import EPSILON, MU
 from ..params import Params
@@ -79,8 +83,13 @@ class PsiState:
     """The 12 CPML memory variables, one per curl difference term.
 
     ``<comp>_<axis>`` is the psi for component ``comp``'s difference
-    along ``axis``; each has the exact shape of that component's update
-    region (see :mod:`fdtd_tpu.ops.curl` loop bounds).
+    along ``axis``.  SLAB-RESTRICTED layout (r3): psi is nonzero only
+    inside the two ``cells``-deep slabs along its axis, so each array
+    stores exactly those rows — the component's update-region extents on
+    the other two axes and ``2 * cells`` (lo slab then hi slab) along
+    the PML axis.  Memory and per-step traffic scale with the PML
+    volume, ~12 * cells / N of the field state, instead of the 2x of a
+    full-shape layout.
     """
 
     hx_z: jax.Array
@@ -116,43 +125,52 @@ def _profile(pos: np.ndarray, extent: int, p: Params, cfg: PMLConfig):
     return b, c
 
 
-def _bc(pos, extent, p, cfg, axis, dtype):
-    """Broadcastable (b, c) pair along ``axis`` of a 3-D array."""
-    b, c = _profile(np.asarray(pos, np.float64), extent, p, cfg)
-    shape = [1, 1, 1]
-    shape[axis] = len(b)
-    return (jnp.asarray(b, dtype).reshape(shape),
-            jnp.asarray(c, dtype).reshape(shape))
+# The 12 correction terms: (name, target, sign, pml_axis, src, e_pass).
+# H terms difference src at +1 along the pml axis; E terms at -1.  Per
+# target the +axis term precedes the -axis term — the sharded
+# composition (parallel/sharded_step.py) applies its adds in the same
+# order so corner cells round identically.
+_TERMS = (
+    ("hx_z", "hx", +1, 0, "ey", False),
+    ("hx_y", "hx", -1, 1, "ez", False),
+    ("hy_x", "hy", +1, 2, "ez", False),
+    ("hy_z", "hy", -1, 0, "ex", False),
+    ("hz_y", "hz", +1, 1, "ex", False),
+    ("hz_x", "hz", -1, 2, "ey", False),
+    ("ex_y", "ex", +1, 1, "hz", True),
+    ("ex_z", "ex", -1, 0, "hy", True),
+    ("ey_z", "ey", +1, 0, "hx", True),
+    ("ey_x", "ey", -1, 2, "hz", True),
+    ("ez_x", "ez", +1, 2, "hy", True),
+    ("ez_y", "ez", -1, 1, "hx", True),
+)
 
 
-def init_psi(p: Params, dtype=None) -> PsiState:
-    """Zero memory variables (region shapes from the curl loop bounds)."""
+def _update_regions(p: Params):
+    """Array-coordinate update regions (the curl.py loop bounds)."""
     K, J, I = p.maxk, p.maxj, p.maxi
-    dt = jnp.dtype(dtype or p.dtype)
-    z = lambda *s: jnp.zeros(s, dt)
-    return PsiState(
-        hx_z=z(K, J, I + 1), hx_y=z(K, J, I + 1),
-        hy_x=z(K, J + 1, I), hy_z=z(K, J + 1, I),
-        hz_y=z(K + 1, J, I), hz_x=z(K + 1, J, I),
-        ex_y=z(K - 1, J - 1, I), ex_z=z(K - 1, J - 1, I),
-        ey_z=z(K - 1, J, I - 1), ey_x=z(K - 1, J, I - 1),
-        ez_x=z(K, J - 1, I - 1), ez_y=z(K, J - 1, I - 1),
-    )
+    return {
+        "hx": (slice(0, K), slice(0, J), slice(0, I + 1)),
+        "hy": (slice(0, K), slice(0, J + 1), slice(0, I)),
+        "hz": (slice(0, K + 1), slice(0, J), slice(0, I)),
+        "ex": (slice(1, K), slice(1, J), slice(0, I)),
+        "ey": (slice(1, K), slice(0, J), slice(1, I)),
+        "ez": (slice(0, K), slice(1, J), slice(1, I)),
+    }
 
 
-def make_cpml_corrections(p: Params, cfg: PMLConfig, coefs: UpdateCoefs,
-                          dtype=None):
-    """Build ``(h_correct, e_correct)`` closures.
+def _slab_slices(region, axis, npml):
+    """(lo, hi) sub-region 3-tuples: the npml rows at each end of the
+    region along ``axis`` (the rows whose sigma can be nonzero)."""
+    r = region[axis]
+    lo, hi = list(region), list(region)
+    lo[axis] = slice(r.start, r.start + npml)
+    hi[axis] = slice(r.stop - npml, r.stop)
+    return tuple(lo), tuple(hi)
 
-    ``h_correct(state_after_update_h, psi) -> (state, psi)`` updates the
-    six H-pass memory variables from the (unchanged) E fields and adds
-    ``f * psi`` over each H component's update region;``e_correct`` is
-    the E-pass analogue adding ``cb * psi``.  Correction-after-update is
-    algebraically identical to the fused textbook form because the curl
-    terms are untouched (kappa = 1).
-    """
+
+def _check_cfg(p: Params, cfg: PMLConfig):
     K, J, I = p.maxk, p.maxj, p.maxi
-    dt = jnp.dtype(dtype or p.dtype)
     if cfg.cells < 1:
         raise ValueError("PML needs cells >= 1")
     if 2 * cfg.cells >= min(K, J, I):
@@ -161,75 +179,108 @@ def make_cpml_corrections(p: Params, cfg: PMLConfig, coefs: UpdateCoefs,
             f"({K}, {J}, {I}) cells"
         )
 
-    half = lambda n: np.arange(n, dtype=np.float64) + 0.5
-    inner = lambda n: np.arange(1, n, dtype=np.float64)
 
-    # H-pass profiles (half-integer positions along the PML axis)
-    bz_h, cz_h = _bc(half(K), K, p, cfg, 0, dt)
-    by_h, cy_h = _bc(half(J), J, p, cfg, 1, dt)
-    bx_h, cx_h = _bc(half(I), I, p, cfg, 2, dt)
-    # E-pass profiles (integer positions 1..n-1; the walls are PEC)
-    bz_e, cz_e = _bc(inner(K), K, p, cfg, 0, dt)
-    by_e, cy_e = _bc(inner(J), J, p, cfg, 1, dt)
-    bx_e, cx_e = _bc(inner(I), I, p, cfg, 2, dt)
+def init_psi(p: Params, cfg: PMLConfig, dtype=None) -> PsiState:
+    """Zero memory variables in the slab-restricted layout."""
+    _check_cfg(p, cfg)
+    dt = jnp.dtype(dtype or p.dtype)
+    regions = _update_regions(p)
+    arrays = {}
+    for name, target, _sign, axis, _src, _e in _TERMS:
+        shape = [s.stop - s.start for s in regions[target]]
+        shape[axis] = 2 * cfg.cells
+        arrays[name] = jnp.zeros(tuple(shape), dt)
+    return PsiState(**arrays)
 
+
+def _shifted(sl, axis, d):
+    out = list(sl)
+    out[axis] = slice(sl[axis].start + d, sl[axis].stop + d)
+    return tuple(out)
+
+
+def make_cpml_corrections(p: Params, cfg: PMLConfig, coefs: UpdateCoefs,
+                          dtype=None):
+    """Build ``(h_correct, e_correct)`` closures.
+
+    ``h_correct(state_after_update_h, psi) -> (state, psi)`` updates the
+    six H-pass memory variables from the (unchanged) E fields and adds
+    ``+-f * psi`` over the slab rows of each H component's update
+    region; ``e_correct`` is the E-pass analogue adding ``+-cb * psi``.
+    Correction-after-update is algebraically identical to the fused
+    textbook form because the curl terms are untouched (kappa = 1).
+    Everything outside the slabs is untouched — the correction is
+    bit-inert there by construction, not just numerically.
+    """
+    _check_cfg(p, cfg)
+    dt = jnp.dtype(dtype or p.dtype)
+    npml = cfg.cells
+    regions = _update_regions(p)
+    extents = {0: p.maxk, 1: p.maxj, 2: p.maxi}
+    het = coefs.heterogeneous_mu
     f_scalar = dt.type(coefs.h_factor)
-    shx = (slice(0, K), slice(0, J), slice(0, I + 1))
-    shy = (slice(0, K), slice(0, J + 1), slice(0, I))
-    shz = (slice(0, K + 1), slice(0, J), slice(0, I))
-    sx = (slice(1, K), slice(1, J), slice(0, I))
-    sy = (slice(1, K), slice(0, J), slice(1, I))
-    sz = (slice(0, K), slice(1, J), slice(1, I))
-    fx = coefs.hf_x[shx] if coefs.heterogeneous_mu else f_scalar
-    fy = coefs.hf_y[shy] if coefs.heterogeneous_mu else f_scalar
-    fz = coefs.hf_z[shz] if coefs.heterogeneous_mu else f_scalar
+
+    plan = {}
+    for name, target, sign, axis, src, e_pass in _TERMS:
+        lo_sl, hi_sl = _slab_slices(regions[target], axis, npml)
+        off = 0.0 if e_pass else 0.5
+        pos = np.concatenate([
+            np.arange(lo_sl[axis].start, lo_sl[axis].stop, dtype=np.float64),
+            np.arange(hi_sl[axis].start, hi_sl[axis].stop, dtype=np.float64),
+        ]) + off
+        b, c = _profile(pos, extents[axis], p, cfg)
+        shape = [1, 1, 1]
+        shape[axis] = 2 * npml
+        plan[name] = (
+            lo_sl, hi_sl, sign, axis, src, target,
+            jnp.asarray(b, dt).reshape(shape),
+            jnp.asarray(c, dt).reshape(shape),
+        )
+
+    def _factor(target, sub, e_pass):
+        if e_pass:
+            return _c(getattr(coefs, f"cb_{target[1]}"), sub)
+        if het:
+            return getattr(coefs, f"hf_{target[1]}")[sub]
+        return f_scalar
+
+    def _apply(s: FieldState, psi: PsiState, e_pass: bool):
+        # sources are never targets within a pass (H pass reads E, E
+        # pass reads the just-updated H), so reading from `fields` —
+        # which mutates targets only — always sees the right values
+        fields = {n: getattr(s, n) for n in ("ex", "ey", "ez", "hx", "hy", "hz")}
+        ups = {}
+        for name, target, sign, axis, src, _e in [
+            t for t in _TERMS if t[5] == e_pass
+        ]:
+            lo_sl, hi_sl, _sign, _axis, _src, _tg, b, c = plan[name]
+            u = fields[src]
+            if e_pass:
+                d_lo = u[lo_sl] - u[_shifted(lo_sl, axis, -1)]
+                d_hi = u[hi_sl] - u[_shifted(hi_sl, axis, -1)]
+            else:
+                d_lo = u[_shifted(lo_sl, axis, 1)] - u[lo_sl]
+                d_hi = u[_shifted(hi_sl, axis, 1)] - u[hi_sl]
+            diff = jnp.concatenate([d_lo, d_hi], axis=axis)
+            pnew = b * getattr(psi, name) + c * diff
+            ups[name] = pnew
+            lo_p = lax.slice_in_dim(pnew, 0, npml, axis=axis)
+            hi_p = lax.slice_in_dim(pnew, npml, 2 * npml, axis=axis)
+            t = fields[target]
+            t = t.at[lo_sl].add((sign * _factor(target, lo_sl, e_pass) * lo_p).astype(dt))
+            t = t.at[hi_sl].add((sign * _factor(target, hi_sl, e_pass) * hi_p).astype(dt))
+            fields[target] = t
+        return (
+            FieldState(fields["ex"], fields["ey"], fields["ez"],
+                       fields["hx"], fields["hy"], fields["hz"]),
+            dataclasses.replace(psi, **ups),
+        )
 
     def h_correct(s: FieldState, psi: PsiState):
-        ex, ey, ez = s.ex, s.ey, s.ez
-        # the same differences curl.update_h consumed (E is untouched)
-        dz_ey = ey[1 : K + 1, :J, : I + 1] - ey[:K, :J, : I + 1]
-        dy_ez = ez[:K, 1 : J + 1, : I + 1] - ez[:K, :J, : I + 1]
-        dx_ez = ez[:K, : J + 1, 1 : I + 1] - ez[:K, : J + 1, :I]
-        dz_ex = ex[1 : K + 1, : J + 1, :I] - ex[:K, : J + 1, :I]
-        dy_ex = ex[: K + 1, 1 : J + 1, :I] - ex[: K + 1, :J, :I]
-        dx_ey = ey[: K + 1, :J, 1 : I + 1] - ey[: K + 1, :J, :I]
-        psi = PsiState(
-            hx_z=bz_h * psi.hx_z + cz_h * dz_ey,
-            hx_y=by_h * psi.hx_y + cy_h * dy_ez,
-            hy_x=bx_h * psi.hy_x + cx_h * dx_ez,
-            hy_z=bz_h * psi.hy_z + cz_h * dz_ex,
-            hz_y=by_h * psi.hz_y + cy_h * dy_ex,
-            hz_x=bx_h * psi.hz_x + cx_h * dx_ey,
-            ex_y=psi.ex_y, ex_z=psi.ex_z, ey_z=psi.ey_z,
-            ey_x=psi.ey_x, ez_x=psi.ez_x, ez_y=psi.ez_y,
-        )
-        hx = s.hx.at[shx].add((fx * (psi.hx_z - psi.hx_y)).astype(dt))
-        hy = s.hy.at[shy].add((fy * (psi.hy_x - psi.hy_z)).astype(dt))
-        hz = s.hz.at[shz].add((fz * (psi.hz_y - psi.hz_x)).astype(dt))
-        return FieldState(s.ex, s.ey, s.ez, hx, hy, hz), psi
+        return _apply(s, psi, e_pass=False)
 
     def e_correct(s: FieldState, psi: PsiState):
-        hx, hy, hz = s.hx, s.hy, s.hz
-        dy_hz = hz[1:K, 1:J, :I] - hz[1:K, 0 : J - 1, :I]
-        dz_hy = hy[1:K, 1:J, :I] - hy[0 : K - 1, 1:J, :I]
-        dz_hx = hx[1:K, :J, 1:I] - hx[0 : K - 1, :J, 1:I]
-        dx_hz = hz[1:K, :J, 1:I] - hz[1:K, :J, 0 : I - 1]
-        dx_hy = hy[:K, 1:J, 1:I] - hy[:K, 1:J, 0 : I - 1]
-        dy_hx = hx[:K, 1:J, 1:I] - hx[:K, 0 : J - 1, 1:I]
-        psi = PsiState(
-            hx_z=psi.hx_z, hx_y=psi.hx_y, hy_x=psi.hy_x,
-            hy_z=psi.hy_z, hz_y=psi.hz_y, hz_x=psi.hz_x,
-            ex_y=by_e * psi.ex_y + cy_e * dy_hz,
-            ex_z=bz_e * psi.ex_z + cz_e * dz_hy,
-            ey_z=bz_e * psi.ey_z + cz_e * dz_hx,
-            ey_x=bx_e * psi.ey_x + cx_e * dx_hz,
-            ez_x=bx_e * psi.ez_x + cx_e * dx_hy,
-            ez_y=by_e * psi.ez_y + cy_e * dy_hx,
-        )
-        ex = s.ex.at[sx].add((_c(coefs.cb_x, sx) * (psi.ex_y - psi.ex_z)).astype(dt))
-        ey = s.ey.at[sy].add((_c(coefs.cb_y, sy) * (psi.ey_z - psi.ey_x)).astype(dt))
-        ez = s.ez.at[sz].add((_c(coefs.cb_z, sz) * (psi.ez_x - psi.ez_y)).astype(dt))
-        return FieldState(ex, ey, ez, s.hx, s.hy, s.hz), psi
+        return _apply(s, psi, e_pass=True)
 
     return h_correct, e_correct
 

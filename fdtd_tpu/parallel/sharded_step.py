@@ -236,9 +236,16 @@ def make_sharded_step(p: Params, mesh: Mesh, materials=None, pml=None):
             p_hy_z = bz_h * p_hy_z + cz_h * (ex_pz - ex)
             p_hz_y = by_h * p_hz_y + cy_h * (ex_py - ex)
             p_hz_x = bx_h * p_hz_x + cx_h * (ey_px - ey)
-            hx = jnp.where(m_hx, hx + fhx * (p_hx_z - p_hx_y), hx)
-            hy = jnp.where(m_hy, hy + fhy * (p_hy_x - p_hy_z), hy)
-            hz = jnp.where(m_hz, hz + fhz * (p_hz_y - p_hz_x), hz)
+            # two sequential adds per component (+axis term first), the
+            # exact rounding order of the slab-restricted single-chip
+            # path (ops.cpml._TERMS) — outside the slabs psi == 0 and
+            # x + f*0 is exact, so non-slab cells are bit-untouched
+            hx = jnp.where(m_hx, hx + fhx * p_hx_z, hx)
+            hx = jnp.where(m_hx, hx - fhx * p_hx_y, hx)
+            hy = jnp.where(m_hy, hy + fhy * p_hy_x, hy)
+            hy = jnp.where(m_hy, hy - fhy * p_hy_z, hy)
+            hz = jnp.where(m_hz, hz + fhz * p_hz_y, hz)
+            hz = jnp.where(m_hz, hz - fhz * p_hz_x, hz)
 
         if computation:
             ex, ez, hx, hz = inject(ex, ez, hx, hz)
@@ -279,9 +286,13 @@ def make_sharded_step(p: Params, mesh: Mesh, materials=None, pml=None):
             gx_cb = cbx if lossy else f_e
             gy_cb = cby if lossy else f_e
             gz_cb = cbz if lossy else f_e
-            ex = jnp.where(m_ex, ex + gx_cb * (p_ex_y - p_ex_z), ex)
-            ey = jnp.where(m_ey, ey + gy_cb * (p_ey_z - p_ey_x), ey)
-            ez = jnp.where(m_ez, ez + gz_cb * (p_ez_x - p_ez_y), ez)
+            # same sequential-add rounding order as ops.cpml._TERMS
+            ex = jnp.where(m_ex, ex + gx_cb * p_ex_y, ex)
+            ex = jnp.where(m_ex, ex - gx_cb * p_ex_z, ex)
+            ey = jnp.where(m_ey, ey + gy_cb * p_ey_z, ey)
+            ey = jnp.where(m_ey, ey - gy_cb * p_ey_x, ey)
+            ez = jnp.where(m_ez, ez + gz_cb * p_ez_x, ez)
+            ez = jnp.where(m_ez, ez - gz_cb * p_ez_y, ez)
             return (ex, ey, ez, hx, hy, hz, p_hx_z, p_hx_y, p_hy_x,
                     p_hy_z, p_hz_y, p_hz_x, p_ex_y, p_ex_z, p_ey_z,
                     p_ey_x, p_ez_x, p_ez_y)

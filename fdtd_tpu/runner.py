@@ -476,20 +476,26 @@ def run_simulation(
                     )
             if pml is not None:
                 from .io.checkpoint import load_aux
-                from .ops.cpml import PsiState
+                from .ops.cpml import PsiState, init_psi as _init_psi
 
                 aux = load_aux(ck)
-                psi_keys = [f"psi_{n}" for n in PsiState.__dataclass_fields__]
-                if all(k in aux for k in psi_keys):
+                names = list(PsiState.__dataclass_fields__)
+                zero = _init_psi(p, pml)
+                ok = all(
+                    f"psi_{n}" in aux
+                    and aux[f"psi_{n}"].shape == getattr(zero, n).shape
+                    for n in names
+                )
+                if ok:
                     resumed_psi = PsiState(
-                        **{n: jnp.asarray(aux[f"psi_{n}"]) for n in
-                           PsiState.__dataclass_fields__}
+                        **{n: jnp.asarray(aux[f"psi_{n}"]) for n in names}
                     )
                 else:
                     log(
-                        "WARNING: checkpoint has no CPML psi state; the "
-                        "absorber memory restarts from zero (fields in "
-                        "the slabs will see a transient)"
+                        "WARNING: checkpoint has no (or differently-"
+                        "shaped) CPML psi state; the absorber memory "
+                        "restarts from zero (fields in the slabs will "
+                        "see a transient)"
                     )
             log(f"Resuming from {ck} (after step {it_done})")
 
@@ -499,7 +505,7 @@ def run_simulation(
         from .ops.cpml import init_psi
 
         prep = lambda s: (s, resumed_psi if resumed_psi is not None
-                          else init_psi(p))
+                          else init_psi(p, pml))
         restore = jax.jit(lambda carry: carry[0])
     elif shard is not None:
         prep, restore = sh_prep, jax.jit(sh_restore)

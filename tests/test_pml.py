@@ -108,7 +108,7 @@ def test_pml_inert_until_wave_arrives():
     want, _ = run_ref(s0, xs, None)
 
     run_pml = make_pml_chunk_runner(p, cfg)
-    (got, psi), _ = run_pml((s0, init_psi(p)), xs, None)
+    (got, psi), _ = run_pml((s0, init_psi(p, cfg)), xs, None)
 
     for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
         np.testing.assert_array_equal(
@@ -134,7 +134,7 @@ def test_pml_absorbs_outgoing_pulse():
     e_pec = _total_energy(p, pec)
 
     run_pml = make_pml_chunk_runner(p, cfg)
-    (absorbed, _psi), _ = run_pml((s0, init_psi(p)), xs, None)
+    (absorbed, _psi), _ = run_pml((s0, init_psi(p, cfg)), xs, None)
     e_pml = _total_energy(p, absorbed)
 
     # leapfrog PEC conserves the pulse energy (to discrete-energy slosh)
@@ -155,7 +155,7 @@ def test_pml_long_run_stable():
     e0 = _total_energy(p, s0)
     xs = scan_inputs(p, time_values(p)[:steps])
     run_pml = make_pml_chunk_runner(p, cfg)
-    (s1, psi), _ = run_pml((s0, init_psi(p)), xs, None)
+    (s1, psi), _ = run_pml((s0, init_psi(p, cfg)), xs, None)
     e1 = _total_energy(p, s1)
     assert np.isfinite(e1)
     # measured 3.0e-3 of e0 (grazing incidence on the small box); the
@@ -205,7 +205,7 @@ def test_pml_sharded_matches_single_device(mesh_shape):
     xs = scan_inputs(p, time_values(p)[:steps])
 
     run_ref = make_pml_chunk_runner(p, cfg)
-    (want, _), _ = run_ref((s0, init_psi(p)), xs, None)
+    (want, _), _ = run_ref((s0, init_psi(p, cfg)), xs, None)
 
     ndev = int(np.prod(mesh_shape))
     mesh = make_mesh(ndev, mesh_shape, devices=jax.devices("cpu"))
@@ -280,7 +280,7 @@ def test_pml_het_mu_lossy_sharded_matches_single_device():
     # light cone grows <= 1 cell/step -> 6 steps stay strictly interior
     xs6 = scan_inputs(p, time_values(p)[:6])
     want6, _ = make_chunk_runner(p, mats)(s0, xs6, None)
-    (got6, _), _ = make_pml_chunk_runner(p, cfg, mats)((s0, init_psi(p)), xs6, None)
+    (got6, _), _ = make_pml_chunk_runner(p, cfg, mats)((s0, init_psi(p, cfg)), xs6, None)
     for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
         np.testing.assert_array_equal(
             np.asarray(getattr(got6, c)), np.asarray(getattr(want6, c)),
@@ -290,7 +290,7 @@ def test_pml_het_mu_lossy_sharded_matches_single_device():
     # (b) sharded == single-chip after the wave engages the absorber
     steps = 50
     xs = scan_inputs(p, time_values(p)[:steps])
-    (want, _), _ = make_pml_chunk_runner(p, cfg, mats)((s0, init_psi(p)), xs, None)
+    (want, _), _ = make_pml_chunk_runner(p, cfg, mats)((s0, init_psi(p, cfg)), xs, None)
     mesh = make_mesh(4, (2, 2, 1), devices=jax.devices("cpu"))
     run_sh = make_sharded_chunk_runner(p, mesh, mats, pml=cfg)
     st = pad_state_for_mesh(p, s0, mesh)
