@@ -104,6 +104,47 @@ def e_center_sq(p: Params, s: FieldState):
     return mean_ex**2 + mean_ey**2 + mean_ez**2
 
 
+def poynting_flux(p: Params, s: FieldState, margin: int = 0):
+    """Net outward Poynting flux (W) through an interior box.
+
+    Capability extension for open-boundary (``--pml``) runs: the
+    radiated power leaving the axis-aligned box whose faces lie
+    ``margin`` cells inside the real grid on every side.  Uses the same
+    cell-centered field means as the energy diagnostics (S = E x H at
+    cell centers, summed over the box's outermost cell layer with
+    outward normals); for a pulse fully inside the box the time
+    integral matches the energy it radiates to a few percent (the
+    leapfrog E/H half-step offset and the cell-centered S are both
+    O(dx, dt) diagnostics, not conserved quantities).
+    """
+    K, J, I = p.maxk, p.maxj, p.maxi
+    m = int(margin)
+    if not 0 <= m < min(K, J, I) // 2:
+        raise ValueError(f"margin {margin} leaves no box in a ({K},{J},{I}) grid")
+    at = _acc_dtype(s.ex)
+    ex, ey, ez = s.ex.astype(at), s.ey.astype(at), s.ez.astype(at)
+    hx, hy, hz = s.hx.astype(at), s.hy.astype(at), s.hz.astype(at)
+    mex = 0.25 * (ex[:K, :J, :I] + ex[1 : K + 1, :J, :I] + ex[:K, 1 : J + 1, :I] + ex[1 : K + 1, 1 : J + 1, :I])
+    mey = 0.25 * (ey[:K, :J, :I] + ey[:K, :J, 1 : I + 1] + ey[1 : K + 1, :J, :I] + ey[1 : K + 1, :J, 1 : I + 1])
+    mez = 0.25 * (ez[:K, :J, :I] + ez[:K, 1 : J + 1, :I] + ez[:K, :J, 1 : I + 1] + ez[:K, 1 : J + 1, 1 : I + 1])
+    mhx = 0.5 * (hx[:K, :J, :I] + hx[:K, :J, 1 : I + 1])
+    mhy = 0.5 * (hy[:K, :J, :I] + hy[:K, 1 : J + 1, :I])
+    mhz = 0.5 * (hz[:K, :J, :I] + hz[1 : K + 1, :J, :I])
+    sx = mey * mhz - mez * mhy
+    sy = mez * mhx - mex * mhz
+    sz = mex * mhy - mey * mhx
+    kk = slice(m, K - m)
+    jj = slice(m, J - m)
+    ii = slice(m, I - m)
+    da = p.spatial_step**2
+    flux = (
+        sz[K - 1 - m, jj, ii].sum() - sz[m, jj, ii].sum()
+        + sy[kk, J - 1 - m, ii].sum() - sy[kk, m, ii].sum()
+        + sx[kk, jj, I - 1 - m].sum() - sx[kk, jj, m].sum()
+    )
+    return flux * da
+
+
 def power_deposition(p: Params, s: FieldState, sigma_cells):
     """Instantaneous dissipated power density sigma*|E|^2 (W/m^3) per cell.
 
