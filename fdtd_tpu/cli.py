@@ -61,6 +61,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
                     help="CPML absorbing boundaries, N cells per face "
                          "(0 = closed PEC cavity like the reference; "
                          "open-boundary extension, xla path)")
+    ap.add_argument("--source-envelope", default=None,
+                    choices=["cw", "gaussian"],
+                    help="drive envelope: cw (reference behavior) or a "
+                         "gaussian-modulated burst for transient studies")
+    ap.add_argument("--source-pulse-width", type=float, default=None,
+                    metavar="S", help="gaussian envelope sigma in seconds "
+                    "(default: 2 carrier periods)")
+    ap.add_argument("--source-pulse-delay", type=float, default=None,
+                    metavar="S", help="gaussian envelope center in seconds "
+                    "(default: 3 widths)")
     return ap
 
 
@@ -93,6 +103,12 @@ def main(argv=None) -> int:
             src_kw["aprime"] = args.source_aprime
         if args.source_bprime is not None:
             src_kw["bprime"] = args.source_bprime
+        if args.source_envelope is not None:
+            src_kw["envelope"] = args.source_envelope
+        if args.source_pulse_width is not None:
+            src_kw["pulse_width"] = args.source_pulse_width
+        if args.source_pulse_delay is not None:
+            src_kw["pulse_delay"] = args.source_pulse_delay
         p = load_parameters(args.params, dtype=args.dtype)
         if src_kw:
             p = dataclasses.replace(p, source=dataclasses.replace(p.source, **src_kw))

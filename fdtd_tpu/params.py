@@ -49,6 +49,15 @@ class SourceConfig:
     frequency: float = 2.45e10
     aprime: float = 0.005
     bprime: float = 0.005
+    # Drive envelope (capability extension; the reference is CW-only,
+    # main.c:748).  "cw": sin(2*pi*f*t).  "gaussian": the same carrier
+    # modulated by exp(-(t - delay)^2 / (2 width^2)) — a finite
+    # broadband burst for transient/open-boundary (--pml) studies.
+    # ``pulse_width`` defaults to 2 carrier periods, ``pulse_delay`` to
+    # 3 widths (so the drive starts near zero).
+    envelope: str = "cw"
+    pulse_width: float | None = None
+    pulse_delay: float | None = None
 
 
 @dataclasses.dataclass(frozen=True)

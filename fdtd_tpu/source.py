@@ -39,6 +39,10 @@ class SourcePlan:
     frequency: float
     inv_z_te: float
     profile: tuple[float, ...]  # sin(pi * shift_i * dx / a') per i in [i0, i1)
+    # drive envelope (extension; reference is CW): "cw" or "gaussian"
+    envelope: str = "cw"
+    pulse_width: float = 0.0  # gaussian sigma (s)
+    pulse_delay: float = 0.0  # gaussian center (s)
 
 
 def make_source_plan(p: Params) -> SourcePlan:
@@ -68,7 +72,17 @@ def make_source_plan(p: Params) -> SourcePlan:
     profile = tuple(
         math.sin(PI * (shift_i * dx) / aprime) for shift_i in range(i1 - i0)
     )
-    return SourcePlan(i0, i1, j0, j1, cfg.frequency, 1.0 / z_te, profile)
+    env = getattr(cfg, "envelope", "cw")
+    if env not in ("cw", "gaussian"):
+        raise ValueError(f"unknown source envelope {env!r}: use cw or gaussian")
+    width = delay = 0.0
+    if env == "gaussian":
+        width = cfg.pulse_width or 2.0 / cfg.frequency
+        if width <= 0:
+            raise ValueError("source pulse width must be positive")
+        delay = cfg.pulse_delay if cfg.pulse_delay is not None else 3.0 * width
+    return SourcePlan(i0, i1, j0, j1, cfg.frequency, 1.0 / z_te, profile,
+                      envelope=env, pulse_width=width, pulse_delay=delay)
 
 
 def drive_values(plan: SourcePlan, times) -> "np.ndarray":
@@ -78,10 +92,21 @@ def drive_values(plan: SourcePlan, times) -> "np.ndarray":
     is only ~1e-8 accurate on some backends, and the source phase is the one
     transcendental that feeds field evolution.  The times are known before
     the scan, so this costs nothing on device.
+
+    With a "gaussian" envelope (extension) the carrier is modulated by
+    exp(-(t - delay)^2 / (2 width^2)) — because every backend and every
+    sharded composition consumes these host-precomputed amplitudes via
+    the scan inputs, the pulsed source works on all of them unchanged.
     """
     import numpy as np
 
-    return np.sin((2.0 * PI * plan.frequency) * np.asarray(times, dtype=np.float64))
+    t = np.asarray(times, dtype=np.float64)
+    amp = np.sin((2.0 * PI * plan.frequency) * t)
+    if plan.envelope == "gaussian":
+        amp = amp * np.exp(
+            -((t - plan.pulse_delay) ** 2) / (2.0 * plan.pulse_width**2)
+        )
+    return amp
 
 
 def apply_source(plan: SourcePlan, s: FieldState, amp) -> FieldState:

@@ -204,6 +204,66 @@ def test_poynting_flux_energy_balance():
         diagnostics.poynting_flux(p, s0, margin=16)
 
 
+def test_gaussian_source_envelope():
+    """The pulsed drive (extension; the reference is CW-only) is the CW
+    carrier times a Gaussian — and the CW path is bit-unchanged."""
+    from fdtd_tpu.params import SourceConfig
+    from fdtd_tpu.source import drive_values, make_source_plan
+
+    p = dataclasses.replace(
+        _box_params(16, 10), mode=Mode.COMPUTATION,
+        source=SourceConfig(envelope="gaussian", pulse_width=5e-11),
+    )
+    plan = make_source_plan(p)
+    assert plan.pulse_width == 5e-11 and plan.pulse_delay == 1.5e-10
+    t = np.linspace(0.0, 4e-10, 37)
+    got = drive_values(plan, t)
+    want = np.sin(2 * np.pi * plan.frequency * t) * np.exp(
+        -((t - 1.5e-10) ** 2) / (2 * 5e-11**2)
+    )
+    np.testing.assert_array_equal(got, want)
+
+    p_cw = dataclasses.replace(p, source=SourceConfig())
+    plan_cw = make_source_plan(p_cw)
+    np.testing.assert_array_equal(
+        drive_values(plan_cw, t), np.sin(2 * np.pi * plan_cw.frequency * t)
+    )
+
+    with pytest.raises(ValueError, match="envelope"):
+        make_source_plan(dataclasses.replace(
+            p, source=SourceConfig(envelope="square")))
+    with pytest.raises(ValueError, match="width"):
+        make_source_plan(dataclasses.replace(
+            p, source=SourceConfig(envelope="gaussian", pulse_width=-1.0)))
+
+
+def test_gaussian_burst_rings_down_through_pml():
+    """A pulsed port drive + CPML: after the burst passes, the cavity
+    energy decays orders of magnitude below its mid-burst level (a CW
+    drive would keep pumping; a PEC box would keep ringing)."""
+    from fdtd_tpu.params import SourceConfig
+    from fdtd_tpu.state import update_coefs
+
+    n = 16
+    width = 8e-11
+    p = dataclasses.replace(
+        _box_params(n, 1200), mode=Mode.COMPUTATION,
+        source=SourceConfig(envelope="gaussian", pulse_width=width),
+    )
+    cfg = PMLConfig(cells=4)
+    run_pml = make_pml_chunk_runner(p, cfg)
+    ts = time_values(p)
+    mid = 300  # ~ the envelope center (3 widths = 2.4e-10 s = step 240)
+    xs_a = scan_inputs(p, ts[:mid])
+    xs_b = scan_inputs(p, ts[mid:1200])
+    carry, _ = run_pml((zeros(p), init_psi(p, cfg)), xs_a, None)
+    e_mid = _total_energy(p, carry[0])
+    carry, _ = run_pml(carry, xs_b, None)
+    e_end = _total_energy(p, carry[0])
+    assert e_mid > 0
+    assert e_end < 2e-2 * e_mid, (e_end, e_mid)
+
+
 def test_pml_runner_and_materials(tiny_params, tmp_path):
     """run_simulation(pml=...) end-to-end: snapshots written, composes
     with lossy materials + SAR, and the unsupported combos error
