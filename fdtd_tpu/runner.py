@@ -526,6 +526,13 @@ def run_simulation(
     energies_j = jax.jit(
         lambda s: (diagnostics.e_energy(p, s), diagnostics.h_energy(p, s))
     )
+    flux_j = None
+    if pml is not None and diagnostics_log:
+        # open-boundary runs also log the instantaneous radiated power
+        # through the box one cell inside the absorber
+        flux_j = jax.jit(
+            lambda s: diagnostics.poynting_flux(p, s, margin=pml.cells + 1)
+        )
 
     def snapshot(s: FieldState, iteration: int, t: float):
         if writer is None:
@@ -541,12 +548,10 @@ def run_simulation(
             return
         e_d, h_d = energies_j(s)
         e, h = float(e_d), float(h_d)
-        diag_f.write(
-            json.dumps(
-                {"iteration": iteration, "t": t, "E_energy": e, "H_energy": h, "total": e + h}
-            )
-            + "\n"
-        )
+        rec = {"iteration": iteration, "t": t, "E_energy": e, "H_energy": h, "total": e + h}
+        if flux_j is not None:
+            rec["radiated_W"] = float(flux_j(s))
+        diag_f.write(json.dumps(rec) + "\n")
         # failure detection: a CFL-unstable or NaN run is caught at the next
         # sample instead of burning the remaining schedule (the reference
         # required killing runs by hand, description.pdf section 3.1)

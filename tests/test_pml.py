@@ -282,9 +282,16 @@ def test_pml_runner_and_materials(tiny_params, tmp_path):
     mats = water_block(p, lo=(0.3, 0.3, 0.3), hi=(0.7, 0.7, 0.7))
     r2 = run_simulation(p, out_dir=str(tmp_path / "b"), pml=cfg,
                         materials=mats, accumulate_power=True,
-                        write_snapshots=False, log=lambda s: None)
+                        write_snapshots=False,
+                        diagnostics_log=str(tmp_path / "d.jsonl"),
+                        log=lambda s: None)
     assert r2.power_j is not None
     assert float(np.asarray(r2.power_j).max()) >= 0
+    import json as _json
+
+    with open(tmp_path / "d.jsonl") as f:
+        recs = [_json.loads(line) for line in f]
+    assert recs and all("radiated_W" in r for r in recs)
 
     with pytest.raises(ValueError, match="PML"):
         run_simulation(p, out_dir=str(tmp_path / "x"),
