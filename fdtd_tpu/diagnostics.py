@@ -25,20 +25,49 @@ def _acc_dtype(x):
     return jnp.float64 if x.dtype == jnp.float64 else jnp.float32
 
 
-def e_energy(p: Params, s: FieldState, quirk_compat: bool = False):
-    """Total electric energy (reference: main.c:602-634)."""
+def _cell_block(p: Params, kk=None, jj=None, ii=None):
+    """Cell-index slices for the mean helpers (default: all cells)."""
     K, J, I = p.maxk, p.maxj, p.maxi
-    dv = p.spatial_step**3
+    return (kk or slice(0, K), jj or slice(0, J), ii or slice(0, I))
+
+
+def _sh(sl: slice, d: int) -> slice:
+    return slice(sl.start + d, sl.stop + d)
+
+
+def _e_cell_means(p: Params, s: FieldState, kk=None, jj=None, ii=None):
+    """Cell-centered (mean_ex, mean_ey, mean_ez) over a cell block —
+    mean over the 4 edges bordering each cell, per the reference index
+    pattern (main.c:602-634).  Slicing before the arithmetic is exact,
+    so a sub-block equals the same rows of the full-grid means."""
+    kk, jj, ii = _cell_block(p, kk, jj, ii)
     at = _acc_dtype(s.ex)
     ex, ey, ez = s.ex.astype(at), s.ey.astype(at), s.ez.astype(at)
+    k1, j1, i1 = _sh(kk, 1), _sh(jj, 1), _sh(ii, 1)
+    mean_ex = 0.25 * (ex[kk, jj, ii] + ex[k1, jj, ii] + ex[kk, j1, ii] + ex[k1, j1, ii])
+    mean_ey = 0.25 * (ey[kk, jj, ii] + ey[kk, jj, i1] + ey[k1, jj, ii] + ey[k1, jj, i1])
+    mean_ez = 0.25 * (ez[kk, jj, ii] + ez[kk, j1, ii] + ez[kk, jj, i1] + ez[kk, j1, i1])
+    return mean_ex, mean_ey, mean_ez
 
-    # mean over the 4 edges bordering each cell, per reference index pattern
-    mean_ex = 0.25 * (ex[:K, :J, :I] + ex[1 : K + 1, :J, :I] + ex[:K, 1 : J + 1, :I] + ex[1 : K + 1, 1 : J + 1, :I])
-    mean_ey = 0.25 * (ey[:K, :J, :I] + ey[:K, :J, 1 : I + 1] + ey[1 : K + 1, :J, :I] + ey[1 : K + 1, :J, 1 : I + 1])
+
+def _h_cell_means(p: Params, s: FieldState, kk=None, jj=None, ii=None):
+    """Cell-centered (mean_hx, mean_hy, mean_hz) over a cell block —
+    mean over the 2 faces bordering each cell (main.c:636-668)."""
+    kk, jj, ii = _cell_block(p, kk, jj, ii)
+    at = _acc_dtype(s.hx)
+    hx, hy, hz = s.hx.astype(at), s.hy.astype(at), s.hz.astype(at)
+    mean_hx = 0.5 * (hx[kk, jj, ii] + hx[kk, jj, _sh(ii, 1)])
+    mean_hy = 0.5 * (hy[kk, jj, ii] + hy[kk, _sh(jj, 1), ii])
+    mean_hz = 0.5 * (hz[kk, jj, ii] + hz[_sh(kk, 1), jj, ii])
+    return mean_hx, mean_hy, mean_hz
+
+
+def e_energy(p: Params, s: FieldState, quirk_compat: bool = False):
+    """Total electric energy (reference: main.c:602-634)."""
+    dv = p.spatial_step**3
+    mean_ex, mean_ey, mean_ez = _e_cell_means(p, s)
     if quirk_compat:
-        mean_ez = _quirk_mean_ez(p, ez)
-    else:
-        mean_ez = 0.25 * (ez[:K, :J, :I] + ez[:K, 1 : J + 1, :I] + ez[:K, :J, 1 : I + 1] + ez[:K, 1 : J + 1, 1 : I + 1])
+        mean_ez = _quirk_mean_ez(p, s.ez.astype(_acc_dtype(s.ex)))
 
     total = (mean_ex**2).sum() + (mean_ey**2).sum() + (mean_ez**2).sum()
     return total * dv * (EPSILON / 2.0)
@@ -71,14 +100,8 @@ def _quirk_mean_ez(p: Params, ez):
 
 def h_energy(p: Params, s: FieldState):
     """Total magnetic energy (reference: main.c:636-668)."""
-    K, J, I = p.maxk, p.maxj, p.maxi
     dv = p.spatial_step**3
-    at = _acc_dtype(s.hx)
-    hx, hy, hz = s.hx.astype(at), s.hy.astype(at), s.hz.astype(at)
-
-    mean_hx = 0.5 * (hx[:K, :J, :I] + hx[:K, :J, 1 : I + 1])
-    mean_hy = 0.5 * (hy[:K, :J, :I] + hy[:K, 1 : J + 1, :I])
-    mean_hz = 0.5 * (hz[:K, :J, :I] + hz[1 : K + 1, :J, :I])
+    mean_hx, mean_hy, mean_hz = _h_cell_means(p, s)
 
     total = (mean_hx**2).sum() + (mean_hy**2).sum() + (mean_hz**2).sum()
     return total * dv * (MU / 2.0)
@@ -95,12 +118,7 @@ def theoretical_te101_energy(p: Params) -> float:
 
 def e_center_sq(p: Params, s: FieldState):
     """|E|^2 at cell centers: sum of squared 4-edge means per component."""
-    K, J, I = p.maxk, p.maxj, p.maxi
-    at = _acc_dtype(s.ex)
-    ex, ey, ez = s.ex.astype(at), s.ey.astype(at), s.ez.astype(at)
-    mean_ex = 0.25 * (ex[:K, :J, :I] + ex[1 : K + 1, :J, :I] + ex[:K, 1 : J + 1, :I] + ex[1 : K + 1, 1 : J + 1, :I])
-    mean_ey = 0.25 * (ey[:K, :J, :I] + ey[:K, :J, 1 : I + 1] + ey[1 : K + 1, :J, :I] + ey[1 : K + 1, :J, 1 : I + 1])
-    mean_ez = 0.25 * (ez[:K, :J, :I] + ez[:K, 1 : J + 1, :I] + ez[:K, :J, 1 : I + 1] + ez[:K, 1 : J + 1, 1 : I + 1])
+    mean_ex, mean_ey, mean_ez = _e_cell_means(p, s)
     return mean_ex**2 + mean_ey**2 + mean_ez**2
 
 
@@ -121,26 +139,27 @@ def poynting_flux(p: Params, s: FieldState, margin: int = 0):
     m = int(margin)
     if not 0 <= m < min(K, J, I) // 2:
         raise ValueError(f"margin {margin} leaves no box in a ({K},{J},{I}) grid")
-    at = _acc_dtype(s.ex)
-    ex, ey, ez = s.ex.astype(at), s.ey.astype(at), s.ez.astype(at)
-    hx, hy, hz = s.hx.astype(at), s.hy.astype(at), s.hz.astype(at)
-    mex = 0.25 * (ex[:K, :J, :I] + ex[1 : K + 1, :J, :I] + ex[:K, 1 : J + 1, :I] + ex[1 : K + 1, 1 : J + 1, :I])
-    mey = 0.25 * (ey[:K, :J, :I] + ey[:K, :J, 1 : I + 1] + ey[1 : K + 1, :J, :I] + ey[1 : K + 1, :J, 1 : I + 1])
-    mez = 0.25 * (ez[:K, :J, :I] + ez[:K, 1 : J + 1, :I] + ez[:K, :J, 1 : I + 1] + ez[:K, 1 : J + 1, 1 : I + 1])
-    mhx = 0.5 * (hx[:K, :J, :I] + hx[:K, :J, 1 : I + 1])
-    mhy = 0.5 * (hy[:K, :J, :I] + hy[:K, 1 : J + 1, :I])
-    mhz = 0.5 * (hz[:K, :J, :I] + hz[1 : K + 1, :J, :I])
-    sx = mey * mhz - mez * mhy
-    sy = mez * mhx - mex * mhz
-    sz = mex * mhy - mey * mhx
     kk = slice(m, K - m)
     jj = slice(m, J - m)
     ii = slice(m, I - m)
+
+    # only the six one-cell face layers of S are needed — compute the
+    # means per face (O(N^2)) instead of over the whole volume
+    def s_face(comp, kf, jf, if_):
+        mex, mey, mez = _e_cell_means(p, s, kf, jf, if_)
+        mhx, mhy, mhz = _h_cell_means(p, s, kf, jf, if_)
+        if comp == 0:
+            return (mey * mhz - mez * mhy).sum()
+        if comp == 1:
+            return (mez * mhx - mex * mhz).sum()
+        return (mex * mhy - mey * mhx).sum()
+
+    one = lambda c: slice(c, c + 1)
     da = p.spatial_step**2
     flux = (
-        sz[K - 1 - m, jj, ii].sum() - sz[m, jj, ii].sum()
-        + sy[kk, J - 1 - m, ii].sum() - sy[kk, m, ii].sum()
-        + sx[kk, jj, I - 1 - m].sum() - sx[kk, jj, m].sum()
+        s_face(2, one(K - 1 - m), jj, ii) - s_face(2, one(m), jj, ii)
+        + s_face(1, kk, one(J - 1 - m), ii) - s_face(1, kk, one(m), ii)
+        + s_face(0, kk, jj, one(I - 1 - m)) - s_face(0, kk, jj, one(m))
     )
     return flux * da
 

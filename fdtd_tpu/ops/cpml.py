@@ -180,17 +180,24 @@ def _check_cfg(p: Params, cfg: PMLConfig):
         )
 
 
+def psi_shapes(p: Params, cfg: PMLConfig) -> dict[str, tuple[int, int, int]]:
+    """The slab-restricted psi array shapes, computed host-side."""
+    regions = _update_regions(p)
+    shapes = {}
+    for name, target, _sign, axis, _src, _e in _TERMS:
+        shape = [s.stop - s.start for s in regions[target]]
+        shape[axis] = 2 * cfg.cells
+        shapes[name] = tuple(shape)
+    return shapes
+
+
 def init_psi(p: Params, cfg: PMLConfig, dtype=None) -> PsiState:
     """Zero memory variables in the slab-restricted layout."""
     _check_cfg(p, cfg)
     dt = jnp.dtype(dtype or p.dtype)
-    regions = _update_regions(p)
-    arrays = {}
-    for name, target, _sign, axis, _src, _e in _TERMS:
-        shape = [s.stop - s.start for s in regions[target]]
-        shape[axis] = 2 * cfg.cells
-        arrays[name] = jnp.zeros(tuple(shape), dt)
-    return PsiState(**arrays)
+    return PsiState(
+        **{n: jnp.zeros(sh, dt) for n, sh in psi_shapes(p, cfg).items()}
+    )
 
 
 def _shifted(sl, axis, d):

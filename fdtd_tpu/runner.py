@@ -476,14 +476,13 @@ def run_simulation(
                     )
             if pml is not None:
                 from .io.checkpoint import load_aux
-                from .ops.cpml import PsiState, init_psi as _init_psi
+                from .ops.cpml import PsiState, psi_shapes
 
                 aux = load_aux(ck)
                 names = list(PsiState.__dataclass_fields__)
-                zero = _init_psi(p, pml)
+                shapes = psi_shapes(p, pml)
                 ok = all(
-                    f"psi_{n}" in aux
-                    and aux[f"psi_{n}"].shape == getattr(zero, n).shape
+                    f"psi_{n}" in aux and aux[f"psi_{n}"].shape == shapes[n]
                     for n in names
                 )
                 if ok:
@@ -529,10 +528,13 @@ def run_simulation(
     flux_j = None
     if pml is not None and diagnostics_log:
         # open-boundary runs also log the instantaneous radiated power
-        # through the box one cell inside the absorber
-        flux_j = jax.jit(
-            lambda s: diagnostics.poynting_flux(p, s, margin=pml.cells + 1)
-        )
+        # through the box one cell inside the absorber (clamped to the
+        # largest box the grid admits; tiny grids skip the flux)
+        _fm = min(pml.cells + 1, min(p.maxk, p.maxj, p.maxi) // 2 - 1)
+        if _fm >= 0:
+            flux_j = jax.jit(
+                lambda s, _m=_fm: diagnostics.poynting_flux(p, s, margin=_m)
+            )
 
     def snapshot(s: FieldState, iteration: int, t: float):
         if writer is None:

@@ -77,10 +77,16 @@ def make_source_plan(p: Params) -> SourcePlan:
         raise ValueError(f"unknown source envelope {env!r}: use cw or gaussian")
     width = delay = 0.0
     if env == "gaussian":
-        width = cfg.pulse_width or 2.0 / cfg.frequency
+        width = (cfg.pulse_width if cfg.pulse_width is not None
+                 else 2.0 / cfg.frequency)
         if width <= 0:
             raise ValueError("source pulse width must be positive")
         delay = cfg.pulse_delay if cfg.pulse_delay is not None else 3.0 * width
+    elif cfg.pulse_width is not None or cfg.pulse_delay is not None:
+        raise ValueError(
+            "source pulse width/delay need envelope='gaussian' "
+            "(--source-envelope gaussian)"
+        )
     return SourcePlan(i0, i1, j0, j1, cfg.frequency, 1.0 / z_te, profile,
                       envelope=env, pulse_width=width, pulse_delay=delay)
 

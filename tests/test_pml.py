@@ -204,6 +204,26 @@ def test_poynting_flux_energy_balance():
         diagnostics.poynting_flux(p, s0, margin=16)
 
 
+def test_pml_diag_log_margin_clamped(tmp_path):
+    """A valid PML config whose flux box margin (cells+1) would not fit
+    must still run with --diag-log: the runner clamps the margin (22^3
+    with 10-cell slabs used to crash at the first sample)."""
+    from fdtd_tpu.runner import run_simulation
+
+    p = dataclasses.replace(_box_params(22, 10), mode=Mode.COMPUTATION,
+                            sampling_rate=5)
+    r = run_simulation(p, out_dir=str(tmp_path / "o"), pml=PMLConfig(cells=10),
+                       write_snapshots=False,
+                       diagnostics_log=str(tmp_path / "d.jsonl"),
+                       log=lambda s: None)
+    assert r.iterations >= 10
+    import json as _json
+
+    with open(tmp_path / "d.jsonl") as f:
+        recs = [_json.loads(line) for line in f]
+    assert recs and all("radiated_W" in rec for rec in recs)
+
+
 def test_gaussian_source_envelope():
     """The pulsed drive (extension; the reference is CW-only) is the CW
     carrier times a Gaussian — and the CW path is bit-unchanged."""
