@@ -255,59 +255,47 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
 
     coefs = update_coefs(p, materials) if materials is not None else None
 
+    def sar_chunk(run_sh):
+        """``run_chunk`` keeping the SAR accumulator sharded across the
+        chunk and cropped back to the canonical (maxk, maxj, ...) rows at
+        the boundary — one shape for every sharded SAR path."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        K, J = p.maxk, p.maxj
+        if ny == 1:
+            Klp, Jlp = sf._geometry(p, nz)[4], J
+        else:
+            Klp, Jlp = sf._geometry2d(p, nz, ny)[5], sf._geometry2d(p, nz, ny)[7]
+        acc_sh = NamedSharding(mesh, P("z", "y" if ny > 1 else None, None))
+
+        def run_chunk(st, chunk, power):
+            acc = jax.device_put(
+                jnp.pad(jnp.asarray(power),
+                        ((0, nz * Klp - K), (0, ny * Jlp - J), (0, 0))),
+                acc_sh,
+            )
+            st, acc = run_sh(st, chunk, acc)
+            return st, acc[:K, :J]
+
+        return run_chunk
+
     if eff == "pallas_stream":
         if ny > 1:
             prep = lambda s: sf.to_sharded_fast_2d(p, s, mesh, coefs=coefs)
             restore = lambda st: sf.from_sharded_fast_2d(p, st, mesh)
-            run_2d = sf.make_sharded_stream_2d_runner(
+            run_sh = sf.make_sharded_stream_2d_runner(
                 p, mesh, interpret=interp, materials=materials,
                 accumulate_power=accumulate_power,
             )
-            if accumulate_power:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                K, J = p.maxk, p.maxj
-                _, _, _, _, _, Klp2, _, Jlp2, _ = sf._geometry2d(p, nz, ny)
-                acc_sh = NamedSharding(mesh, P("z", "y", None))
-
-                def run_chunk(st, chunk, power):
-                    acc = jax.device_put(
-                        jnp.pad(jnp.asarray(power),
-                                ((0, nz * Klp2 - K), (0, ny * Jlp2 - J),
-                                 (0, 0))),
-                        acc_sh,
-                    )
-                    st, acc = run_2d(st, chunk, acc)
-                    return st, acc[:K, :J]
-
-                return prep, restore, run_chunk
-
-            def run_chunk(st, chunk, power):
-                return run_2d(st, chunk), power
-
-            return prep, restore, run_chunk
-        prep = lambda s: sf.to_sharded_fast(p, s, mesh, coefs=coefs)
-        restore = lambda st: sf.from_sharded_fast(p, st, mesh)
-        run_sh = sf.make_sharded_stream_runner(
-            p, mesh, interpret=interp, materials=materials,
-            accumulate_power=accumulate_power,
-        )
+        else:
+            prep = lambda s: sf.to_sharded_fast(p, s, mesh, coefs=coefs)
+            restore = lambda st: sf.from_sharded_fast(p, st, mesh)
+            run_sh = sf.make_sharded_stream_runner(
+                p, mesh, interpret=interp, materials=materials,
+                accumulate_power=accumulate_power,
+            )
         if accumulate_power:
-            from jax.sharding import NamedSharding, PartitionSpec as P
-
-            K, J = p.maxk, p.maxj
-            _, _, _, _, Klp, _ = sf._geometry(p, nz)
-            acc_sh = NamedSharding(mesh, P("z", None, None))
-
-            def run_chunk(st, chunk, power):
-                acc = jax.device_put(
-                    jnp.pad(jnp.asarray(power), ((0, nz * Klp - K), (0, 0), (0, 0))),
-                    acc_sh,
-                )
-                st, acc = run_sh(st, chunk, acc)
-                return st, acc[:K, :J]
-
-            return prep, restore, run_chunk
+            return prep, restore, sar_chunk(run_sh)
 
         def run_chunk(st, chunk, power):
             return run_sh(st, chunk), power
@@ -355,28 +343,7 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
         )
 
     if accumulate_power:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        K, J = p.maxk, p.maxj
-        if ny == 1:
-            _, _, _, _, Klp, _ = sf._geometry(p, nz)
-            Jlp = J
-        else:
-            _, _, _, _, _, Klp, _, Jlp, _ = sf._geometry2d(p, nz, ny)
-        acc_sh = NamedSharding(mesh, P("z", "y" if ny > 1 else None, None))
-
-        def run_chunk(st, chunk, power):
-            acc = jax.device_put(
-                jnp.pad(
-                    jnp.asarray(power),
-                    ((0, nz * Klp - K), (0, ny * Jlp - J), (0, 0)),
-                ),
-                acc_sh,
-            )
-            st, acc = run_sh(st, chunk, acc)
-            return st, acc[:K, :J]
-
-        return prep, restore, run_chunk
+        return prep, restore, sar_chunk(run_sh)
 
     def run_chunk(st, chunk, power):
         return run_sh(st, chunk), power
