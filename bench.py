@@ -110,7 +110,43 @@ def bench(n=256, steps=1000, dtype="float32", backend=None, warmup_steps=50):
     }
 
 
+def _probe_device(attempts=3, timeout_s=120):
+    """Fail fast when the device is unreachable instead of hanging.
+
+    Through the remote axon tunnel ``jax.devices()`` HANGS (not errors)
+    during outages — observed for 11+ hours straight — and an
+    uninterruptible hang inside the benchmark is indistinguishable from
+    a slow run.  Probe in a killable subprocess with retries; on failure
+    emit an explanatory JSON line and exit nonzero so the caller gets an
+    artifact instead of a wedged process.
+    """
+    import subprocess
+
+    last = ""
+    for _ in range(attempts):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", "import jax; print(jax.devices()[0])"],
+                capture_output=True, text=True, timeout=timeout_s,
+            )
+            if proc.returncode == 0:
+                return
+            last = (proc.stderr or proc.stdout).strip()[-200:]
+        except subprocess.TimeoutExpired:
+            last = f"jax.devices() hung for {timeout_s}s (axon tunnel down?)"
+        time.sleep(10)
+    print(json.dumps({
+        "metric": "bench_unavailable",
+        "value": None,
+        "unit": "Mcells/s",
+        "vs_baseline": None,
+        "error": f"device unreachable after {attempts} probes: {last}",
+    }))
+    sys.exit(1)
+
+
 if __name__ == "__main__":
+    _probe_device()
     n = int(os.environ.get("FDTD_BENCH_N", "256"))
     steps = int(os.environ.get("FDTD_BENCH_STEPS", "1000"))
     dtype = os.environ.get("FDTD_BENCH_DTYPE", "float32")
