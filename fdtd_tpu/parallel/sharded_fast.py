@@ -295,18 +295,31 @@ def make_sharded_fast_step(p: Params, mesh: Mesh, interpret: bool | None = None,
             st.ex, st.ey, st.ez, st.hx, st.hy, st.hz, st.corr_hy, st.corr_hz, *cf
         )
         # Hx strip update on the replicated canonical strips
-        ey_s2 = st.ey_s[:, :, 0]
-        ez_s2 = st.ez_s[:, :, 0]
-        sl = (slice(D, D + K), slice(0, J))
-        curl = (ey_s2[D + 1 : D + K + 1, :J] - ey_s2[sl]) - (
-            ez_s2[D : D + K, 1 : J + 1] - ez_s2[sl]
-        )
-        fh_s = st.hfx_s[sl[0], sl[1], 0] if het else f_h
-        hx_s = st.hx_s.at[sl[0], sl[1], 0].add((fh_s * curl).astype(st.hx_s.dtype))
+        hx_s = _advance_hx_strip(p, st, f_h, het)
         return dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
 
     return step
 
+
+
+def _advance_hx_strip(p: Params, st: "ShardedFastState", f_h, het: bool,
+                      n_steps: int = 1):
+    """Advance the replicated canonical Hx i=maxi strip by ``n_steps``
+    H-updates.  The strip's E neighbors are PEC-frozen, so its curl is
+    constant across a multi-step group and the update is ``n_steps``
+    identical adds (bit-matching the single-chip per-step sequence)."""
+    K, J = p.maxk, p.maxj
+    ey_s2 = st.ey_s[:, :, 0]
+    ez_s2 = st.ez_s[:, :, 0]
+    sl = (slice(D, D + K), slice(0, J))
+    curl = (ey_s2[D + 1 : D + K + 1, :J] - ey_s2[sl]) - (
+        ez_s2[D : D + K, 1 : J + 1] - ez_s2[sl]
+    )
+    fh = st.hfx_s[sl[0], sl[1], 0] if het else f_h
+    hx_s = st.hx_s
+    for _ in range(n_steps):
+        hx_s = hx_s.at[sl[0], sl[1], 0].add((fh * curl).astype(st.hx_s.dtype))
+    return hx_s
 
 def make_sharded_power_inc(p: Params, mesh: Mesh, materials):
     """``inc(st) -> (n*Klp, J, I) sharded instantaneous power`` for SAR
@@ -654,14 +667,7 @@ def make_sharded_fast_2d_step(p: Params, mesh: Mesh, interpret: bool | None = No
         ex, ey, ez, hx, hy, hz = smap(
             st.ex, st.ey, st.ez, st.hx, st.hy, st.hz, st.corr_hy, st.corr_hz, *cf
         )
-        ey_s2 = st.ey_s[:, :, 0]
-        ez_s2 = st.ez_s[:, :, 0]
-        sl = (slice(D, D + K), slice(0, J))
-        curl = (ey_s2[D + 1 : D + K + 1, :J] - ey_s2[sl]) - (
-            ez_s2[D : D + K, 1 : J + 1] - ez_s2[sl]
-        )
-        fh_s = st.hfx_s[sl[0], sl[1], 0] if het else f_h
-        hx_s = st.hx_s.at[sl[0], sl[1], 0].add((fh_s * curl).astype(st.hx_s.dtype))
+        hx_s = _advance_hx_strip(p, st, f_h, het)
         return dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
 
     return step
@@ -899,15 +905,7 @@ def make_sharded_temporal_step(p: Params, mesh: Mesh, s: int = 4,
         ex, ey, ez, hx, hy, hz = smap(
             st.ex, st.ey, st.ez, st.hx, st.hy, st.hz, st.corr_hy, st.corr_hz, de2, dh2
         )
-        ey_s2 = st.ey_s[:, :, 0]
-        ez_s2 = st.ez_s[:, :, 0]
-        slk = (slice(D, D + K), slice(0, J))
-        curl = (ey_s2[D + 1 : D + K + 1, :J] - ey_s2[slk]) - (
-            ez_s2[D : D + K, 1 : J + 1] - ez_s2[slk]
-        )
-        hx_s = st.hx_s
-        for _ in range(s):
-            hx_s = hx_s.at[slk[0], slk[1], 0].add((f_h * curl).astype(st.hx_s.dtype))
+        hx_s = _advance_hx_strip(p, st, f_h, het=False, n_steps=s)
         return dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
 
     return group_step
@@ -1093,15 +1091,7 @@ def make_sharded_temporal_2d_step(p: Params, mesh: Mesh, s: int = 4,
         ex, ey, ez, hx, hy, hz = smap(
             st.ex, st.ey, st.ez, st.hx, st.hy, st.hz, st.corr_hy, st.corr_hz, de2, dh2
         )
-        ey_s2 = st.ey_s[:, :, 0]
-        ez_s2 = st.ez_s[:, :, 0]
-        slk = (slice(D, D + K), slice(0, J))
-        curl = (ey_s2[D + 1 : D + K + 1, :J] - ey_s2[slk]) - (
-            ez_s2[D : D + K, 1 : J + 1] - ez_s2[slk]
-        )
-        hx_s = st.hx_s
-        for _ in range(s):
-            hx_s = hx_s.at[slk[0], slk[1], 0].add((f_h * curl).astype(st.hx_s.dtype))
+        hx_s = _advance_hx_strip(p, st, f_h, het=False, n_steps=s)
         return dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
 
     return group_step
@@ -1326,16 +1316,7 @@ def make_sharded_stream_2d_step(p: Params, mesh: Mesh,
             ex, ey, ez, hx, hy, hz, acc = outs
         else:
             ex, ey, ez, hx, hy, hz = outs
-        ey_s2 = st.ey_s[:, :, 0]
-        ez_s2 = st.ez_s[:, :, 0]
-        slk = (slice(D, D + K), slice(0, J))
-        curl = (ey_s2[D + 1 : D + K + 1, :J] - ey_s2[slk]) - (
-            ez_s2[D : D + K, 1 : J + 1] - ez_s2[slk]
-        )
-        fh_s = st.hfx_s[slk[0], slk[1], 0] if het else f_h
-        hx_s = st.hx_s
-        for _ in range(s):
-            hx_s = hx_s.at[slk[0], slk[1], 0].add((fh_s * curl).astype(st.hx_s.dtype))
+        hx_s = _advance_hx_strip(p, st, f_h, het, n_steps=s)
         st = dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
         return st, acc
 
@@ -1642,16 +1623,7 @@ def make_sharded_stream_step(p: Params, mesh: Mesh,
             ex, ey, ez, hx, hy, hz, acc = outs
         else:
             ex, ey, ez, hx, hy, hz = outs
-        ey_s2 = st.ey_s[:, :, 0]
-        ez_s2 = st.ez_s[:, :, 0]
-        slk = (slice(D, D + K), slice(0, J))
-        curl = (ey_s2[D + 1 : D + K + 1, :J] - ey_s2[slk]) - (
-            ez_s2[D : D + K, 1 : J + 1] - ez_s2[slk]
-        )
-        fh_s = st.hfx_s[slk[0], slk[1], 0] if het else f_h
-        hx_s = st.hx_s
-        for _ in range(s):
-            hx_s = hx_s.at[slk[0], slk[1], 0].add((fh_s * curl).astype(st.hx_s.dtype))
+        hx_s = _advance_hx_strip(p, st, f_h, het, n_steps=s)
         st = dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s)
         return st, acc
 
