@@ -225,7 +225,12 @@ def make_cpml_corrections(p: Params, cfg: PMLConfig, coefs: UpdateCoefs,
     regions = _update_regions(p)
     extents = {0: p.maxk, 1: p.maxj, 2: p.maxi}
     het = coefs.heterogeneous_mu
-    f_scalar = dt.type(coefs.h_factor)
+    # h_factor may be a traced scalar under vmap design sweeps (sweep.py)
+    f_scalar = (
+        dt.type(coefs.h_factor)
+        if not hasattr(coefs.h_factor, "shape")
+        else coefs.h_factor
+    )
 
     plan = {}
     for name, target, sign, axis, src, e_pass in _TERMS:

@@ -218,10 +218,19 @@ def frequency_sweep(
     n_steps: int | None = None,
     backend: str = "xla",
     mesh=None,
+    pml=None,
 ) -> SweepResult:
-    """Run one simulation per source frequency, batched with vmap."""
+    """Run one simulation per source frequency, batched with vmap.
+
+    ``pml``: a :class:`fdtd_tpu.ops.cpml.PMLConfig` makes every member an
+    open-boundary run (each carries its own psi memory variables through
+    the vmapped scan); spatial ("b","z") meshes don't compose with PML
+    yet.
+    """
     if p.mode != Mode.COMPUTATION:
         raise ValueError("frequency sweeps require computation mode (a source)")
+    if pml is not None and _is_spatial(mesh):
+        raise ValueError("PML sweeps do not compose with spatial ('b','z') meshes yet")
     freqs = np.asarray(frequencies, dtype=np.float64)
     ts = time_values(p)
     if n_steps is not None:
@@ -229,6 +238,30 @@ def frequency_sweep(
     # per-frequency drive amplitudes, host-precomputed in fp64 like the
     # single-run path (fdtd_tpu.source.drive_values)
     amps = np.sin((2.0 * PI * freqs)[:, None] * ts[None, :])  # (N, steps)
+
+    if pml is not None:
+        from .ops.cpml import init_psi, make_pml_step
+
+        pml_step = make_pml_step(p, pml, update_coefs(p, None))
+
+        def run_one_pml(amp_row):
+            carry = (zeros(p), init_psi(p, pml))
+
+            def body(c, x):
+                return pml_step(c, x), None
+
+            (s, _psi), _ = jax.lax.scan(
+                body, carry, (jnp.asarray(ts), amp_row)
+            )
+            return s
+
+        amps_in = jnp.asarray(amps)
+        if mesh is not None:
+            amps_in = _shard_batch(amps_in, mesh, len(freqs))
+        states = jax.jit(jax.vmap(run_one_pml))(amps_in)
+        e = jax.vmap(lambda s: diagnostics.e_energy(p, s))(states)
+        h = jax.vmap(lambda s: diagnostics.h_energy(p, s))(states)
+        return SweepResult(states, e, h)
 
     step = make_step(p, backend=backend)
 
@@ -270,12 +303,17 @@ def material_sweep(
     materials_list: Sequence[Materials],
     n_steps: int | None = None,
     mesh=None,
+    pml=None,
 ) -> SweepResult:
-    """Run one simulation per material configuration, batched with vmap."""
+    """Run one simulation per material configuration, batched with vmap.
+
+    ``pml``: open-boundary members (see :func:`frequency_sweep`)."""
     from .step import scan_inputs
 
     if any(m is None or m.is_vacuum for m in materials_list):
         raise ValueError("material_sweep requires non-vacuum Materials for every member")
+    if pml is not None and _is_spatial(mesh):
+        raise ValueError("PML sweeps do not compose with spatial ('b','z') meshes yet")
     coefs_list = [update_coefs(p, m) for m in materials_list]
     # stack coefficient arrays along a new batch axis
     stacked = jax.tree.map(lambda *xs: jnp.stack(jnp.broadcast_arrays(*map(jnp.asarray, xs))), *coefs_list)
@@ -318,8 +356,21 @@ def material_sweep(
         return SweepResult(states, e, h)
 
     def run_one(coefs):
-        step = make_step(p, coefs=coefs)
         s = init_validation(p) if p.mode == Mode.VALIDATION else zeros(p)
+        if pml is not None:
+            from .ops.cpml import init_psi, make_pml_step
+
+            pml_step = make_pml_step(p, pml, coefs)
+
+            def body_p(c, x):
+                return pml_step(c, x), None
+
+            (s, _psi), _ = jax.lax.scan(
+                body_p, (s, init_psi(p, pml)),
+                (jnp.asarray(xs[0]), jnp.asarray(xs[1])),
+            )
+            return s
+        step = make_step(p, coefs=coefs)
 
         def body(s, x):
             return step(s, x), None

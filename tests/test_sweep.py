@@ -142,3 +142,48 @@ def test_material_sweep_spatial_mesh_matches_serial(tiny_params):
             np.asarray(getattr(got.states, c)), np.asarray(getattr(want.states, c)),
             atol=1e-6, rtol=0, err_msg=c,
         )
+
+
+def test_frequency_sweep_pml_matches_individual_run(tiny_params):
+    """Open-boundary sweeps (r3): each vmapped member carries its own
+    CPML psi through the scan == a standalone PML run at that frequency."""
+    from fdtd_tpu.ops.cpml import PMLConfig, init_psi, make_pml_chunk_runner
+    from fdtd_tpu.params import SourceConfig
+
+    p = dataclasses.replace(tiny_params, mode=Mode.COMPUTATION, dtype="float32")
+    cfg = PMLConfig(cells=3)
+    freqs = [2.45e10, 1.0e10]
+    res = frequency_sweep(p, freqs, n_steps=10, pml=cfg)
+    assert res.states.ex.shape[0] == 2
+
+    p1 = dataclasses.replace(p, source=SourceConfig(frequency=freqs[1]))
+    run = make_pml_chunk_runner(p1, cfg)
+    xs = scan_inputs(p1, time_values(p1)[:10])
+    (want, _), _ = run((zeros(p1), init_psi(p1, cfg)), xs, None)
+    for c in ["ez", "hx", "ey"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(res.states, c))[1],
+            np.asarray(getattr(want, c)), atol=1e-7, rtol=1e-5, err_msg=c,
+        )
+
+
+def test_material_sweep_pml_matches_individual_run(tiny_params):
+    from fdtd_tpu.ops.cpml import PMLConfig, init_psi, make_pml_chunk_runner
+
+    p = dataclasses.replace(tiny_params, mode=Mode.COMPUTATION, dtype="float32")
+    cfg = PMLConfig(cells=3)
+    mats = [
+        water_block(p, lo=(0.3, 0.3, 0.3), hi=(0.7, 0.7, 0.7)),
+        water_block(p, lo=(0.4, 0.4, 0.4), hi=(0.8, 0.8, 0.8)),
+    ]
+    res = material_sweep(p, mats, n_steps=10, pml=cfg)
+    assert res.states.ex.shape[0] == 2
+
+    run = make_pml_chunk_runner(p, cfg, mats[0])
+    xs = scan_inputs(p, time_values(p)[:10])
+    (want, _), _ = run((zeros(p), init_psi(p, cfg)), xs, None)
+    for c in ["ez", "hx", "ey"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(res.states, c))[0],
+            np.asarray(getattr(want, c)), atol=1e-7, rtol=1e-5, err_msg=c,
+        )
