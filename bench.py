@@ -122,8 +122,11 @@ def _probe_device(attempts=3, timeout_s=120):
     """
     import subprocess
 
+    if "cpu" in os.environ.get("JAX_PLATFORMS", ""):
+        return  # local/hermetic runs: no tunnel to probe
+
     last = ""
-    for _ in range(attempts):
+    for attempt in range(attempts):
         try:
             proc = subprocess.run(
                 [sys.executable, "-c", "import jax; print(jax.devices()[0])"],
@@ -134,7 +137,8 @@ def _probe_device(attempts=3, timeout_s=120):
             last = (proc.stderr or proc.stdout).strip()[-200:]
         except subprocess.TimeoutExpired:
             last = f"jax.devices() hung for {timeout_s}s (axon tunnel down?)"
-        time.sleep(10)
+        if attempt + 1 < attempts:
+            time.sleep(10)
     print(json.dumps({
         "metric": "bench_unavailable",
         "value": None,

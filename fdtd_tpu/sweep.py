@@ -231,39 +231,36 @@ def frequency_sweep(
         raise ValueError("frequency sweeps require computation mode (a source)")
     if pml is not None and _is_spatial(mesh):
         raise ValueError("PML sweeps do not compose with spatial ('b','z') meshes yet")
+    if pml is not None and backend != "xla":
+        raise ValueError(
+            f"PML sweeps run the xla path (got backend={backend!r})"
+        )
     freqs = np.asarray(frequencies, dtype=np.float64)
     ts = time_values(p)
     if n_steps is not None:
         ts = ts[:n_steps]
-    # per-frequency drive amplitudes, host-precomputed in fp64 like the
-    # single-run path (fdtd_tpu.source.drive_values)
-    amps = np.sin((2.0 * PI * freqs)[:, None] * ts[None, :])  # (N, steps)
+    # per-frequency drive amplitudes, host-precomputed in fp64 THROUGH
+    # drive_values so the source envelope (gaussian bursts) applies to
+    # sweep members exactly as to single runs; the CW default is
+    # bit-identical to the plain sin grid this used to build
+    from .source import drive_values
+
+    amps = np.stack([
+        drive_values(
+            make_source_plan(dataclasses.replace(
+                p, source=dataclasses.replace(p.source, frequency=float(f))
+            )),
+            ts,
+        )
+        for f in freqs
+    ])  # (N, steps)
 
     if pml is not None:
         from .ops.cpml import init_psi, make_pml_step
 
         pml_step = make_pml_step(p, pml, update_coefs(p, None))
-
-        def run_one_pml(amp_row):
-            carry = (zeros(p), init_psi(p, pml))
-
-            def body(c, x):
-                return pml_step(c, x), None
-
-            (s, _psi), _ = jax.lax.scan(
-                body, carry, (jnp.asarray(ts), amp_row)
-            )
-            return s
-
-        amps_in = jnp.asarray(amps)
-        if mesh is not None:
-            amps_in = _shard_batch(amps_in, mesh, len(freqs))
-        states = jax.jit(jax.vmap(run_one_pml))(amps_in)
-        e = jax.vmap(lambda s: diagnostics.e_energy(p, s))(states)
-        h = jax.vmap(lambda s: diagnostics.h_energy(p, s))(states)
-        return SweepResult(states, e, h)
-
-    step = make_step(p, backend=backend)
+    else:
+        step = make_step(p, backend=backend)
 
     if _is_spatial(mesh):
         # scan-of-vmap with ("b", "z") constraints: members shard over "b",
@@ -282,6 +279,16 @@ def frequency_sweep(
 
     def run_one(amp_row):
         s = zeros(p)
+        if pml is not None:
+            from .ops.cpml import init_psi as _ip
+
+            def body_p(c, x):
+                return pml_step(c, x), None
+
+            (s, _psi), _ = jax.lax.scan(
+                body_p, (s, _ip(p, pml)), (jnp.asarray(ts), amp_row)
+            )
+            return s
 
         def body(s, x):
             return step(s, x), None

@@ -146,17 +146,26 @@ def test_material_sweep_spatial_mesh_matches_serial(tiny_params):
 
 def test_frequency_sweep_pml_matches_individual_run(tiny_params):
     """Open-boundary sweeps (r3): each vmapped member carries its own
-    CPML psi through the scan == a standalone PML run at that frequency."""
+    CPML psi through the scan == a standalone PML run at that frequency.
+    Uses a gaussian envelope so the sweep's drive construction is pinned
+    to go through drive_values (a bare sin grid would silently drop the
+    burst)."""
+    import pytest
+
     from fdtd_tpu.ops.cpml import PMLConfig, init_psi, make_pml_chunk_runner
     from fdtd_tpu.params import SourceConfig
 
-    p = dataclasses.replace(tiny_params, mode=Mode.COMPUTATION, dtype="float32")
+    p = dataclasses.replace(
+        tiny_params, mode=Mode.COMPUTATION, dtype="float32",
+        source=SourceConfig(envelope="gaussian"),
+    )
     cfg = PMLConfig(cells=3)
     freqs = [2.45e10, 1.0e10]
     res = frequency_sweep(p, freqs, n_steps=10, pml=cfg)
     assert res.states.ex.shape[0] == 2
 
-    p1 = dataclasses.replace(p, source=SourceConfig(frequency=freqs[1]))
+    p1 = dataclasses.replace(
+        p, source=SourceConfig(frequency=freqs[1], envelope="gaussian"))
     run = make_pml_chunk_runner(p1, cfg)
     xs = scan_inputs(p1, time_values(p1)[:10])
     (want, _), _ = run((zeros(p1), init_psi(p1, cfg)), xs, None)
@@ -165,6 +174,8 @@ def test_frequency_sweep_pml_matches_individual_run(tiny_params):
             np.asarray(getattr(res.states, c))[1],
             np.asarray(getattr(want, c)), atol=1e-7, rtol=1e-5, err_msg=c,
         )
+    with pytest.raises(ValueError, match="xla"):
+        frequency_sweep(p, freqs, n_steps=4, pml=cfg, backend="pallas_fused")
 
 
 def test_material_sweep_pml_matches_individual_run(tiny_params):
