@@ -206,32 +206,16 @@ def _shifted(sl, axis, d):
     return tuple(out)
 
 
-def make_cpml_corrections(p: Params, cfg: PMLConfig, coefs: UpdateCoefs,
-                          dtype=None):
-    """Build ``(h_correct, e_correct)`` closures.
+def build_plan(p: Params, cfg: PMLConfig, dt) -> dict:
+    """Per-term correction plan shared by the xla and Pallas-fast paths.
 
-    ``h_correct(state_after_update_h, psi) -> (state, psi)`` updates the
-    six H-pass memory variables from the (unchanged) E fields and adds
-    ``+-f * psi`` over the slab rows of each H component's update
-    region; ``e_correct`` is the E-pass analogue adding ``+-cb * psi``.
-    Correction-after-update is algebraically identical to the fused
-    textbook form because the curl terms are untouched (kappa = 1).
-    Everything outside the slabs is untouched — the correction is
-    bit-inert there by construction, not just numerically.
-    """
-    _check_cfg(p, cfg)
-    dt = jnp.dtype(dtype or p.dtype)
+    ``{name: (lo_sl, hi_sl, sign, axis, src, target, b, c)}`` where
+    lo_sl/hi_sl are the target's slab sub-regions in CANONICAL array
+    coordinates and b/c are the (1-per-slab-row) recursion coefficient
+    arrays broadcast-shaped along the PML axis."""
     npml = cfg.cells
     regions = _update_regions(p)
     extents = {0: p.maxk, 1: p.maxj, 2: p.maxi}
-    het = coefs.heterogeneous_mu
-    # h_factor may be a traced scalar under vmap design sweeps (sweep.py)
-    f_scalar = (
-        dt.type(coefs.h_factor)
-        if not hasattr(coefs.h_factor, "shape")
-        else coefs.h_factor
-    )
-
     plan = {}
     for name, target, sign, axis, src, e_pass in _TERMS:
         lo_sl, hi_sl = _slab_slices(regions[target], axis, npml)
@@ -248,6 +232,34 @@ def make_cpml_corrections(p: Params, cfg: PMLConfig, coefs: UpdateCoefs,
             jnp.asarray(b, dt).reshape(shape),
             jnp.asarray(c, dt).reshape(shape),
         )
+    return plan
+
+
+def make_cpml_corrections(p: Params, cfg: PMLConfig, coefs: UpdateCoefs,
+                          dtype=None):
+    """Build ``(h_correct, e_correct)`` closures.
+
+    ``h_correct(state_after_update_h, psi) -> (state, psi)`` updates the
+    six H-pass memory variables from the (unchanged) E fields and adds
+    ``+-f * psi`` over the slab rows of each H component's update
+    region; ``e_correct`` is the E-pass analogue adding ``+-cb * psi``.
+    Correction-after-update is algebraically identical to the fused
+    textbook form because the curl terms are untouched (kappa = 1).
+    Everything outside the slabs is untouched — the correction is
+    bit-inert there by construction, not just numerically.
+    """
+    _check_cfg(p, cfg)
+    dt = jnp.dtype(dtype or p.dtype)
+    npml = cfg.cells
+    het = coefs.heterogeneous_mu
+    # h_factor may be a traced scalar under vmap design sweeps (sweep.py)
+    f_scalar = (
+        dt.type(coefs.h_factor)
+        if not hasattr(coefs.h_factor, "shape")
+        else coefs.h_factor
+    )
+
+    plan = build_plan(p, cfg, dt)
 
     def _factor(target, sub, e_pass):
         if e_pass:

@@ -471,6 +471,48 @@ def _e_kernel2(p: Params, f_e, Ib, lossy, tk, jwin,
     oez[:] = jnp.where(m_ez, new_z, ezb).astype(st)
 
 
+def make_inject_source(p: Params, plan, dtype):
+    """Build the stripped-layout source hard-set (k=0 plane, storage row
+    ``D``), computed exactly like :func:`fdtd_tpu.source.apply_source`
+    for bit-parity.  Shared by :func:`make_fused_step` and the CPML fast
+    composition (:mod:`fdtd_tpu.ops.cpml_fast`)."""
+
+    def inject_source(st: StrippedState, amp) -> StrippedState:
+        amp_j = jnp.asarray(amp)
+        prof_row = jnp.asarray(plan.profile, dtype=jnp.result_type(amp_j))
+        row = amp_j * prof_row
+        nj, ni = plan.j1 - plan.j0, len(plan.profile)
+        pv = jnp.broadcast_to(row[None, :], (nj, ni))
+        zero = jnp.zeros((nj, ni), dtype)
+        sl = (D, slice(plan.j0, plan.j1), slice(plan.i0, plan.i1))
+        return dataclasses.replace(
+            st,
+            ez=st.ez.at[sl].set(pv.astype(dtype)),
+            ex=st.ex.at[sl].set(zero),
+            hz=st.hz.at[sl].set(zero),
+            hx=st.hx.at[sl].set((-plan.inv_z_te * pv).astype(dtype)),
+        )
+
+    return inject_source
+
+
+def advance_hx_strip(p: Params, st: StrippedState, f_h, het: bool):
+    """One H-update of the Hx i=maxi strip column; returns the new hx_s.
+
+    Write-only boundary column (reference Hx bounds i < maxi+1,
+    main.c:445-449); its E neighbors are the PEC-frozen Ey/Ez strips, so
+    this is a 2-D jnp update of ~K1*J1 cells outside the kernels."""
+    K, J = p.maxk, p.maxj
+    ey_s2 = st.ey_s[:, :, 0]
+    ez_s2 = st.ez_s[:, :, 0]
+    sl = (slice(D, D + K), slice(0, J))
+    curl = (ey_s2[D + 1 : D + K + 1, :J] - ey_s2[sl]) - (
+        ez_s2[D : D + K, 1 : J + 1] - ez_s2[sl]
+    )
+    fh_s = st.hfx_s[sl[0], sl[1], 0] if het else f_h
+    return st.hx_s.at[sl[0], sl[1], 0].add((fh_s * curl).astype(st.hx_s.dtype))
+
+
 def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None,
                     two_pass: bool = True):
     """Build ``step(state: StrippedState, (t, amp)) -> StrippedState``.
@@ -504,23 +546,7 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
     plan = make_source_plan(p) if inject else None
     patch = (plan.j0, plan.j1, plan.i0, plan.i1) if inject else None
 
-    def inject_source(st: StrippedState, amp) -> StrippedState:
-        """Hard-set the source patch on the k=0 plane (storage row TK),
-        computed exactly like fdtd_tpu.source.apply_source for bit-parity."""
-        amp_j = jnp.asarray(amp)
-        prof_row = jnp.asarray(plan.profile, dtype=jnp.result_type(amp_j))
-        row = amp_j * prof_row
-        nj, ni = plan.j1 - plan.j0, len(plan.profile)
-        pv = jnp.broadcast_to(row[None, :], (nj, ni))
-        zero = jnp.zeros((nj, ni), dtype)
-        sl = (D, slice(plan.j0, plan.j1), slice(plan.i0, plan.i1))
-        return dataclasses.replace(
-            st,
-            ez=st.ez.at[sl].set(pv.astype(dtype)),
-            ex=st.ex.at[sl].set(zero),
-            hz=st.hz.at[sl].set(zero),
-            hx=st.hx.at[sl].set((-plan.inv_z_te * pv).astype(dtype)),
-        )
+    inject_source = make_inject_source(p, plan, dtype) if inject else None
 
     bulk_shape = jax.ShapeDtypeStruct((S, J1, Ib), dtype)
 
@@ -615,8 +641,6 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
         def call(st, ex, ey, ez, hx, hy, hz, chy, chz):
             return _call1(ex, ey, ez, hx, hy, hz, chy, chz)
 
-    K, J = p.maxk, p.maxj
-
     def step(st: StrippedState, x) -> StrippedState:
         _t, amp = x
         if inject:
@@ -625,16 +649,7 @@ def make_fused_step(p: Params, coefs: UpdateCoefs, interpret: bool | None = None
             st, st.ex, st.ey, st.ez, st.hx, st.hy, st.hz,
             st.corr_hy, st.corr_hz,
         )
-        # Hx strip update (write-only boundary column; reference Hx bounds
-        # i < maxi+1, main.c:445-449); 2-D jnp, ~K1*J1 cells.
-        ey_s2 = st.ey_s[:, :, 0]
-        ez_s2 = st.ez_s[:, :, 0]
-        sl = (slice(D, D + K), slice(0, J))
-        curl = (ey_s2[D + 1 : D + K + 1, :J] - ey_s2[sl]) - (
-            ez_s2[D : D + K, 1 : J + 1] - ez_s2[sl]
-        )
-        fh_s = st.hfx_s[sl[0], sl[1], 0] if het else f_h
-        hx_s = st.hx_s.at[sl[0], sl[1], 0].add((fh_s * curl).astype(st.hx_s.dtype))
+        hx_s = advance_hx_strip(p, st, f_h, het)
         return dataclasses.replace(
             st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy, hz=hz, hx_s=hx_s
         )

@@ -394,19 +394,41 @@ def run_simulation(
         )
     if pml is not None and shard is None:
         # CPML absorbing boundaries (ops/cpml.py; capability extension —
-        # the reference cavity is closed PEC).  xla ground-truth path only;
-        # psi memory variables ride the chunk carry as (state, psi).
+        # the reference cavity is closed PEC).  psi memory variables ride
+        # the chunk carry as (state, psi).  Fast path (r3): the two-pass
+        # Pallas kernels with XLA slab corrections between the passes
+        # (ops/cpml_fast.py) — auto on TPU, explicit via pallas_fused;
+        # xla remains the ground-truth/fp64 path.
         from .ops.cpml import make_pml_chunk_runner
+        from .ops.cpml_fast import fast_pml_supported, make_pml_fast_chunk_runner
 
         if accumulate_power and materials is None:
             raise ValueError("--sar needs lossy materials (e.g. --water-block)")
-        if backend not in ("auto", "xla"):
-            log(
-                f"notice: --pml runs the xla path (backend {backend!r} "
-                "keeps the closed-cavity scope); using xla"
+        fast_ok = fast_pml_supported(p, pml, materials)
+        if backend == "auto":
+            backend = "pallas_fused" if (fast_ok and _on_tpu()) else "xla"
+        elif backend != "xla":
+            if backend not in ("pallas_fused", "pallas"):
+                log(
+                    f"notice: --pml cannot interleave the psi recursion "
+                    f"with multi-step kernels (backend {backend!r}); using "
+                    "the two-pass Pallas composition"
+                )
+            if fast_ok:
+                backend = "pallas_fused"
+            else:
+                log(
+                    "notice: the CPML fast path needs fp32/bf16 and "
+                    "slab-constant factors (materials clear of the "
+                    "absorber); using xla"
+                )
+                backend = "xla"
+        if backend == "pallas_fused":
+            run_pml = make_pml_fast_chunk_runner(
+                p, pml, materials, accumulate_power
             )
-        backend = "xla"
-        run_pml = make_pml_chunk_runner(p, pml, materials, accumulate_power)
+        else:
+            run_pml = make_pml_chunk_runner(p, pml, materials, accumulate_power)
 
         def run_chunk(carry, chunk, power):
             return run_pml(carry, chunk, power)
@@ -470,9 +492,12 @@ def run_simulation(
     if pml is not None and shard is None:
         from .ops.cpml import init_psi
 
-        prep = lambda s: (s, resumed_psi if resumed_psi is not None
+        # identity adapters on the xla path; stripped-layout conversion
+        # (with embedded material coefficients) on the Pallas fast path
+        prep_s, restore_s = backend_adapters(p, backend, materials)
+        prep = lambda s: (prep_s(s), resumed_psi if resumed_psi is not None
                           else init_psi(p, pml))
-        restore = jax.jit(lambda carry: carry[0])
+        restore = jax.jit(lambda carry: restore_s(carry[0]))
     elif shard is not None:
         prep, restore = sh_prep, jax.jit(sh_restore)
     else:

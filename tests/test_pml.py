@@ -469,6 +469,187 @@ def test_pml_checkpoint_resume_bit_exact(tiny_params, tmp_path):
         )
 
 
+def test_pml_fast_matches_xla_vacuum_bit_exact():
+    """CPML on the two-pass Pallas fast path (ops/cpml_fast.py): in
+    computation mode (source double-application engages the k=0 slab
+    immediately) the composition is BIT-EQUAL to the xla PML path at
+    fp64 — fields AND psi memory — including the re-injection that
+    restores the patch after h_correct."""
+    from fdtd_tpu.ops.cpml_fast import make_pml_fast_chunk_runner
+    from fdtd_tpu.step import backend_adapters
+
+    n, steps = 24, 40
+    p = dataclasses.replace(_box_params(n, steps, dtype="float64"),
+                            mode=Mode.COMPUTATION)
+    cfg = PMLConfig(cells=5)
+    xs = scan_inputs(p, time_values(p)[:steps])
+
+    run_x = make_pml_chunk_runner(p, cfg)
+    (want, psi_w), _ = run_x((zeros(p), init_psi(p, cfg)), xs, None)
+
+    prep, restore = backend_adapters(p, "pallas_fused")
+    run_f = make_pml_fast_chunk_runner(p, cfg)
+    (st, psi_g), _ = run_f((prep(zeros(p)), init_psi(p, cfg)), xs, None)
+    got = restore(st)
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, c)), np.asarray(getattr(want, c)),
+            err_msg=c,
+        )
+    engaged = 0
+    for name in type(psi_w).__dataclass_fields__:
+        a = np.asarray(getattr(psi_g, name))
+        np.testing.assert_array_equal(a, np.asarray(getattr(psi_w, name)),
+                                      err_msg=name)
+        engaged += float(np.abs(a).max()) > 0
+    assert engaged >= 6  # the absorber genuinely engaged
+
+
+def test_pml_fast_matches_xla_materials_and_sar():
+    """Lossy water load + heterogeneous mu_r clear of the absorber: the
+    fast composition runs the lossy/het kernels with scalar slab factors
+    and matches the xla PML path to kernel-reassociation accuracy; the
+    SAR accumulator is bit-equal (same per-step jnp increment values)."""
+    from fdtd_tpu.ops.cpml_fast import (
+        fast_pml_supported,
+        make_pml_fast_chunk_runner,
+    )
+    from fdtd_tpu.state import Materials, update_coefs, water_block
+    from fdtd_tpu.step import backend_adapters, zero_power_acc
+
+    n, steps = 24, 40
+    p = dataclasses.replace(_box_params(n, steps, dtype="float64"),
+                            mode=Mode.COMPUTATION)
+    cfg = PMLConfig(cells=5)
+    xs = scan_inputs(p, time_values(p)[:steps])
+    K, J, I = p.maxk, p.maxj, p.maxi
+    er = np.ones((K, J, I))
+    sg = np.zeros((K, J, I))
+    mu = np.ones((K, J, I))
+    c0, c1 = n // 2 - 3, n // 2 + 3  # interior block, clear of the slabs
+    er[c0:c1, c0:c1, c0:c1] = 8.0
+    sg[c0:c1, c0:c1, c0:c1] = 0.4
+    mu[c0:c1, c0:c1, c0:c1] = 3.0
+
+    for label, mats, sar in [
+        ("lossy+sar", water_block(p, lo=(0.35,) * 3, hi=(0.65,) * 3), True),
+        ("het-mu", Materials(eps_r=er, sigma=sg, mu_r=mu), False),
+    ]:
+        pw = zero_power_acc(p) if sar else None
+        run_x = make_pml_chunk_runner(p, cfg, mats, accumulate_power=sar)
+        (want, _), pw_want = run_x((zeros(p), init_psi(p, cfg)), xs, pw)
+        prep, restore = backend_adapters(p, "pallas_fused", mats)
+        run_f = make_pml_fast_chunk_runner(p, cfg, mats, accumulate_power=sar)
+        (st, _), pw_got = run_f((prep(zeros(p)), init_psi(p, cfg)), xs, pw)
+        got = restore(st)
+        for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+            # fp64 FMA/reassociation between the kernel and jnp curls:
+            # measured max rel 3.8e-15 at field scale (max ~0.56); tiny
+            # cancellation-limited elements need the absolute floor
+            # (atol 1e-14 is ~2e-14 of the field scale)
+            np.testing.assert_allclose(
+                np.asarray(getattr(got, c)), np.asarray(getattr(want, c)),
+                atol=1e-14, rtol=1e-12, err_msg=f"{label}/{c}",
+            )
+        if sar:
+            np.testing.assert_array_equal(
+                np.asarray(pw_got), np.asarray(pw_want), err_msg=label
+            )
+            assert float(np.asarray(pw_want).max()) > 0
+
+
+def test_pml_fast_supported_gates():
+    """fast_pml_supported: vacuum fp32 yes; fp64 stays on xla (TPU
+    kernels are fp32/bf16); a load overlapping the absorber slabs makes
+    the correction factors non-constant -> xla fallback; and the
+    corrections builder refuses the unsupported case."""
+    from fdtd_tpu.ops.cpml_fast import (
+        fast_pml_supported,
+        make_stripped_cpml_corrections,
+    )
+    from fdtd_tpu.state import Materials, update_coefs
+
+    n = 24
+    p = _box_params(n, 10, dtype="float32")
+    cfg = PMLConfig(cells=5)
+    assert fast_pml_supported(p, cfg)
+    assert not fast_pml_supported(_box_params(n, 10, dtype="float64"), cfg)
+
+    K, J, I = p.maxk, p.maxj, p.maxi
+    sg = np.zeros((K, J, I))
+    sg[0:3, :, :] = 0.1  # conductive load reaching into the k-lo slab
+    mats = Materials(eps_r=np.ones((K, J, I)), sigma=sg, mu_r=None)
+    assert not fast_pml_supported(p, cfg, mats)
+    with pytest.raises(ValueError, match="slab-constant"):
+        make_stripped_cpml_corrections(p, cfg, update_coefs(p, mats))
+    # mu_r overlapping the slabs gates the H-pass factors the same way
+    mu = np.ones((K, J, I))
+    mu[:, :, I - 3 :] = 2.0
+    assert not fast_pml_supported(
+        p, cfg, Materials(eps_r=None, sigma=None, mu_r=mu)
+    )
+
+
+def test_pml_fast_runner_dispatch(tmp_path):
+    """run_simulation(pml=..., backend="pallas_fused") builds the fast
+    composition (incl. prep/restore through the stripped layout and psi
+    in the carry) and is bit-equal to the xla dispatch at fp32; a
+    multi-step-kernel backend request gets a notice and still runs."""
+    from fdtd_tpu.runner import run_simulation
+
+    n = 20
+    p = dataclasses.replace(_box_params(n, 30, dtype="float32"),
+                            mode=Mode.COMPUTATION, sampling_rate=10)
+    cfg = PMLConfig(cells=4)
+    ra = run_simulation(p, out_dir=str(tmp_path / "x"), pml=cfg,
+                        backend="xla", write_snapshots=False,
+                        log=lambda s: None)
+    msgs: list[str] = []
+    rb = run_simulation(p, out_dir=str(tmp_path / "f"), pml=cfg,
+                        backend="pallas_fused", write_snapshots=False,
+                        log=msgs.append)
+    assert not msgs  # supported combo: no fallback notice
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(rb.state, c)), np.asarray(getattr(ra.state, c)),
+            err_msg=c,
+        )
+    rc = run_simulation(p, out_dir=str(tmp_path / "t"), pml=cfg,
+                        backend="pallas_temporal", write_snapshots=False,
+                        log=msgs.append)
+    assert any("psi recursion" in m for m in msgs)
+    np.testing.assert_array_equal(np.asarray(rc.state.ey),
+                                  np.asarray(ra.state.ey))
+
+
+def test_pml_fast_checkpoint_resume_bit_exact(tmp_path):
+    """Checkpoint/resume through the fast composition: the resumed psi
+    re-enters the stripped-layout carry and the run stays bit-equal to
+    the uninterrupted fast run."""
+    from fdtd_tpu.runner import run_simulation
+
+    n = 20
+    p = dataclasses.replace(_box_params(n, 20, dtype="float32"),
+                            mode=Mode.COMPUTATION, sampling_rate=10)
+    cfg = PMLConfig(cells=4)
+    ra = run_simulation(p, out_dir=str(tmp_path / "full"), pml=cfg,
+                        backend="pallas_fused", write_snapshots=False,
+                        log=lambda s: None)
+    p_half = dataclasses.replace(p, simulation_time=1e-11)
+    run_simulation(p_half, out_dir=str(tmp_path / "part"), pml=cfg,
+                   backend="pallas_fused", checkpoint_every=10,
+                   write_snapshots=False, log=lambda s: None)
+    rb = run_simulation(p, out_dir=str(tmp_path / "part"), pml=cfg,
+                        backend="pallas_fused", resume=True,
+                        checkpoint_every=10, write_snapshots=False,
+                        log=lambda s: None)
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(rb.state, c)), np.asarray(getattr(ra.state, c)),
+            err_msg=c,
+        )
+
+
 def test_pml_cli_flag(tiny_params, tmp_path, capsys):
     from fdtd_tpu.cli import main
 
