@@ -50,7 +50,8 @@ def _source_pattern(p: Params, shape_ji: tuple[int, int], dtype) -> tuple[np.nda
     return prof.astype(dtype), mask
 
 
-def make_sharded_step(p: Params, mesh: Mesh, materials=None, pml=None):
+def make_sharded_step(p: Params, mesh: Mesh, materials=None, pml=None,
+                      accumulate_power: bool = False):
     """Build ``sharded_step(amp, state) -> state``.
 
     Operates on fields of the mesh-divisible global shape (see
@@ -69,6 +70,15 @@ def make_sharded_step(p: Params, mesh: Mesh, materials=None, pml=None):
     exchanged differences the curl updates consumed, and the correction
     applies under the same global-index masks — outside the slabs
     (b, c) = (1, 0) keeps psi identically zero.
+
+    With ``accumulate_power`` (SAR, needs lossy ``materials``): a sharded
+    (Kp, Jp, Ip) float32 accumulator rides the step as the LAST argument
+    and return value; each step adds sigma |E|^2 dt from the post-E-pass
+    fields with cell-centered means built from the same halo shifts the
+    curls use — element-for-element the arithmetic of the single-chip
+    :func:`fdtd_tpu.diagnostics.power_deposition` path, so the cropped
+    accumulator is bit-equal to an unsharded run's.  Composes with
+    ``pml`` (the signature gains both extras, psi12 before acc).
     """
     from ..state import update_coefs
 
@@ -103,6 +113,16 @@ def make_sharded_step(p: Params, mesh: Mesh, materials=None, pml=None):
                         ("ca_x", "ca_y", "ca_z", "cb_x", "cb_y", "cb_z")]
     if het_mu:
         coef_arrays += [padc(getattr(coefs, n)) for n in ("hf_x", "hf_y", "hf_z")]
+    if accumulate_power:
+        if coefs.sigma_cells is None:
+            raise NotImplementedError("power accumulation needs lossy materials")
+        # keep sigma's own (fp64) dtype: the single-chip increment is
+        # sigma_fp64 * means_fp32 -> fp64, then cast into the fp32 acc
+        sg_np = np.asarray(coefs.sigma_cells)
+        sg_pad = np.zeros((Kp, Jp, Ip), sg_np.dtype)
+        sg_pad[: sg_np.shape[0], : sg_np.shape[1], : sg_np.shape[2]] = sg_np
+        coef_arrays.append(jax.device_put(jnp.asarray(sg_pad), fsh))
+    dt_step = p.time_step
 
     if pml is not None:
         from ..ops.cpml import _profile
@@ -166,10 +186,18 @@ def make_sharded_step(p: Params, mesh: Mesh, materials=None, pml=None):
         return io + r * lsz[dim]
 
     def local_step(amp, ex, ey, ez, hx, hy, hz, prof_l, msrc_l, *cf):
+        # cf layout: [lossy ca/cb x6] [het hf x3] [sigma] [prof12] [psi12] [acc]
+        if accumulate_power:
+            acc = cf[-1]
+            cf = cf[:-1]
         if pml is not None:
             psi12 = cf[-12:]
             prof12 = cf[-24:-12]
             cf = cf[:-24]
+        if accumulate_power:
+            sg_l = cf[-1]
+            cf = cf[:-1]
+        if pml is not None:
 
             def locp(b_g, c_g, dim):
                 r = lax.axis_index(AXES[dim])
@@ -293,63 +321,97 @@ def make_sharded_step(p: Params, mesh: Mesh, materials=None, pml=None):
             ey = jnp.where(m_ey, ey - gy_cb * p_ey_x, ey)
             ez = jnp.where(m_ez, ez + gz_cb * p_ez_x, ez)
             ez = jnp.where(m_ez, ez - gz_cb * p_ez_y, ez)
-            return (ex, ey, ez, hx, hy, hz, p_hx_z, p_hx_y, p_hy_x,
-                    p_hy_z, p_hz_y, p_hz_x, p_ex_y, p_ex_z, p_ey_z,
-                    p_ey_x, p_ez_x, p_ez_y)
 
-        return ex, ey, ez, hx, hy, hz
+        if accumulate_power:
+            # SAR increment from the post-E-pass fields: cell-centered
+            # 4-edge means via the same halo shifts the curls use, in
+            # the exact add order of diagnostics._e_cell_means, sigma in
+            # its own (fp64) dtype — bit-equal to the single-chip
+            # power_deposition accumulation.  Pad cells have sigma = 0.
+            at = jnp.float64 if dtype == jnp.float64 else jnp.float32
+            exa, eya, eza = ex.astype(at), ey.astype(at), ez.astype(at)
+            mean_ex = 0.25 * (exa + shift_up(exa, 0) + shift_up(exa, 1)
+                              + shift_up(shift_up(exa, 0), 1))
+            mean_ey = 0.25 * (eya + shift_up(eya, 2) + shift_up(eya, 0)
+                              + shift_up(shift_up(eya, 0), 2))
+            mean_ez = 0.25 * (eza + shift_up(eza, 1) + shift_up(eza, 2)
+                              + shift_up(shift_up(eza, 1), 2))
+            inc = sg_l * (mean_ex**2 + mean_ey**2 + mean_ez**2)
+            acc = acc + (inc * dt_step).astype(acc.dtype)
+
+        out = [ex, ey, ez, hx, hy, hz]
+        if pml is not None:
+            out += [p_hx_z, p_hx_y, p_hy_x, p_hy_z, p_hz_y, p_hz_x,
+                    p_ex_y, p_ex_z, p_ey_z, p_ey_x, p_ez_x, p_ez_y]
+        if accumulate_power:
+            out.append(acc)
+        return tuple(out) if len(out) > 6 else (ex, ey, ez, hx, hy, hz)
 
     fspec = P(*AXES)
-    n_cf = len(coef_arrays)
+    in_specs = (P(), fspec, fspec, fspec, fspec, fspec, fspec,
+                P("y", "x"), P("y", "x")) + (fspec,) * len(coef_arrays)
+    n_out = 6
     if pml is not None:
         prof_flat = [a for pair in pml_profiles for a in pair]
-        smap = jax.shard_map(
-            local_step,
-            mesh=mesh,
-            in_specs=(P(), fspec, fspec, fspec, fspec, fspec, fspec,
-                      P("y", "x"), P("y", "x"))
-            + (fspec,) * n_cf + (P(),) * 12 + (fspec,) * 12,
-            out_specs=(fspec,) * 18,
-        )
+        in_specs += (P(),) * 12 + (fspec,) * 12
+        n_out += 12
+    if accumulate_power:
+        in_specs += (fspec,)
+        n_out += 1
+    smap = jax.shard_map(
+        local_step, mesh=mesh, in_specs=in_specs, out_specs=(fspec,) * n_out
+    )
 
-        def sharded_step_pml(amp, s: FieldState, psi12):
-            outs = smap(
-                amp, s.ex, s.ey, s.ez, s.hx, s.hy, s.hz, prof, msrc,
-                *coef_arrays, *prof_flat, *psi12
-            )
-            return FieldState(*outs[:6]), tuple(outs[6:])
+    def sharded_step(amp, s: FieldState, *extra):
+        """(amp, state[, psi12][, acc]) -> (state[, psi12][, acc])."""
+        args = [amp, s.ex, s.ey, s.ez, s.hx, s.hy, s.hz, prof, msrc,
+                *coef_arrays]
+        if pml is not None:
+            args += [*prof_flat, *extra[0]]
+        if accumulate_power:
+            args.append(extra[-1])
+        outs = smap(*args)
+        res = [FieldState(*outs[:6])]
+        if pml is not None:
+            res.append(tuple(outs[6:18]))
+        if accumulate_power:
+            res.append(outs[-1])
+        return res[0] if len(res) == 1 else tuple(res)
 
-        sharded_step_pml.zero_psi = lambda: tuple(
+    if pml is not None:
+        sharded_step.zero_psi = lambda: tuple(
             jax.device_put(jnp.zeros((Kp, Jp, Ip), dtype), fsh)
             for _ in range(12)
         )
-        return sharded_step_pml
-
-    smap = jax.shard_map(
-        local_step,
-        mesh=mesh,
-        in_specs=(P(), fspec, fspec, fspec, fspec, fspec, fspec, P("y", "x"), P("y", "x"))
-        + (fspec,) * n_cf,
-        out_specs=(fspec,) * 6,
-    )
-
-    def sharded_step(amp, s: FieldState) -> FieldState:
-        ex, ey, ez, hx, hy, hz = smap(
-            amp, s.ex, s.ey, s.ez, s.hx, s.hy, s.hz, prof, msrc, *coef_arrays
-        )
-        return FieldState(ex, ey, ez, hx, hy, hz)
-
     return sharded_step
 
 
 def make_sharded_chunk_runner(p: Params, mesh: Mesh, materials=None,
-                              pml=None):
+                              pml=None, accumulate_power: bool = False):
     """Jitted ``run(state, amps) -> state`` scanning the sharded step.
 
     With ``pml``: ``run((state, psi12), amps) -> (state, psi12)`` — the
     CPML memory variables ride the scan carry (see make_sharded_step).
+    With ``accumulate_power``: the sharded SAR accumulator joins the
+    signature as a trailing ``acc`` argument/result (both extras:
+    ``run((state, psi12), amps, acc) -> ((state, psi12), acc)``).
     """
-    sharded_step = make_sharded_step(p, mesh, materials, pml=pml)
+    sharded_step = make_sharded_step(p, mesh, materials, pml=pml,
+                                     accumulate_power=accumulate_power)
+
+    if pml is not None and accumulate_power:
+        @jax.jit
+        def run_pml_sar(carry, amps, acc):
+            def body(c, amp):
+                (s, psi12), a = c
+                s, psi12, a = sharded_step(amp, s, psi12, a)
+                return ((s, psi12), a), None
+
+            (carry, acc), _ = lax.scan(body, (carry, acc), amps)
+            return carry, acc
+
+        run_pml_sar.zero_psi = sharded_step.zero_psi
+        return run_pml_sar
 
     if pml is not None:
         @jax.jit
@@ -364,6 +426,18 @@ def make_sharded_chunk_runner(p: Params, mesh: Mesh, materials=None,
         run_pml.zero_psi = sharded_step.zero_psi
         return run_pml
 
+    if accumulate_power:
+        @jax.jit
+        def run_sar(s: FieldState, amps, acc):
+            def body(c, amp):
+                s, a = c
+                return sharded_step(amp, s, a), None
+
+            (s, acc), _ = lax.scan(body, (s, acc), amps)
+            return s, acc
+
+        return run_sar
+
     @jax.jit
     def run(s: FieldState, amps):
         def body(s, amp):
@@ -373,6 +447,55 @@ def make_sharded_chunk_runner(p: Params, mesh: Mesh, materials=None,
         return s
 
     return run
+
+
+def extract_psi12(p: Params, cfg, psi12):
+    """Sharded full-shape psi12 -> the canonical slab-restricted
+    :class:`fdtd_tpu.ops.cpml.PsiState` (the checkpoint format).
+
+    The sharded recursion keeps psi identically zero outside the slabs
+    ((b, c) = (1, 0) there), and inside them it computes the very same
+    values as the single-chip path, so cropping the slab rows is exact.
+    psi values at slab rows *outside* a component's update region never
+    feed a correction (the update masks exclude them) and are dropped.
+    """
+    from ..ops.cpml import PsiState, _TERMS, _slab_slices, _update_regions
+
+    regions = _update_regions(p)
+    out = {}
+    for (name, target, _sign, axis, _src, _e), full in zip(_TERMS, psi12):
+        lo_sl, hi_sl = _slab_slices(regions[target], axis, cfg.cells)
+        out[name] = jnp.concatenate([full[lo_sl], full[hi_sl]], axis=axis)
+    return PsiState(**out)
+
+
+def embed_psi12(p: Params, cfg, psi, mesh: Mesh):
+    """Canonical slab-restricted PsiState -> sharded full-shape psi12
+    (the resume inverse of :func:`extract_psi12`).
+
+    Slab rows outside the component's update region restart at zero —
+    they are correction-inert (masked out), so a resumed run stays
+    bit-equal to an uninterrupted one.
+    """
+    from ..ops.cpml import _TERMS, _slab_slices, _update_regions
+
+    Kp, Jp, Ip = padded_divisible_shape(p, mesh)
+    fsh = field_sharding(mesh)
+    regions = _update_regions(p)
+    n = cfg.cells
+    out = []
+    for name, target, _sign, axis, _src, _e in _TERMS:
+        lo_sl, hi_sl = _slab_slices(regions[target], axis, n)
+        a = jnp.asarray(getattr(psi, name))
+        lo = lax.slice_in_dim(a, 0, n, axis=axis)
+        hi = lax.slice_in_dim(a, n, 2 * n, axis=axis)
+        full = (
+            jnp.zeros((Kp, Jp, Ip), a.dtype)
+            .at[lo_sl].set(lo)
+            .at[hi_sl].set(hi)
+        )
+        out.append(jax.device_put(full, fsh))
+    return tuple(out)
 
 
 def dryrun(n_devices: int, devices=None) -> None:
@@ -414,6 +537,29 @@ def dryrun(n_devices: int, devices=None) -> None:
         (pad_state_for_mesh(p, zeros(p), mesh), run_pml.zero_psi()), amps
     )
     jax.block_until_ready(outp.ex)
+
+    # CPML x sharding x SAR (r3): sharded accumulator + psi12 in the
+    # carry; the canonical-psi round trip covers checkpoint interop
+    from ..state import water_block
+    from ..step import zero_power_acc
+    from .mesh import padded_divisible_shape as _pds
+
+    mats = water_block(p, lo=(0.3,) * 3, hi=(0.7,) * 3)
+    run_ps = make_sharded_chunk_runner(p, mesh, mats, pml=PMLConfig(cells=4),
+                                       accumulate_power=True)
+    Kp_, Jp_, Ip_ = _pds(p, mesh)
+    K_, J_, I_ = p.maxk, p.maxj, p.maxi
+    acc0 = jax.device_put(
+        jnp.pad(zero_power_acc(p),
+                ((0, Kp_ - K_), (0, Jp_ - J_), (0, Ip_ - I_))),
+        field_sharding(mesh),
+    )
+    (outs, psi12), acc = run_ps(
+        (pad_state_for_mesh(p, zeros(p), mesh), run_ps.zero_psi()), amps, acc0
+    )
+    psi_rt = embed_psi12(p, PMLConfig(cells=4),
+                         extract_psi12(p, PMLConfig(cells=4), psi12), mesh)
+    jax.block_until_ready((outs.ex, acc, psi_rt[0]))
     # a cross-shard reduction exercises the collective path end-to-end
     total = jax.jit(lambda s: sum(jnp.sum(jnp.square(a.astype(jnp.float32))) for a in (s.ex, s.ey, s.ez, s.hx, s.hy, s.hz)))(out)
     assert bool(jnp.isfinite(total)), total

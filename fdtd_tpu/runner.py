@@ -174,23 +174,50 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
     if pml is not None:
         # CPML x spatial sharding: the jnp shard_map path carries the 12
         # psi arrays in the scan (make_sharded_step(pml=)); the Pallas
-        # compositions keep the closed-cavity scope
-        from .parallel.mesh import pad_state_for_mesh, unpad_state
-        from .parallel.sharded_step import make_sharded_chunk_runner
+        # compositions keep the closed-cavity scope.  SAR rides as a
+        # sharded accumulator, checkpoint/resume through the canonical
+        # slab-restricted psi (extract_psi12/embed_psi12).
+        from .parallel.mesh import (
+            field_sharding,
+            pad_state_for_mesh,
+            padded_divisible_shape,
+            unpad_state,
+        )
+        from .parallel.sharded_step import embed_psi12, make_sharded_chunk_runner
 
-        if accumulate_power:
-            raise ValueError("--sar with --pml --shard is not supported")
         if backend not in ("auto", "xla"):
             log(
                 f"notice: --pml --shard runs the xla shard_map path "
                 f"(backend {backend!r} keeps the closed-cavity scope)"
             )
-        run_jnp = make_sharded_chunk_runner(p, mesh, materials, pml=pml)
-        prep = lambda s: (pad_state_for_mesh(p, s, mesh), run_jnp.zero_psi())
+        run_jnp = make_sharded_chunk_runner(
+            p, mesh, materials, pml=pml, accumulate_power=accumulate_power
+        )
+
+        def prep(s, resumed_psi=None):
+            psi12 = (embed_psi12(p, pml, resumed_psi, mesh)
+                     if resumed_psi is not None else run_jnp.zero_psi())
+            return (pad_state_for_mesh(p, s, mesh), psi12)
+
         restore = lambda carry: unpad_state(p, carry[0])
 
-        def run_chunk(st, chunk, power):
-            return run_jnp(st, jnp.asarray(chunk[1])), power
+        if accumulate_power:
+            K, J, I = p.maxk, p.maxj, p.maxi
+            Kp, Jp, Ip = padded_divisible_shape(p, mesh)
+            fsh = field_sharding(mesh)
+
+            def run_chunk(st, chunk, power):
+                acc = jax.device_put(
+                    jnp.pad(jnp.asarray(power),
+                            ((0, Kp - K), (0, Jp - J), (0, Ip - I))),
+                    fsh,
+                )
+                st, acc = run_jnp(st, jnp.asarray(chunk[1]), acc)
+                return st, acc[:K, :J, :I]
+        else:
+
+            def run_chunk(st, chunk, power):
+                return run_jnp(st, jnp.asarray(chunk[1])), power
 
         return prep, restore, run_chunk
 
@@ -235,21 +262,39 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
         eff = "pallas_fused"
 
     if eff == "xla":
-        # pure-jnp shard_map path — ground truth under sharding
-        from .parallel.mesh import pad_state_for_mesh, unpad_state
+        # pure-jnp shard_map path — ground truth under sharding (incl.
+        # SAR: the sharded accumulator is bit-equal to single-chip xla)
+        from .parallel.mesh import (
+            field_sharding,
+            pad_state_for_mesh,
+            padded_divisible_shape,
+            unpad_state,
+        )
         from .parallel.sharded_step import make_sharded_chunk_runner
 
-        if accumulate_power:
-            raise ValueError(
-                "--sar under --shard needs the Pallas fast path "
-                "(--backend auto or pallas_fused)"
-            )
-        run_jnp = make_sharded_chunk_runner(p, mesh, materials)
+        run_jnp = make_sharded_chunk_runner(
+            p, mesh, materials, accumulate_power=accumulate_power
+        )
         prep = lambda s: pad_state_for_mesh(p, s, mesh)
         restore = lambda s: unpad_state(p, s)
 
-        def run_chunk(st, chunk, power):
-            return run_jnp(st, jnp.asarray(chunk[1])), power
+        if accumulate_power:
+            K, J, I = p.maxk, p.maxj, p.maxi
+            Kp, Jp, Ip = padded_divisible_shape(p, mesh)
+            fsh = field_sharding(mesh)
+
+            def run_chunk(st, chunk, power):
+                acc = jax.device_put(
+                    jnp.pad(jnp.asarray(power),
+                            ((0, Kp - K), (0, Jp - J), (0, Ip - I))),
+                    fsh,
+                )
+                st, acc = run_jnp(st, jnp.asarray(chunk[1]), acc)
+                return st, acc[:K, :J, :I]
+        else:
+
+            def run_chunk(st, chunk, power):
+                return run_jnp(st, jnp.asarray(chunk[1])), power
 
         return prep, restore, run_chunk
 
@@ -387,11 +432,6 @@ def run_simulation(
             "for validation/accuracy runs"
         )
 
-    if pml is not None and shard is not None and (checkpoint_every or resume):
-        raise ValueError(
-            "--pml --shard does not compose with checkpoint/resume yet "
-            "(the sharded psi layout is not checkpointed)"
-        )
     if pml is not None and shard is None:
         # CPML absorbing boundaries (ops/cpml.py; capability extension —
         # the reference cavity is closed PEC).  psi memory variables ride
@@ -499,11 +539,29 @@ def run_simulation(
                           else init_psi(p, pml))
         restore = jax.jit(lambda carry: restore_s(carry[0]))
     elif shard is not None:
-        prep, restore = sh_prep, jax.jit(sh_restore)
+        if pml is not None:
+            # the sharded PML prep embeds a resumed canonical psi into
+            # the full-shape sharded psi12 carry
+            prep = lambda s: sh_prep(s, resumed_psi)
+        else:
+            prep = sh_prep
+        restore = jax.jit(sh_restore)
     else:
         prep, restore = backend_adapters(p, backend, materials)
         restore = jax.jit(restore)
     state = prep(state)
+
+    psi_canon = None
+    if pml is not None:
+        # checkpoint psi in the canonical slab-restricted PsiState layout
+        # whatever the carry holds (PsiState single-chip, full-shape
+        # sharded psi12 under --shard) — checkpoints interoperate
+        if shard is not None:
+            from .parallel.sharded_step import extract_psi12
+
+            psi_canon = jax.jit(lambda c: extract_psi12(p, pml, c[1]))
+        else:
+            psi_canon = lambda c: c[1]
 
     ckpt_writer = CheckpointWriter(out_dir) if checkpoint_every else None
     writer = SnapshotWriter(p, out_dir) if write_snapshots else None
@@ -596,7 +654,7 @@ def run_simulation(
             # while the next chunk runs (see io.checkpoint.CheckpointWriter)
             aux = None
             if pml is not None:
-                psi = state[1]
+                psi = psi_canon(state)
                 aux = {f"psi_{n}": getattr(psi, n)
                        for n in type(psi).__dataclass_fields__}
             ckpt_writer.submit(full, pos, t_now, power=power, aux=aux)

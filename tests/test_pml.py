@@ -368,15 +368,12 @@ def test_pml_sharded_runner_end_to_end(tiny_params, tmp_path):
     for k in ["ex", "ey", "ez", "hx", "hy", "hz"]:
         np.testing.assert_allclose(a[k], b[k], atol=1e-7, rtol=1e-5,
                                    err_msg=k)
-    with pytest.raises(ValueError, match="checkpoint"):
+    # --sar still needs lossy materials under --pml --shard (the
+    # SAR/checkpoint compositions themselves are covered by
+    # test_pml_shard_sar_matches_single_chip / test_pml_shard_checkpoint_resume)
+    with pytest.raises(ValueError, match="materials"):
         run_simulation(p, out_dir=str(tmp_path / "x"), pml=cfg, shard="4",
-                       checkpoint_every=5, log=lambda s: None)
-    with pytest.raises(ValueError, match="sar"):
-        from fdtd_tpu.state import water_block
-
-        run_simulation(p, out_dir=str(tmp_path / "x"), pml=cfg, shard="4",
-                       materials=water_block(p), accumulate_power=True,
-                       log=lambda s: None)
+                       accumulate_power=True, log=lambda s: None)
 
 
 def test_pml_het_mu_lossy_sharded_matches_single_device():
@@ -466,6 +463,111 @@ def test_pml_checkpoint_resume_bit_exact(tiny_params, tmp_path):
         np.testing.assert_array_equal(
             np.asarray(getattr(rb.state, c)), np.asarray(getattr(ra.state, c)),
             err_msg=c,
+        )
+
+
+def test_pml_shard_sar_matches_single_chip():
+    """--pml --shard --sar: the sharded SAR accumulator (cell-centered
+    means from the same halo shifts the curls use) matches the
+    single-chip xla PML+SAR accumulation, and the extracted canonical
+    psi matches the slab-restricted single-chip PsiState — both to the
+    lossy masked-vs-sliced fp64 reassociation tolerance."""
+    from fdtd_tpu.parallel.mesh import (
+        field_sharding,
+        make_mesh,
+        pad_state_for_mesh,
+        padded_divisible_shape,
+        unpad_state,
+    )
+    from fdtd_tpu.parallel.sharded_step import (
+        extract_psi12,
+        make_sharded_chunk_runner,
+    )
+    from fdtd_tpu.state import water_block
+    from fdtd_tpu.step import zero_power_acc
+
+    n, steps = 20, 30
+    p = dataclasses.replace(_box_params(n, steps, dtype="float64"),
+                            mode=Mode.COMPUTATION)
+    cfg = PMLConfig(cells=4)
+    xs = scan_inputs(p, time_values(p)[:steps])
+    mats = water_block(p, lo=(0.35,) * 3, hi=(0.65,) * 3)
+
+    run_x = make_pml_chunk_runner(p, cfg, mats, accumulate_power=True)
+    (want, psi_w), pw_want = run_x(
+        (zeros(p), init_psi(p, cfg)), xs, zero_power_acc(p)
+    )
+
+    K, J, I = p.maxk, p.maxj, p.maxi
+    mesh = make_mesh(4, (4, 1, 1), devices=jax.devices("cpu"))
+    run_sh = make_sharded_chunk_runner(p, mesh, mats, pml=cfg,
+                                       accumulate_power=True)
+    Kp, Jp, Ip = padded_divisible_shape(p, mesh)
+    acc0 = jax.device_put(
+        jnp.pad(zero_power_acc(p), ((0, Kp - K), (0, Jp - J), (0, Ip - I))),
+        field_sharding(mesh),
+    )
+    st0 = pad_state_for_mesh(p, zeros(p), mesh)
+    (st, psi12), acc = run_sh((st0, run_sh.zero_psi()),
+                              jnp.asarray(xs[1]), acc0)
+    got = unpad_state(p, st)
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, c)), np.asarray(getattr(want, c)),
+            atol=1e-18, rtol=1e-10, err_msg=c,
+        )
+    np.testing.assert_allclose(np.asarray(acc[:K, :J, :I]),
+                               np.asarray(pw_want), atol=1e-30, rtol=1e-9)
+    assert float(np.asarray(pw_want).max()) > 0
+    psi_g = extract_psi12(p, cfg, psi12)
+    for nm in type(psi_w).__dataclass_fields__:
+        np.testing.assert_allclose(
+            np.asarray(getattr(psi_g, nm)), np.asarray(getattr(psi_w, nm)),
+            atol=1e-25, rtol=1e-9, err_msg=nm,
+        )
+
+
+def test_pml_shard_checkpoint_resume(tmp_path):
+    """--pml --shard + checkpoint/resume: the sharded psi12 carry rides
+    checkpoints in the canonical slab-restricted PsiState layout
+    (extract_psi12/embed_psi12), so (a) a resumed sharded run is
+    BIT-EQUAL to the uninterrupted sharded run, and (b) a single-chip
+    PML checkpoint resumes under --shard (interoperable format)."""
+    from fdtd_tpu.runner import run_simulation
+
+    n = 20
+    p = dataclasses.replace(_box_params(n, 30, dtype="float32"),
+                            mode=Mode.COMPUTATION, sampling_rate=10)
+    cfg = PMLConfig(cells=4)
+    rfull = run_simulation(p, out_dir=str(tmp_path / "full"), pml=cfg,
+                           shard="4", write_snapshots=False,
+                           log=lambda s: None)
+    p_half = dataclasses.replace(p, simulation_time=15e-12)
+    run_simulation(p_half, out_dir=str(tmp_path / "part"), pml=cfg,
+                   shard="4", checkpoint_every=10, write_snapshots=False,
+                   log=lambda s: None)
+    rres = run_simulation(p, out_dir=str(tmp_path / "part"), pml=cfg,
+                          shard="4", resume=True, checkpoint_every=10,
+                          write_snapshots=False, log=lambda s: None)
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(rres.state, c)),
+            np.asarray(getattr(rfull.state, c)), err_msg=c,
+        )
+
+    # (b) cross-topology: single-chip xla checkpoint -> sharded resume
+    run_simulation(p_half, out_dir=str(tmp_path / "part2"), pml=cfg,
+                   backend="xla", checkpoint_every=10,
+                   write_snapshots=False, log=lambda s: None)
+    rx = run_simulation(p, out_dir=str(tmp_path / "part2"), pml=cfg,
+                        shard="4", resume=True, checkpoint_every=10,
+                        write_snapshots=False, log=lambda s: None)
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        # masked-vs-sliced fp32 reassociation across the topology switch
+        np.testing.assert_allclose(
+            np.asarray(getattr(rx.state, c)),
+            np.asarray(getattr(rfull.state, c)),
+            atol=5e-6, rtol=1e-4, err_msg=c,
         )
 
 

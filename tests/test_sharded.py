@@ -162,3 +162,39 @@ def test_sharded_step_mu_matches_single_device(tiny_params):
     run = make_sharded_chunk_runner(p, mesh, materials=mats)
     got = run(sp, xs[1])
     _compare(p, got, want)
+
+
+def test_sharded_xla_sar_matches_single_chip(tiny_params):
+    """--shard --backend xla --sar: the jnp shard_map path accumulates
+    SAR with cell-centered means built from the same halo shifts the
+    curls use — matching the single-chip xla accumulation (fp64,
+    reassociation tolerance on the lossy masked-vs-sliced fields)."""
+    from fdtd_tpu.parallel.mesh import field_sharding, padded_divisible_shape
+    from fdtd_tpu.state import water_block
+    from fdtd_tpu.step import zero_power_acc
+
+    import jax.numpy as jnp
+
+    p = dataclasses.replace(tiny_params, mode=Mode.COMPUTATION)
+    mats = water_block(p, lo=(0.2, 0.2, 0.2), hi=(0.8, 0.8, 0.8))
+    n_steps = 8
+    s0 = zeros(p)
+    xs = scan_inputs(p, time_values(p)[:n_steps])
+    run_ref = make_chunk_runner(p, materials=mats, accumulate_power=True)
+    want, pw_want = run_ref(s0, xs, zero_power_acc(p))
+
+    K, J, I = p.maxk, p.maxj, p.maxi
+    mesh = make_mesh(8, (2, 2, 2), devices=jax.devices("cpu"))
+    Kp, Jp, Ip = padded_divisible_shape(p, mesh)
+    acc0 = jax.device_put(
+        jnp.pad(zero_power_acc(p), ((0, Kp - K), (0, Jp - J), (0, Ip - I))),
+        field_sharding(mesh),
+    )
+    sp = pad_state_for_mesh(p, s0, mesh)
+    run = make_sharded_chunk_runner(p, mesh, materials=mats,
+                                    accumulate_power=True)
+    got, acc = run(sp, xs[1], acc0)
+    _compare(p, got, want)
+    np.testing.assert_allclose(np.asarray(acc[:K, :J, :I]),
+                               np.asarray(pw_want), atol=1e-30, rtol=1e-9)
+    assert float(np.asarray(pw_want).max()) > 0
