@@ -618,6 +618,24 @@ def dryrun(n_devices: int, devices=None) -> None:
             st6, acc = run_sar(st6, xs8, acc0)
             jax.block_until_ready(acc)
 
+    # CPML on the sharded Pallas fast path (r3): per-shard two-pass
+    # kernels + XLA slab psi corrections, psi pack in the scan carry,
+    # canonical extraction for checkpoint interop
+    from .sharded_pml_fast import (
+        extract_psi_pack,
+        make_sharded_pml_fast_runner,
+        sharded_pml_fast_supported,
+    )
+
+    if sharded_pml_fast_supported(p, PMLConfig(cells=4), n_devices):
+        stp = to_sharded_fast(p, zeros(p), mesh_z)
+        run_pf = make_sharded_pml_fast_runner(
+            p, mesh_z, PMLConfig(cells=4), interpret=interp
+        )
+        stp, psip = run_pf((stp, run_pf.zero_psi()), xs)
+        psi_c = extract_psi_pack(p, PMLConfig(cells=4), n_devices, psip)
+        jax.block_until_ready((stp.ex, psi_c.ey_z))
+
     # and the 2-D (z x y) fast path when the device count splits
     if n_devices >= 4 and n_devices % 2 == 0:
         from .sharded_fast import (

@@ -172,23 +172,83 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
     interp = devs[0].platform != "tpu"
 
     if pml is not None:
-        # CPML x spatial sharding: the jnp shard_map path carries the 12
-        # psi arrays in the scan (make_sharded_step(pml=)); the Pallas
-        # compositions keep the closed-cavity scope.  SAR rides as a
-        # sharded accumulator, checkpoint/resume through the canonical
-        # slab-restricted psi (extract_psi12/embed_psi12).
+        # CPML x spatial sharding.  Fast path (r3): per-shard two-pass
+        # Pallas kernels + XLA slab psi corrections between the passes
+        # (parallel/sharded_pml_fast.py) — auto on a 1-D TPU mesh,
+        # explicit via pallas_fused.  Otherwise the jnp shard_map path
+        # carries the 12 psi arrays in the scan (make_sharded_step(pml=)).
+        # SAR rides as a sharded accumulator; checkpoint/resume through
+        # the canonical slab-restricted psi either way.
+        from .ops.cpml_fast import fast_pml_supported
         from .parallel.mesh import (
             field_sharding,
             pad_state_for_mesh,
             padded_divisible_shape,
             unpad_state,
         )
+        from .parallel import sharded_pml_fast as spf
         from .parallel.sharded_step import embed_psi12, make_sharded_chunk_runner
+        from .state import update_coefs as _update_coefs
+
+        fast_ok = (
+            ny == 1
+            and fast_pml_supported(p, pml, materials)
+            and spf.sharded_pml_fast_supported(p, pml, nz, materials)
+        )
+        want_fast = (
+            backend in ("pallas_fused", "pallas")
+            or (backend == "auto" and devs[0].platform == "tpu")
+        )
+        if fast_ok and want_fast:
+            run_fast = spf.make_sharded_pml_fast_runner(
+                p, mesh, pml, materials=materials,
+                accumulate_power=accumulate_power, interpret=interp,
+            )
+            coefs_f = (_update_coefs(p, materials)
+                       if materials is not None else None)
+
+            def prep(s, resumed_psi=None):
+                psi = (spf.embed_psi_pack(p, pml, mesh, resumed_psi)
+                       if resumed_psi is not None else run_fast.zero_psi())
+                return (sf.to_sharded_fast(p, s, mesh, coefs=coefs_f), psi)
+
+            restore = lambda carry: sf.from_sharded_fast(p, carry[0], mesh)
+
+            if accumulate_power:
+                K, J, I = p.maxk, p.maxj, p.maxi
+                Klp = sf._geometry(p, nz)[4]
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                acc_sh = NamedSharding(mesh, P("z", None, None))
+
+                def run_chunk(carry, chunk, power):
+                    acc = jax.device_put(
+                        jnp.pad(jnp.asarray(power),
+                                ((0, nz * Klp - K), (0, 0), (0, 0))),
+                        acc_sh,
+                    )
+                    carry, acc = run_fast(carry, chunk, acc)
+                    return carry, acc[:K]
+            else:
+
+                def run_chunk(carry, chunk, power):
+                    return run_fast(carry, chunk), power
+
+            run_chunk.psi_canon = (
+                lambda c: spf.extract_psi_pack(p, pml, nz, c[1])
+            )
+            return prep, restore, run_chunk
 
         if backend not in ("auto", "xla"):
+            why = (
+                "keeps the closed-cavity scope" if backend
+                not in ("pallas_fused", "pallas")
+                else "needs a 1-D z mesh, fp32/bf16, Klp >= cells and "
+                     "slab-constant factors"
+            )
             log(
                 f"notice: --pml --shard runs the xla shard_map path "
-                f"(backend {backend!r} keeps the closed-cavity scope)"
+                f"(backend {backend!r} {why})"
             )
         run_jnp = make_sharded_chunk_runner(
             p, mesh, materials, pml=pml, accumulate_power=accumulate_power
@@ -557,9 +617,13 @@ def run_simulation(
         # whatever the carry holds (PsiState single-chip, full-shape
         # sharded psi12 under --shard) — checkpoints interoperate
         if shard is not None:
-            from .parallel.sharded_step import extract_psi12
+            # the sharded PML fast path ships its own (host-side)
+            # pack -> canonical extraction on run_chunk
+            psi_canon = getattr(run_chunk, "psi_canon", None)
+            if psi_canon is None:
+                from .parallel.sharded_step import extract_psi12
 
-            psi_canon = jax.jit(lambda c: extract_psi12(p, pml, c[1]))
+                psi_canon = jax.jit(lambda c: extract_psi12(p, pml, c[1]))
         else:
             psi_canon = lambda c: c[1]
 

@@ -760,3 +760,208 @@ def test_pml_cli_flag(tiny_params, tmp_path, capsys):
     rc = main([str(params), "--out", str(tmp_path / "o"), "--pml", "3",
                "--no-output"])
     assert rc == 0
+
+
+# ---------------------------------------------------------------------------
+# CPML on the 1-D z-sharded Pallas fast path (parallel/sharded_pml_fast.py)
+
+
+def test_pml_sharded_fast_matches_single_chip_fast():
+    """Vacuum computation mode fp64 on a 2-way z mesh: the sharded fast
+    composition (per-shard two-pass kernels + XLA slab psi corrections)
+    is BIT-EQUAL to the single-chip fast composition — fields AND the
+    canonical psi extracted from the sharded pack."""
+    from fdtd_tpu.ops.cpml_fast import make_pml_fast_chunk_runner
+    from fdtd_tpu.parallel.mesh import make_mesh
+    from fdtd_tpu.parallel.sharded_fast import from_sharded_fast, to_sharded_fast
+    from fdtd_tpu.parallel.sharded_pml_fast import (
+        extract_psi_pack,
+        make_sharded_pml_fast_runner,
+        sharded_pml_fast_supported,
+    )
+    from fdtd_tpu.step import backend_adapters
+
+    n, steps = 24, 40
+    p = dataclasses.replace(_box_params(n, steps, dtype="float64"),
+                            mode=Mode.COMPUTATION)
+    cfg = PMLConfig(cells=5)
+    xs = scan_inputs(p, time_values(p)[:steps])
+    assert sharded_pml_fast_supported(p, cfg, 2)
+
+    prep, restore = backend_adapters(p, "pallas_fused")
+    run_f = make_pml_fast_chunk_runner(p, cfg)
+    (st_w, psi_w), _ = run_f((prep(zeros(p)), init_psi(p, cfg)), xs, None)
+    want = restore(st_w)
+
+    mesh = make_mesh(2, (2, 1, 1), devices=jax.devices("cpu"))
+    run = make_sharded_pml_fast_runner(p, mesh, cfg, interpret=True)
+    st0 = to_sharded_fast(p, zeros(p), mesh)
+    st, pack = run((st0, run.zero_psi()), xs)
+    got = from_sharded_fast(p, st, mesh)
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, c)), np.asarray(getattr(want, c)),
+            err_msg=c,
+        )
+    psi_g = extract_psi_pack(p, cfg, 2, pack)
+    engaged = 0
+    for nm in type(psi_w).__dataclass_fields__:
+        a = np.asarray(getattr(psi_g, nm))
+        np.testing.assert_array_equal(a, np.asarray(getattr(psi_w, nm)),
+                                      err_msg=nm)
+        engaged += float(np.abs(a).max()) > 0
+    assert engaged >= 6
+
+
+def test_pml_sharded_fast_materials_and_sar():
+    """Lossy water load clear of the absorber + SAR on a 2-way mesh: the
+    sharded composition matches the single-chip fast path to the fp64
+    kernel-reassociation tolerance; the SAR accumulator increments are
+    the same jnp values (rtol 1e-9 over the halo-exchange order)."""
+    from fdtd_tpu.ops.cpml_fast import make_pml_fast_chunk_runner
+    from fdtd_tpu.parallel.mesh import make_mesh
+    from fdtd_tpu.parallel.sharded_fast import (
+        _geometry,
+        from_sharded_fast,
+        to_sharded_fast,
+    )
+    from fdtd_tpu.parallel.sharded_pml_fast import make_sharded_pml_fast_runner
+    from fdtd_tpu.state import update_coefs, water_block
+    from fdtd_tpu.step import backend_adapters, zero_power_acc
+
+    n, steps = 24, 40
+    p = dataclasses.replace(_box_params(n, steps, dtype="float64"),
+                            mode=Mode.COMPUTATION)
+    cfg = PMLConfig(cells=5)
+    xs = scan_inputs(p, time_values(p)[:steps])
+    mats = water_block(p, lo=(0.35,) * 3, hi=(0.65,) * 3)
+
+    prep, restore = backend_adapters(p, "pallas_fused", mats)
+    run_f = make_pml_fast_chunk_runner(p, cfg, mats, accumulate_power=True)
+    (st_w, _), pw_want = run_f((prep(zeros(p)), init_psi(p, cfg)), xs,
+                               zero_power_acc(p))
+    want = restore(st_w)
+
+    mesh = make_mesh(2, (2, 1, 1), devices=jax.devices("cpu"))
+    run = make_sharded_pml_fast_runner(p, mesh, cfg, materials=mats,
+                                       accumulate_power=True, interpret=True)
+    st0 = to_sharded_fast(p, zeros(p), mesh, coefs=update_coefs(p, mats))
+    K = p.maxk
+    Klp = _geometry(p, 2)[4]
+    acc0 = jnp.asarray(np.pad(np.asarray(zero_power_acc(p)),
+                              ((0, 2 * Klp - K), (0, 0), (0, 0))))
+    (st, _), acc = run((st0, run.zero_psi()), xs, acc0)
+    got = from_sharded_fast(p, st, mesh)
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, c)), np.asarray(getattr(want, c)),
+            atol=1e-14, rtol=1e-12, err_msg=c,
+        )
+    np.testing.assert_allclose(np.asarray(acc[:K]), np.asarray(pw_want),
+                               atol=1e-30, rtol=1e-9)
+    assert float(np.asarray(pw_want).max()) > 0
+
+
+def test_pml_sharded_fast_psi_pack_roundtrip():
+    """embed_psi_pack is the exact inverse of extract_psi_pack (the
+    checkpoint interop contract), including straddling-slab geometries
+    where a k slab spans two shards."""
+    from fdtd_tpu.ops.cpml import PsiState, psi_shapes
+    from fdtd_tpu.parallel.mesh import make_mesh
+    from fdtd_tpu.parallel.sharded_pml_fast import (
+        _psi_shapes,
+        embed_psi_pack,
+        extract_psi_pack,
+    )
+
+    rng = np.random.default_rng(0)
+    for n_box, nsh, cells in [(24, 2, 5), (24, 8, 3), (17, 4, 4)]:
+        p = _box_params(n_box, 10, dtype="float64")
+        cfg = PMLConfig(cells=cells)
+        mesh = make_mesh(nsh, (nsh, 1, 1), devices=jax.devices("cpu"))
+        psi = PsiState(**{nm: jnp.asarray(rng.normal(size=sh))
+                          for nm, sh in psi_shapes(p, cfg).items()})
+        pack = embed_psi_pack(p, cfg, mesh, psi)
+        for a, (nm, sh) in zip(pack, _psi_shapes(p, cfg, nsh).items()):
+            assert a.shape == sh, (nm, a.shape, sh)
+        back = extract_psi_pack(p, cfg, nsh, pack)
+        for nm in PsiState.__dataclass_fields__:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(back, nm)), np.asarray(getattr(psi, nm)),
+                err_msg=f"{n_box}/{nsh}/{cells}/{nm}",
+            )
+
+
+def test_pml_sharded_fast_runner_dispatch_and_resume(tmp_path):
+    """run_simulation(pml=..., shard="2", backend="pallas_fused") builds
+    the sharded fast composition, matches the sharded xla dispatch at
+    fp32, and checkpoint/resume through the canonical psi is bit-exact —
+    including a cross-topology resume from a single-chip fast checkpoint."""
+    from fdtd_tpu.runner import run_simulation
+
+    n = 20
+    p = dataclasses.replace(_box_params(n, 30, dtype="float32"),
+                            mode=Mode.COMPUTATION, sampling_rate=10)
+    cfg = PMLConfig(cells=4)
+    ra = run_simulation(p, out_dir=str(tmp_path / "x"), pml=cfg, shard="2",
+                        backend="xla", write_snapshots=False,
+                        log=lambda s: None)
+    msgs: list[str] = []
+    rb = run_simulation(p, out_dir=str(tmp_path / "f"), pml=cfg, shard="2",
+                        backend="pallas_fused", write_snapshots=False,
+                        log=msgs.append)
+    assert not any("notice" in m for m in msgs)  # fast path taken
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        # fp32 round-off between two equivalent sharded arithmetics
+        # (kernel+slab-correct vs masked jnp); measured max 1.3e-7 abs
+        np.testing.assert_allclose(
+            np.asarray(getattr(rb.state, c)), np.asarray(getattr(ra.state, c)),
+            atol=5e-7, rtol=1e-4, err_msg=c,
+        )
+
+    # checkpoint/resume: interrupted sharded-fast == uninterrupted
+    p_half = dataclasses.replace(p, simulation_time=15e-12)
+    run_simulation(p_half, out_dir=str(tmp_path / "part"), pml=cfg,
+                   shard="2", backend="pallas_fused", checkpoint_every=15,
+                   write_snapshots=False, log=lambda s: None)
+    rc = run_simulation(p, out_dir=str(tmp_path / "part"), pml=cfg,
+                        shard="2", backend="pallas_fused", resume=True,
+                        checkpoint_every=15, write_snapshots=False,
+                        log=lambda s: None)
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(rc.state, c)), np.asarray(getattr(rb.state, c)),
+            err_msg=c,
+        )
+
+    # cross-topology interop: resume the single-chip fast path from the
+    # sharded-fast checkpoint (canonical psi in both)
+    rd = run_simulation(p, out_dir=str(tmp_path / "part"), pml=cfg,
+                        backend="pallas_fused", resume=True,
+                        checkpoint_every=15, write_snapshots=False,
+                        log=lambda s: None)
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(rd.state, c)), np.asarray(getattr(rb.state, c)),
+            atol=1e-7, rtol=1e-5, err_msg=c,
+        )
+
+
+def test_pml_sharded_fast_supported_gates():
+    """The support gate: too-shallow local slabs (Klp < cells) and
+    materials overlapping the absorber both fall back."""
+    from fdtd_tpu.parallel.sharded_fast import _geometry
+    from fdtd_tpu.parallel.sharded_pml_fast import sharded_pml_fast_supported
+    from fdtd_tpu.state import Materials
+
+    p = _box_params(24, 10, dtype="float64")
+    assert sharded_pml_fast_supported(p, PMLConfig(cells=5), 2)
+    # Klp for 8 shards of a 24^3 box is D-aligned; a cells beyond it gates
+    Klp8 = _geometry(p, 8)[4]
+    assert not sharded_pml_fast_supported(p, PMLConfig(cells=Klp8 + 1), 8)
+
+    K, J, I = p.maxk, p.maxj, p.maxi
+    sg = np.zeros((K, J, I))
+    sg[0:3, :, :] = 0.1  # conductive load inside the k-lo slab
+    mats = Materials(eps_r=np.ones((K, J, I)), sigma=sg, mu_r=None)
+    assert not sharded_pml_fast_supported(p, PMLConfig(cells=5), 2, mats)
