@@ -13,6 +13,7 @@ from .params import Mode, Params, SourceConfig, load_parameters, parse_params_te
 from .state import FieldState, Materials, zeros, init_validation, update_coefs, water_block
 from .step import make_step, make_chunk_runner
 from .ops.cpml import PMLConfig
+from .thermal import ThermalMaterials, air_thermal, run_thermal, water_thermal
 from . import analytic, diagnostics, grid
 
 __all__ = [
@@ -32,6 +33,10 @@ __all__ = [
     "make_step",
     "make_chunk_runner",
     "PMLConfig",
+    "ThermalMaterials",
+    "air_thermal",
+    "run_thermal",
+    "water_thermal",
     "analytic",
     "diagnostics",
     "grid",

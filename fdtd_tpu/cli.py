@@ -71,6 +71,14 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--source-pulse-delay", type=float, default=None,
                     metavar="S", help="gaussian envelope center in seconds "
                     "(default: 3 widths)")
+    ap.add_argument("--thermal", type=float, default=None, metavar="SECONDS",
+                    help="after the EM run, integrate the heat equation for "
+                         "SECONDS of cook time driven by the SAR map "
+                         "(needs --sar and a lossy load, e.g. --water-block); "
+                         "writes temperature.vtr")
+    ap.add_argument("--thermal-ambient", type=float, default=20.0,
+                    metavar="C", help="initial/ambient temperature "
+                    "(default 20 C)")
     return ap
 
 
@@ -131,6 +139,16 @@ def main(argv=None) -> int:
     if args.ferrite_slab:
         materials = ferrite_slab(p, base=materials)
 
+    if args.thermal is not None:
+        if not args.sar:
+            print("error: --thermal needs --sar (the SAR map is the heat "
+                  "source)", file=sys.stderr)
+            return 1
+        if args.thermal <= 0:
+            print("error: --thermal duration must be positive seconds",
+                  file=sys.stderr)
+            return 1
+
     print("Initializing fields")
     if p.mode == Mode.VALIDATION:
         print("Validation mode activated. ")
@@ -175,6 +193,54 @@ def main(argv=None) -> int:
         f"{result.iterations} iterations in {result.wall_seconds:.3f}s "
         f"({result.mcells_per_s:.1f} Mcells/s)"
     )
+
+    if args.sar and result.power_j is not None and not args.no_output:
+        import os
+
+        import numpy as np
+
+        from . import grid
+        from .io.vtr import write_vtr
+
+        acc = np.asarray(result.power_j, dtype=np.float64)
+        t_em = result.iterations * p.time_step
+        sar_path = os.path.join(args.out, "sar.vtr")
+        write_vtr(sar_path, grid.node_coords(p),
+                  {"power_j_m3": acc, "avg_power_w_m3": acc / t_em})
+        print(f"SAR map written to {sar_path} "
+              f"(peak {acc.max():.3e} J/m^3 over {t_em:.3e} s)")
+
+    if args.thermal is not None:
+        import os
+
+        import numpy as np
+
+        from . import grid
+        from .io.vtr import write_vtr
+        from .thermal import air_thermal, run_thermal, water_thermal
+
+        tm = water_thermal(p) if args.water_block else air_thermal(p)
+        t_em = result.iterations * p.time_step
+        q = np.asarray(result.power_j, dtype=np.float64) / t_em
+        print(f"Integrating the heat equation for {args.thermal:g} s "
+              f"of cook time")
+        tr = run_thermal(p, tm, q, args.thermal, ambient=args.thermal_ambient)
+        T = np.asarray(tr.temperature, dtype=np.float64)
+        if not args.no_output:
+            t_path = os.path.join(args.out, "temperature.vtr")
+            write_vtr(t_path, grid.node_coords(p), {"temperature_c": T})
+            print(f"Temperature map written to {t_path}")
+        hot = np.unravel_index(int(T.argmax()), T.shape)
+        print(f"Peak temperature {T.max():.2f} C at cell (k,j,i)={hot} "
+              f"(ambient {args.thermal_ambient:g} C, {tr.steps} thermal "
+              f"steps of {tr.dt:.3e} s)")
+        # scale report in fp64 host arithmetic: with a unit-amplitude
+        # source the integrated rise can sit below fp32 resolution
+        qh = np.unravel_index(int(q.argmax()), q.shape)
+        rise = q.max() * args.thermal / float(np.asarray(tm.rho_c)[qh])
+        print(f"Peak deposited power {q.max():.3e} W/m^3 at {qh}; "
+              f"adiabatic rise over {args.thermal:g} s ~ {rise:.3e} K")
+
     print("Simulation complete!")
     return 0
 
