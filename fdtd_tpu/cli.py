@@ -194,7 +194,8 @@ def main(argv=None) -> int:
         f"({result.mcells_per_s:.1f} Mcells/s)"
     )
 
-    if args.sar and result.power_j is not None and not args.no_output:
+    if result.power_j is not None and (
+            (args.sar and not args.no_output) or args.thermal is not None):
         import os
 
         import numpy as np
@@ -204,42 +205,38 @@ def main(argv=None) -> int:
 
         acc = np.asarray(result.power_j, dtype=np.float64)
         t_em = result.iterations * p.time_step
-        sar_path = os.path.join(args.out, "sar.vtr")
-        write_vtr(sar_path, grid.node_coords(p),
-                  {"power_j_m3": acc, "avg_power_w_m3": acc / t_em})
-        print(f"SAR map written to {sar_path} "
-              f"(peak {acc.max():.3e} J/m^3 over {t_em:.3e} s)")
 
-    if args.thermal is not None:
-        import os
+        if args.sar and not args.no_output:
+            sar_path = os.path.join(args.out, "sar.vtr")
+            write_vtr(sar_path, grid.node_coords(p),
+                      {"power_j_m3": acc, "avg_power_w_m3": acc / t_em})
+            print(f"SAR map written to {sar_path} "
+                  f"(peak {acc.max():.3e} J/m^3 over {t_em:.3e} s)")
 
-        import numpy as np
+        if args.thermal is not None:
+            from .thermal import air_thermal, run_thermal, water_thermal
 
-        from . import grid
-        from .io.vtr import write_vtr
-        from .thermal import air_thermal, run_thermal, water_thermal
-
-        tm = water_thermal(p) if args.water_block else air_thermal(p)
-        t_em = result.iterations * p.time_step
-        q = np.asarray(result.power_j, dtype=np.float64) / t_em
-        print(f"Integrating the heat equation for {args.thermal:g} s "
-              f"of cook time")
-        tr = run_thermal(p, tm, q, args.thermal, ambient=args.thermal_ambient)
-        T = np.asarray(tr.temperature, dtype=np.float64)
-        if not args.no_output:
-            t_path = os.path.join(args.out, "temperature.vtr")
-            write_vtr(t_path, grid.node_coords(p), {"temperature_c": T})
-            print(f"Temperature map written to {t_path}")
-        hot = np.unravel_index(int(T.argmax()), T.shape)
-        print(f"Peak temperature {T.max():.2f} C at cell (k,j,i)={hot} "
-              f"(ambient {args.thermal_ambient:g} C, {tr.steps} thermal "
-              f"steps of {tr.dt:.3e} s)")
-        # scale report in fp64 host arithmetic: with a unit-amplitude
-        # source the integrated rise can sit below fp32 resolution
-        qh = np.unravel_index(int(q.argmax()), q.shape)
-        rise = q.max() * args.thermal / float(np.asarray(tm.rho_c)[qh])
-        print(f"Peak deposited power {q.max():.3e} W/m^3 at {qh}; "
-              f"adiabatic rise over {args.thermal:g} s ~ {rise:.3e} K")
+            tm = water_thermal(p) if args.water_block else air_thermal(p)
+            q = acc / t_em
+            print(f"Integrating the heat equation for {args.thermal:g} s "
+                  f"of cook time")
+            tr = run_thermal(p, tm, q, args.thermal,
+                             ambient=args.thermal_ambient)
+            T = tr.temperature
+            rise = np.asarray(tr.rise, dtype=np.float64)
+            if not args.no_output:
+                t_path = os.path.join(args.out, "temperature.vtr")
+                write_vtr(t_path, grid.node_coords(p), {"temperature_c": T})
+                print(f"Temperature map written to {t_path}")
+            hot = tuple(int(c) for c in
+                        np.unravel_index(int(rise.argmax()), rise.shape))
+            print(f"Peak temperature {T.max():.2f} C "
+                  f"(rise {rise.max():.3e} K) at cell (k,j,i)={hot} "
+                  f"(ambient {args.thermal_ambient:g} C, {tr.steps} thermal "
+                  f"steps of {tr.dt:.3e} s)")
+            qh = tuple(int(c) for c in
+                       np.unravel_index(int(q.argmax()), q.shape))
+            print(f"Peak deposited power {q.max():.3e} W/m^3 at {qh}")
 
     print("Simulation complete!")
     return 0

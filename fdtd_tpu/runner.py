@@ -171,6 +171,20 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
     # "tpu", but Mosaic kernels can't compile for the CPU mesh
     interp = devs[0].platform != "tpu"
 
+    def acc_chunk(run, pads, acc_sh, crop, chunk_of=lambda c: c):
+        """``run_chunk`` keeping the SAR accumulator sharded across the
+        chunk: pad the canonical (maxk, maxj, maxi) accumulator to the
+        mesh-divisible layout, device_put with the path's sharding, run,
+        crop back — the one pad/put/crop shape every sharded SAR path
+        shares (fast-PML, jnp-PML, xla, stream/fused/temporal)."""
+
+        def run_chunk(st, chunk, power):
+            acc = jax.device_put(jnp.pad(jnp.asarray(power), pads), acc_sh)
+            st, acc = run(st, chunk_of(chunk), acc)
+            return st, acc[crop]
+
+        return run_chunk
+
     if pml is not None:
         # CPML x spatial sharding.  Fast path (r3): per-shard two-pass
         # Pallas kernels + XLA slab psi corrections between the passes
@@ -215,20 +229,15 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
             restore = lambda carry: sf.from_sharded_fast(p, carry[0], mesh)
 
             if accumulate_power:
-                K, J, I = p.maxk, p.maxj, p.maxi
+                K = p.maxk
                 Klp = sf._geometry(p, nz)[4]
                 from jax.sharding import NamedSharding, PartitionSpec as P
 
                 acc_sh = NamedSharding(mesh, P("z", None, None))
-
-                def run_chunk(carry, chunk, power):
-                    acc = jax.device_put(
-                        jnp.pad(jnp.asarray(power),
-                                ((0, nz * Klp - K), (0, 0), (0, 0))),
-                        acc_sh,
-                    )
-                    carry, acc = run_fast(carry, chunk, acc)
-                    return carry, acc[:K]
+                run_chunk = acc_chunk(
+                    run_fast, ((0, nz * Klp - K), (0, 0), (0, 0)),
+                    acc_sh, (slice(None, K),),
+                )
             else:
 
                 def run_chunk(carry, chunk, power):
@@ -264,16 +273,12 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
         if accumulate_power:
             K, J, I = p.maxk, p.maxj, p.maxi
             Kp, Jp, Ip = padded_divisible_shape(p, mesh)
-            fsh = field_sharding(mesh)
-
-            def run_chunk(st, chunk, power):
-                acc = jax.device_put(
-                    jnp.pad(jnp.asarray(power),
-                            ((0, Kp - K), (0, Jp - J), (0, Ip - I))),
-                    fsh,
-                )
-                st, acc = run_jnp(st, jnp.asarray(chunk[1]), acc)
-                return st, acc[:K, :J, :I]
+            run_chunk = acc_chunk(
+                run_jnp, ((0, Kp - K), (0, Jp - J), (0, Ip - I)),
+                field_sharding(mesh),
+                (slice(None, K), slice(None, J), slice(None, I)),
+                chunk_of=lambda c: jnp.asarray(c[1]),
+            )
         else:
 
             def run_chunk(st, chunk, power):
@@ -341,16 +346,12 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
         if accumulate_power:
             K, J, I = p.maxk, p.maxj, p.maxi
             Kp, Jp, Ip = padded_divisible_shape(p, mesh)
-            fsh = field_sharding(mesh)
-
-            def run_chunk(st, chunk, power):
-                acc = jax.device_put(
-                    jnp.pad(jnp.asarray(power),
-                            ((0, Kp - K), (0, Jp - J), (0, Ip - I))),
-                    fsh,
-                )
-                st, acc = run_jnp(st, jnp.asarray(chunk[1]), acc)
-                return st, acc[:K, :J, :I]
+            run_chunk = acc_chunk(
+                run_jnp, ((0, Kp - K), (0, Jp - J), (0, Ip - I)),
+                field_sharding(mesh),
+                (slice(None, K), slice(None, J), slice(None, I)),
+                chunk_of=lambda c: jnp.asarray(c[1]),
+            )
         else:
 
             def run_chunk(st, chunk, power):
@@ -361,9 +362,8 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
     coefs = update_coefs(p, materials) if materials is not None else None
 
     def sar_chunk(run_sh):
-        """``run_chunk`` keeping the SAR accumulator sharded across the
-        chunk and cropped back to the canonical (maxk, maxj, ...) rows at
-        the boundary — one shape for every sharded SAR path."""
+        """:func:`acc_chunk` with the stripped-layout pad geometry the
+        stream/fused/temporal sharded paths share."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         K, J = p.maxk, p.maxj
@@ -372,17 +372,10 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
         else:
             Klp, Jlp = sf._geometry2d(p, nz, ny)[5], sf._geometry2d(p, nz, ny)[7]
         acc_sh = NamedSharding(mesh, P("z", "y" if ny > 1 else None, None))
-
-        def run_chunk(st, chunk, power):
-            acc = jax.device_put(
-                jnp.pad(jnp.asarray(power),
-                        ((0, nz * Klp - K), (0, ny * Jlp - J), (0, 0))),
-                acc_sh,
-            )
-            st, acc = run_sh(st, chunk, acc)
-            return st, acc[:K, :J]
-
-        return run_chunk
+        return acc_chunk(
+            run_sh, ((0, nz * Klp - K), (0, ny * Jlp - J), (0, 0)),
+            acc_sh, (slice(None, K), slice(None, J)),
+        )
 
     if eff == "pallas_stream":
         if ny > 1:

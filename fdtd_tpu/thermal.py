@@ -121,6 +121,14 @@ def make_thermal_step(p: Params, tm: ThermalMaterials, q, dt: float):
 
     ``q``: (maxk, maxj, maxi) volumetric power density (W/m^3) — e.g.
     ``power_acc / t_em`` from an EM ``--sar`` run.
+
+    The update is linear in ``T`` and a uniform constant carries zero
+    flux through every face (including the insulated walls), so stepping
+    an absolute temperature and stepping a rise above any uniform
+    ambient are algebraically identical — :func:`run_thermal` exploits
+    this to integrate the *rise*, whose leading digits are the signal,
+    instead of an absolute field whose fp32 resolution at ~300 K
+    (~2e-6 K) would swallow realistic per-step rises.
     """
     dx2 = p.spatial_step**2
     dtype = jnp.float32 if jnp.dtype(p.dtype) != jnp.float64 else jnp.float64
@@ -150,9 +158,21 @@ def make_thermal_step(p: Params, tm: ThermalMaterials, q, dt: float):
 
 @dataclasses.dataclass
 class ThermalResult:
-    temperature: jax.Array  # (maxk, maxj, maxi), degrees C
+    rise: jax.Array  # (maxk, maxj, maxi) rise above ambient, degrees K
+    ambient: float
     dt: float
     steps: int
+
+    @property
+    def temperature(self) -> np.ndarray:
+        """Absolute temperature (degrees C), reconstructed in fp64 on host.
+
+        The integration carries the *rise* above the uniform ambient (see
+        :func:`make_thermal_step`: the two are algebraically identical),
+        so small rises keep their full compute-dtype resolution instead
+        of being rounded against the ~300 K ambient magnitude.
+        """
+        return np.asarray(self.rise, np.float64) + self.ambient
 
 
 def run_thermal(p: Params, tm: ThermalMaterials, q, duration: float,
@@ -163,26 +183,38 @@ def run_thermal(p: Params, tm: ThermalMaterials, q, duration: float,
     ``q``: volumetric power density (W/m^3); ``t0``: initial temperature
     field (defaults to uniform ``ambient``).  The last step is shortened
     to land exactly on ``duration``.
+
+    The state variable is the rise ``T - ambient`` (exactly equivalent:
+    the update is linear and a uniform shift carries zero flux), and a
+    ``float64`` ``p.dtype`` runs under :func:`jax.enable_x64` so the CLI
+    honors ``--dtype float64`` without a process-global x64 flag.
     """
     if duration <= 0:
         raise ValueError("thermal duration must be positive")
+    want64 = jnp.dtype(p.dtype) == jnp.float64
+    if want64 and not jax.config.jax_enable_x64:
+        with jax.enable_x64(True):
+            return run_thermal(p, tm, q, duration, ambient=ambient,
+                               dt=dt, t0=t0)
     dt_s = stable_dt(p, tm) if dt is None else float(dt)
     n_full = int(duration / dt_s)
     rem = duration - n_full * dt_s
-    dtype = jnp.float32 if jnp.dtype(p.dtype) != jnp.float64 else jnp.float64
-    T = (jnp.full((p.maxk, p.maxj, p.maxi), ambient, dtype)
-         if t0 is None else jnp.asarray(t0, dtype))
-    q = jnp.asarray(q, dtype)
+    dtype = jnp.float64 if want64 else jnp.float32
+    D = (jnp.zeros((p.maxk, p.maxj, p.maxi), dtype) if t0 is None
+         else jnp.asarray(np.asarray(t0, np.float64) - ambient, dtype))
+    q = np.asarray(q, np.float64)  # q*(dt/rho_c) forms in fp64 on host
 
     if n_full:
         step = make_thermal_step(p, tm, q, dt_s)
 
         @jax.jit
-        def run(T):
-            return lax.scan(lambda T, _: (step(T), None), T,
+        def run(D):
+            return lax.scan(lambda D, _: (step(D), None), D,
                             None, length=n_full)[0]
 
-        T = run(T)
-    if rem > 1e-12 * duration:
-        T = jax.jit(make_thermal_step(p, tm, q, rem))(T)
-    return ThermalResult(temperature=T, dt=dt_s, steps=n_full + (rem > 0))
+        D = run(D)
+    do_rem = rem > 1e-12 * duration
+    if do_rem:
+        D = jax.jit(make_thermal_step(p, tm, q, rem))(D)
+    return ThermalResult(rise=D, ambient=ambient, dt=dt_s,
+                         steps=n_full + do_rem)

@@ -169,3 +169,47 @@ def test_thermal_cli_end_to_end(tmp_path):
     rc = main([str(params), "--out", str(tmp_path / "y"),
                "--thermal", "10"])
     assert rc == 1
+
+
+def test_thermal_rise_resolves_in_fp32_no_x64(tmp_path):
+    """Regression (r3 review): the integration carries the rise above
+    ambient, so a sub-ulp-of-300K heating signal survives fp32 without
+    the test harness's x64 flag.  Runs the real CLI in a fresh
+    subprocess (default fp32, no jax_enable_x64) and checks the
+    temperature map genuinely warmed at the deposition peak."""
+    params = tmp_path / "p.txt"
+    params.write_text("0.02\n0.02\n0.02\n0.001\n1e-12\n2e-11\n1000000000\n1\n")
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.pop("PALLAS_AXON_REMOTE_COMPILE", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    out = tmp_path / "o"
+    proc = subprocess.run(
+        [sys.executable, "-m", "fdtd_tpu", str(params), "--water-block",
+         "--sar", "--thermal", "30", "--out", str(out)],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    from fdtd_tpu.io.vtr import read_vtr_cell_arrays
+
+    T = read_vtr_cell_arrays(str(out / "temperature.vtr"))["temperature_c"]
+    q = read_vtr_cell_arrays(str(out / "sar.vtr"))["avg_power_w_m3"]
+    assert float(T.max()) > 20.0  # strictly warmed, not a flat field
+    hot = np.unravel_index(int(T.argmax()), T.shape)
+    qh = np.unravel_index(int(np.asarray(q).argmax()), q.shape)
+    assert hot == qh, (hot, qh)  # argmax of a constant would be (0,0,0)
+    assert "rise" in proc.stdout
+
+
+def test_thermal_steps_count_matches_integration():
+    """ThermalResult.steps counts executed steps only: a duration that
+    is an exact multiple of dt reports n_full, not n_full + 1."""
+    p = _box_params(6)
+    tm = air_thermal(p)
+    shape = (p.maxk, p.maxj, p.maxi)
+    res = run_thermal(p, tm, np.zeros(shape), duration=1.0, dt=0.25)
+    assert res.steps == 4
+    res = run_thermal(p, tm, np.zeros(shape), duration=1.1, dt=0.25)
+    assert res.steps == 5  # 4 full + shortened remainder
