@@ -76,6 +76,20 @@ def build_arg_parser() -> argparse.ArgumentParser:
                          "SECONDS of cook time driven by the SAR map "
                          "(needs --sar and a lossy load, e.g. --water-block); "
                          "writes temperature.vtr")
+    ap.add_argument("--coupled", type=int, default=0, metavar="N",
+                    help="two-way EM<->thermal coupling: split the --thermal "
+                         "cook time into N quasi-static intervals, re-deriving "
+                         "the load's eps_r/sigma from its temperature (Debye "
+                         "water model) before each interval's EM solve")
+    ap.add_argument("--thermal-power", type=float, default=None,
+                    metavar="WATTS",
+                    help="rescale the deposited-power map so total absorbed "
+                         "power equals WATTS (e.g. the magnetron rating) "
+                         "before the thermal solve")
+    ap.add_argument("--salt-sigma", type=float, default=0.0, metavar="S_M",
+                    help="ionic conductivity of the load at 25 C in S/m for "
+                         "the coupled Debye model (salty food heats harder "
+                         "when hot; default 0 = pure water)")
     ap.add_argument("--thermal-ambient", type=float, default=20.0,
                     metavar="C", help="initial/ambient temperature "
                     "(default 20 C)")
@@ -88,6 +102,83 @@ def _pml_config(cells: int):
     from .ops.cpml import PMLConfig
 
     return PMLConfig(cells=cells)
+
+
+def _run_coupled_cli(args, p) -> int:
+    """--coupled N: the two-way EM <-> thermal driver (fdtd_tpu/coupled.py)."""
+    import json
+    import os
+
+    import numpy as np
+
+    from . import grid
+    from .coupled import run_coupled
+    from .io.vtr import write_vtr
+
+    if args.thermal is None:
+        print("error: --coupled needs --thermal SECONDS (the cook time)",
+              file=sys.stderr)
+        return 1
+    if p.mode != Mode.COMPUTATION:
+        print("error: --coupled needs computation mode (a driven source "
+              "heats the load; set the params-file mode to 1)",
+              file=sys.stderr)
+        return 1
+    if not args.water_block:
+        print("error: --coupled needs --water-block (the heated load whose "
+              "dielectrics track temperature)", file=sys.stderr)
+        return 1
+    if args.ferrite_slab:
+        print("error: --coupled models the water load only (no --ferrite-"
+              "slab)", file=sys.stderr)
+        return 1
+    if args.resume or args.checkpoint_every:
+        print("error: --coupled does not checkpoint yet (each EM interval "
+              "restarts from a zero field)", file=sys.stderr)
+        return 1
+    print(f"Coupled EM<->thermal cook: {args.thermal:g} s over "
+          f"{args.coupled} interval(s); Debye dielectrics at "
+          f"{p.source.frequency:.3g} Hz (note the reference drives at "
+          f"2.45e10, not 2.45e9 — override with --source-frequency)")
+    try:
+        res = run_coupled(
+            p,
+            cook_time=args.thermal,
+            intervals=args.coupled,
+            frequency=p.source.frequency,
+            sigma_ion25=args.salt_sigma,
+            power_watts=args.thermal_power,
+            ambient=args.thermal_ambient,
+            backend=args.backend,
+            shard=args.shard,
+            pml=_pml_config(args.pml),
+            out_dir=args.out,
+        )
+    except (NotImplementedError, ValueError) as e:
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+    T = res.temperature
+    if not args.no_output:
+        os.makedirs(args.out, exist_ok=True)
+        t_path = os.path.join(args.out, "temperature.vtr")
+        write_vtr(t_path, grid.node_coords(p), {"temperature_c": T})
+        log_path = os.path.join(args.out, "coupled.jsonl")
+        with open(log_path, "w") as f:
+            for s in res.intervals:
+                f.write(json.dumps(s) + "\n")
+        print(f"Temperature map written to {t_path}; interval log to "
+              f"{log_path}")
+    hot = tuple(int(c) for c in
+                np.unravel_index(int(res.rise.argmax()), res.rise.shape))
+    first, last = res.intervals[0], res.intervals[-1]
+    print(f"Peak temperature {T.max():.2f} C "
+          f"(rise {res.rise.max():.3e} K) at cell (k,j,i)={hot}")
+    print(f"Load eps_r drifted {first['eps_r_range'][1]:.1f} -> "
+          f"{last['eps_r_range'][1]:.1f}, sigma "
+          f"{first['sigma_range'][1]:.3f} -> "
+          f"{last['sigma_range'][1]:.3f} S/m over the cook")
+    print("Simulation complete!")
+    return 0
 
 
 def main(argv=None) -> int:
@@ -140,7 +231,7 @@ def main(argv=None) -> int:
         materials = ferrite_slab(p, base=materials)
 
     if args.thermal is not None:
-        if not args.sar:
+        if not args.sar and not args.coupled:
             print("error: --thermal needs --sar (the SAR map is the heat "
                   "source)", file=sys.stderr)
             return 1
@@ -148,6 +239,13 @@ def main(argv=None) -> int:
             print("error: --thermal duration must be positive seconds",
                   file=sys.stderr)
             return 1
+    if args.thermal_power is not None and args.thermal_power <= 0:
+        print("error: --thermal-power must be positive watts",
+              file=sys.stderr)
+        return 1
+
+    if args.coupled:
+        return _run_coupled_cli(args, p)
 
     print("Initializing fields")
     if p.mode == Mode.VALIDATION:
@@ -218,6 +316,12 @@ def main(argv=None) -> int:
 
             tm = water_thermal(p) if args.water_block else air_thermal(p)
             q = acc / t_em
+            if args.thermal_power is not None:
+                from .coupled import normalize_power
+
+                q = normalize_power(p, q, args.thermal_power)
+                print(f"Deposited power normalized to "
+                      f"{args.thermal_power:g} W total")
             print(f"Integrating the heat equation for {args.thermal:g} s "
                   f"of cook time")
             tr = run_thermal(p, tm, q, args.thermal,

@@ -1,0 +1,217 @@
+"""Two-way EM <-> thermal coupling: temperature-dependent dielectrics.
+
+Closes the microwave oven's real feedback loop, which neither the
+reference (vacuum-only, main.c:441,479) nor a one-way ``--sar
+--thermal`` run captures: as the load heats, its permittivity and
+effective conductivity change, which moves the field pattern and the
+power deposition, which changes where it heats next.  For pure water at
+2.45 GHz the dielectric loss *falls* with temperature (self-limiting
+heating); with ionic (salty-food) conductivity it *rises* (hot spots run
+away) — the two regimes this module lets a user actually simulate.
+
+Multi-rate operator splitting: EM transients settle in ~ns, cooking
+takes seconds, so the cook time splits into ``intervals`` quasi-static
+intervals.  Each interval re-derives the cell-centered material maps
+from the current temperature field, runs the EM solve to (driven)
+steady state from a zero-field start, time-averages its deposited power
+into a heat source Q, and integrates the heat equation for the
+interval.  Any EM backend/sharding/PML composition the runner supports
+works per interval unchanged — material maps are ordinary inputs.
+
+Water dielectric model (single-term Debye, no copying — standard
+physics):
+
+    eps(w) = eps_inf + (eps_s - eps_inf) / (1 + j w tau)
+    eps'   = eps_inf + (eps_s - eps_inf) / (1 + (w tau)^2)
+    eps''  = (eps_s - eps_inf) * w tau / (1 + (w tau)^2)
+    sigma_eff = w eps0 eps'' + sigma_ion(T)
+
+with the static permittivity eps_s(T) from the Malmberg-Maryott (1956)
+polynomial fit and the relaxation time tau(T) interpolated from the
+values tabulated in Kaatze, J. Chem. Eng. Data 34 (1989) — both are
+measured-data fits accurate to a few percent over 0-100 C, which is far
+tighter than the load-geometry uncertainty of any real oven.  Ionic
+conductivity (dissolved salts) uses the standard ~2 %/K electrolyte
+temperature coefficient around a user-supplied 25 C value.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import numpy as np
+
+from .constants import EPSILON
+from .params import Mode, Params
+from .state import Materials, block_mask
+from .thermal import ThermalMaterials, run_thermal, water_thermal
+
+# tau(T) in ps: Kaatze (1989) dielectric-relaxation measurements of
+# liquid water (interpolated linearly; endpoints clamp).
+_TAU_T_C = np.array([0.0, 10.0, 20.0, 25.0, 30.0, 40.0, 50.0,
+                     60.0, 70.0, 80.0, 90.0, 100.0])
+_TAU_PS = np.array([17.67, 12.68, 9.36, 8.27, 7.28, 5.82, 4.75,
+                    3.95, 3.35, 2.88, 2.50, 2.21])
+
+EPS_INF = 5.2  # high-frequency permittivity of water, ~T-independent
+
+
+def water_eps_static(T):
+    """Static permittivity of water: Malmberg-Maryott (1956) fit, T in C."""
+    T = np.asarray(T, np.float64)
+    return 87.74 - 0.40008 * T + 9.398e-4 * T**2 - 1.410e-6 * T**3
+
+
+def water_debye(T, frequency: float = 2.45e9, sigma_ion25: float = 0.0):
+    """(eps_r, sigma_eff) of water at ``frequency``, elementwise over T (C).
+
+    ``sigma_ion25``: ionic (salt) conductivity at 25 C in S/m, scaled by
+    the standard +2 %/K electrolyte coefficient; 0 = pure water.
+    Clamps T to the 0-100 C liquid range the fits cover.
+    """
+    T = np.clip(np.asarray(T, np.float64), 0.0, 100.0)
+    eps_s = water_eps_static(T)
+    tau = np.interp(T, _TAU_T_C, _TAU_PS) * 1e-12
+    w = 2.0 * np.pi * float(frequency)
+    wt = w * tau
+    denom = 1.0 + wt * wt
+    eps_p = EPS_INF + (eps_s - EPS_INF) / denom
+    eps_pp = (eps_s - EPS_INF) * wt / denom
+    sigma = w * EPSILON * eps_pp + sigma_ion25 * (1.0 + 0.02 * (T - 25.0))
+    return eps_p, sigma
+
+
+def materials_at_temperature(
+    p: Params,
+    T,
+    mask: np.ndarray,
+    frequency: float = 2.45e9,
+    sigma_ion25: float = 0.0,
+) -> Materials:
+    """EM material maps for a water load at temperature field ``T``:
+    Debye-evaluated eps_r/sigma inside ``mask``, vacuum outside."""
+    eps_p, sigma = water_debye(T, frequency, sigma_ion25)
+    return Materials(
+        eps_r=np.where(mask, eps_p, 1.0),
+        sigma=np.where(mask, sigma, 0.0),
+    )
+
+
+def normalize_power(p: Params, q: np.ndarray, watts: float) -> np.ndarray:
+    """Rescale a volumetric power-density map so its volume integral is
+    ``watts`` — anchoring the unit-amplitude numerical source to a real
+    magnetron output (the deposition *pattern* comes from the fields,
+    the *level* from the oven's rated power)."""
+    dv = p.spatial_step**3
+    total = float(q.sum()) * dv
+    if total <= 0.0:
+        raise ValueError(
+            "cannot normalize a zero power map (did the EM run deposit "
+            "any power? check --sar and the lossy load)"
+        )
+    return q * (watts / total)
+
+
+@dataclasses.dataclass
+class CoupledResult:
+    temperature: np.ndarray  # final absolute T (C), fp64, (maxk, maxj, maxi)
+    rise: np.ndarray  # final rise above ambient (K), fp64
+    intervals: list[dict]  # per-interval summaries (JSON-friendly)
+
+
+def run_coupled(
+    p: Params,
+    cook_time: float,
+    intervals: int,
+    mask: np.ndarray | None = None,
+    frequency: float = 2.45e9,
+    sigma_ion25: float = 0.0,
+    power_watts: float | None = None,
+    ambient: float = 20.0,
+    thermal_materials: ThermalMaterials | None = None,
+    backend: str = "auto",
+    shard: str | None = None,
+    pml=None,
+    out_dir: str = "r",
+    log: Callable[[str], None] = print,
+) -> CoupledResult:
+    """Alternate EM (SAR) and thermal solves for ``cook_time`` seconds.
+
+    Each of the ``intervals`` quasi-static intervals re-derives the load's
+    eps_r/sigma from the current temperature via :func:`water_debye`,
+    runs the configured EM solve with power accumulation (snapshots off —
+    the EM runs are inner iterations), and advances the heat equation by
+    ``cook_time / intervals`` from the current temperature field.
+
+    ``power_watts``: if set, each interval's heat source is rescaled so
+    the total absorbed power equals this (a real oven's magnetron rating);
+    otherwise the unit-amplitude source's raw deposition is used.
+    """
+    from .runner import run_simulation  # late: avoid import cycle
+
+    if intervals < 1:
+        raise ValueError("coupled run needs at least 1 interval")
+    if p.mode != Mode.COMPUTATION:
+        raise ValueError(
+            "coupled heating needs computation mode (a driven source)"
+        )
+    if mask is None:
+        mask = block_mask(p)
+    if not mask.any():
+        raise ValueError("the load mask is empty — nothing to heat")
+    tm = (
+        thermal_materials
+        if thermal_materials is not None
+        else water_thermal(p)
+    )
+
+    T = np.full((p.maxk, p.maxj, p.maxi), float(ambient), np.float64)
+    t_int = cook_time / intervals
+    summaries: list[dict] = []
+    for it in range(intervals):
+        mats = materials_at_temperature(p, T, mask, frequency, sigma_ion25)
+        res = run_simulation(
+            p,
+            out_dir=out_dir,
+            materials=mats,
+            backend=backend,
+            write_snapshots=False,
+            accumulate_power=True,
+            shard=shard,
+            pml=pml,
+            log=log,
+        )
+        t_em = res.iterations * p.time_step
+        q = np.asarray(res.power_j, np.float64) / t_em
+        if power_watts is not None:
+            q = normalize_power(p, q, power_watts)
+        tr = run_thermal(p, tm, q, t_int, ambient=ambient, t0=T)
+        T = tr.temperature
+        in_load = T[mask]
+        summaries.append(
+            {
+                "interval": it,
+                "eps_r_range": [float(mats.eps_r[mask].min()),
+                                float(mats.eps_r[mask].max())],
+                "sigma_range": [float(mats.sigma[mask].min()),
+                                float(mats.sigma[mask].max())],
+                "absorbed_w": float(q.sum()) * p.spatial_step**3,
+                "peak_t_c": float(in_load.max()),
+                "mean_t_c": float(in_load.mean()),
+                "thermal_steps": tr.steps,
+            }
+        )
+        log(
+            f"coupled interval {it + 1}/{intervals}: load T "
+            f"{in_load.mean():.2f} C mean / {in_load.max():.2f} C peak, "
+            f"eps_r {summaries[-1]['eps_r_range'][0]:.1f}-"
+            f"{summaries[-1]['eps_r_range'][1]:.1f}, sigma "
+            f"{summaries[-1]['sigma_range'][0]:.3f}-"
+            f"{summaries[-1]['sigma_range'][1]:.3f} S/m"
+        )
+    return CoupledResult(
+        temperature=T,
+        rise=T - float(ambient),
+        intervals=summaries,
+    )

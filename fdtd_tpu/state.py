@@ -102,15 +102,23 @@ class Materials:
         return self.eps_r is None and self.sigma is None and self.mu_r is None
 
 
-def water_block(p: Params, lo=(0.3, 0.3, 0.3), hi=(0.7, 0.7, 0.7), eps_r=78.0, sigma=1.7) -> Materials:
-    """A water/food block spanning fractional box coords [lo, hi) (BASELINE config #2)."""
+def block_mask(p: Params, lo=(0.3, 0.3, 0.3), hi=(0.7, 0.7, 0.7)) -> np.ndarray:
+    """Boolean cell mask of the fractional box [lo, hi) ((x, y, z)
+    fractions) — the one geometry every load consumer (EM materials,
+    thermal properties, the coupled driver) shares cell-for-cell."""
     K, J, I = p.maxk, p.maxj, p.maxi
-    er = np.ones((K, J, I))
-    sg = np.zeros((K, J, I))
+    mask = np.zeros((K, J, I), dtype=bool)
     k0, j0, i0 = int(lo[2] * K), int(lo[1] * J), int(lo[0] * I)
     k1, j1, i1 = int(hi[2] * K), int(hi[1] * J), int(hi[0] * I)
-    er[k0:k1, j0:j1, i0:i1] = eps_r
-    sg[k0:k1, j0:j1, i0:i1] = sigma
+    mask[k0:k1, j0:j1, i0:i1] = True
+    return mask
+
+
+def water_block(p: Params, lo=(0.3, 0.3, 0.3), hi=(0.7, 0.7, 0.7), eps_r=78.0, sigma=1.7) -> Materials:
+    """A water/food block spanning fractional box coords [lo, hi) (BASELINE config #2)."""
+    mask = block_mask(p, lo, hi)
+    er = np.where(mask, float(eps_r), 1.0)
+    sg = np.where(mask, float(sigma), 0.0)
     return Materials(eps_r=er, sigma=sg)
 
 

@@ -1,0 +1,164 @@
+"""Two-way EM <-> thermal coupling (fdtd_tpu/coupled.py).
+
+Pins the Debye water-dielectric model against literature anchor values,
+the power normalization, and the coupling mechanism itself: a hot load
+must present different eps_r/sigma to the next EM interval.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from fdtd_tpu.constants import EPSILON
+from fdtd_tpu.coupled import (
+    materials_at_temperature,
+    normalize_power,
+    run_coupled,
+    water_debye,
+    water_eps_static,
+)
+from fdtd_tpu.params import Mode, Params
+from fdtd_tpu.state import block_mask
+
+
+def _box_params(n, steps=20, mode=Mode.COMPUTATION):
+    return Params(
+        length=n * 1e-3, width=n * 1e-3, height=n * 1e-3,
+        spatial_step=1e-3, time_step=1e-12,
+        simulation_time=steps * 1e-12,
+        sampling_rate=10**9, mode=mode, dtype="float32",
+    )
+
+
+def test_water_debye_literature_anchors():
+    """25 C: eps' ~ 77-78 and Debye-loss sigma ~ 1.25 S/m at 2.45 GHz;
+    90 C: both fall strongly (pure water heats self-limitingly)."""
+    eps25, sig25 = water_debye(25.0)
+    assert 76.0 < float(eps25) < 79.0
+    assert 1.0 < float(sig25) < 1.6
+    eps90, sig90 = water_debye(90.0)
+    assert 55.0 < float(eps90) < 61.0
+    assert float(sig90) < 0.5 * float(sig25)
+    # static permittivity: Malmberg-Maryott at the two classic anchors
+    np.testing.assert_allclose(water_eps_static(25.0), 78.30, atol=0.1)
+    np.testing.assert_allclose(water_eps_static(0.0), 87.74, atol=0.01)
+    # monotone decreasing over the liquid range
+    T = np.linspace(0.0, 100.0, 21)
+    eps, _ = water_debye(T)
+    assert np.all(np.diff(eps) < 0)
+    # clamped outside the fit range
+    np.testing.assert_allclose(water_debye(-40.0)[0], water_debye(0.0)[0])
+    np.testing.assert_allclose(water_debye(150.0)[0], water_debye(100.0)[0])
+
+
+def test_water_debye_salt_runaway_regime():
+    """Ionic conductivity flips the sign of dsigma/dT: salty loads absorb
+    harder as they heat (the thermal-runaway regime)."""
+    _, s25 = water_debye(25.0, sigma_ion25=2.0)
+    _, s90 = water_debye(90.0, sigma_ion25=2.0)
+    assert float(s90) > float(s25)
+    # and the Debye term alone still decreases
+    _, p25 = water_debye(25.0)
+    _, p90 = water_debye(90.0)
+    assert float(p90) < float(p25)
+    # the ionic part scales by the +2%/K coefficient exactly
+    np.testing.assert_allclose(
+        float(s90) - float(p90) - (float(s25) - float(p25)),
+        2.0 * 0.02 * 65.0, rtol=1e-12,
+    )
+
+
+def test_materials_at_temperature_masked():
+    p = _box_params(10)
+    mask = block_mask(p)
+    T = np.full((p.maxk, p.maxj, p.maxi), 40.0)
+    m = materials_at_temperature(p, T, mask)
+    eps, sig = water_debye(40.0)
+    np.testing.assert_allclose(m.eps_r[mask], float(eps))
+    np.testing.assert_allclose(m.sigma[mask], float(sig))
+    np.testing.assert_allclose(m.eps_r[~mask], 1.0)
+    np.testing.assert_allclose(m.sigma[~mask], 0.0)
+
+
+def test_normalize_power():
+    p = _box_params(8)
+    q = np.zeros((p.maxk, p.maxj, p.maxi))
+    q[2:4, 2:4, 2:4] = 3.0
+    qn = normalize_power(p, q, 700.0)
+    np.testing.assert_allclose(qn.sum() * p.spatial_step**3, 700.0,
+                               rtol=1e-12)
+    # the pattern is preserved, only the level moves
+    np.testing.assert_allclose(qn / qn.max(), q / q.max())
+    with pytest.raises(ValueError):
+        normalize_power(p, np.zeros_like(q), 700.0)
+
+
+def test_run_coupled_feedback_changes_materials():
+    """The mechanism itself: with the power normalized high enough to
+    heat the load tens of kelvin per interval, interval 2's EM solve
+    must see different (lower-eps, for pure water lower-sigma)
+    dielectrics than interval 1."""
+    p = _box_params(10, steps=20)
+    res = run_coupled(
+        p, cook_time=8.0, intervals=2, power_watts=5e3,
+        ambient=20.0, backend="xla", log=lambda s: None,
+    )
+    assert len(res.intervals) == 2
+    first, second = res.intervals
+    # interval 1 ran at ambient dielectrics
+    eps20, sig20 = water_debye(20.0)
+    np.testing.assert_allclose(first["eps_r_range"], [eps20, eps20])
+    np.testing.assert_allclose(first["sigma_range"], [sig20, sig20])
+    # the load genuinely heated, so interval 2 saw shifted dielectrics
+    assert first["peak_t_c"] > 25.0
+    assert second["eps_r_range"][1] < eps20
+    assert second["sigma_range"][0] < sig20
+    # power normalization held each interval
+    np.testing.assert_allclose(first["absorbed_w"], 5e3, rtol=1e-6)
+    np.testing.assert_allclose(second["absorbed_w"], 5e3, rtol=1e-6)
+    # temperatures are physical: peak >= mean >= ambient, rise matches
+    assert second["peak_t_c"] >= second["mean_t_c"] >= 20.0
+    mask = block_mask(p)
+    assert res.temperature[mask].max() == pytest.approx(second["peak_t_c"])
+    np.testing.assert_allclose(res.rise, res.temperature - 20.0)
+    # air far from the load stays cool-ish (diffusion only)
+    assert res.temperature[0, 0, 0] < second["peak_t_c"]
+
+
+def test_run_coupled_validations():
+    p = _box_params(8, mode=Mode.VALIDATION)
+    with pytest.raises(ValueError, match="computation mode"):
+        run_coupled(p, cook_time=1.0, intervals=1)
+    p = _box_params(8)
+    with pytest.raises(ValueError, match="at least 1"):
+        run_coupled(p, cook_time=1.0, intervals=0)
+    with pytest.raises(ValueError, match="mask is empty"):
+        run_coupled(p, cook_time=1.0, intervals=1,
+                    mask=np.zeros((p.maxk, p.maxj, p.maxi), bool))
+
+
+def test_coupled_cli_end_to_end(tmp_path):
+    from fdtd_tpu.cli import main
+    from fdtd_tpu.io.vtr import read_vtr_cell_arrays
+
+    params = tmp_path / "p.txt"
+    params.write_text("0.01\n0.01\n0.01\n0.001\n1e-12\n2e-11\n1000000000\n1\n")
+    out = tmp_path / "o"
+    rc = main([str(params), "--water-block", "--coupled", "2",
+               "--thermal", "8", "--thermal-power", "2e3",
+               "--out", str(out), "--backend", "xla"])
+    assert rc == 0
+    T = read_vtr_cell_arrays(str(out / "temperature.vtr"))["temperature_c"]
+    assert float(T.max()) > 20.0
+    lines = [json.loads(l) for l in
+             (out / "coupled.jsonl").read_text().splitlines()]
+    assert len(lines) == 2 and lines[1]["interval"] == 1
+
+    # error paths are clean exits, not tracebacks
+    assert main([str(params), "--water-block", "--coupled", "2"]) == 1
+    assert main([str(params), "--coupled", "2", "--thermal", "5"]) == 1
+    vparams = tmp_path / "v.txt"
+    vparams.write_text("0.01\n0.01\n0.01\n0.001\n1e-12\n2e-11\n1000000000\n0\n")
+    assert main([str(vparams), "--water-block", "--coupled", "2",
+                 "--thermal", "5"]) == 1
