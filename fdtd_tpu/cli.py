@@ -76,6 +76,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                          "SECONDS of cook time driven by the SAR map "
                          "(needs --sar and a lossy load, e.g. --water-block); "
                          "writes temperature.vtr")
+    ap.add_argument("--dft", default=None, metavar="HZ[,HZ...]",
+                    help="accumulate on-the-fly DFT phasors of the E field "
+                         "at these frequencies (comma-separated Hz); writes "
+                         "per-frequency dft_NN.vtr complex field maps, |E|, "
+                         "and the CW power deposition for lossy loads")
     ap.add_argument("--coupled", type=int, default=0, metavar="N",
                     help="two-way EM<->thermal coupling: split the --thermal "
                          "cook time into N quasi-static intervals, re-deriving "
@@ -244,7 +249,23 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 1
 
+    dft_cfg = None
+    if args.dft:
+        from .dft import DftConfig
+
+        try:
+            dft_cfg = DftConfig(
+                tuple(float(x) for x in args.dft.split(","))
+            )
+        except ValueError as e:
+            print(f"error: bad --dft spec: {e}", file=sys.stderr)
+            return 1
+
     if args.coupled:
+        if dft_cfg is not None:
+            print("error: --dft does not compose with --coupled (run the "
+                  "DFT diagnostic on a fixed-material run)", file=sys.stderr)
+            return 1
         return _run_coupled_cli(args, p)
 
     print("Initializing fields")
@@ -272,6 +293,7 @@ def main(argv=None) -> int:
             diagnostics_log=args.diag_log,
             shard=args.shard,
             pml=_pml_config(args.pml),
+            dft=dft_cfg,
         )
     except NotImplementedError as e:
         # unsupported backend/feature combination that has no fallback
@@ -341,6 +363,32 @@ def main(argv=None) -> int:
             qh = tuple(int(c) for c in
                        np.unravel_index(int(q.argmax()), q.shape))
             print(f"Peak deposited power {q.max():.3e} W/m^3 at {qh}")
+
+    if result.dft is not None and not args.no_output:
+        import os
+
+        import numpy as np
+
+        from . import grid
+        from .io.vtr import write_vtr
+
+        coords = grid.node_coords(p)
+        for fi, f in enumerate(result.dft.frequencies):
+            ph = result.dft.phasors[fi]
+            variables = {}
+            for ci, name in enumerate(("ex", "ey", "ez")):
+                variables[f"{name}_re"] = np.ascontiguousarray(ph[ci].real)
+                variables[f"{name}_im"] = np.ascontiguousarray(ph[ci].imag)
+            mag = result.dft.magnitude(fi)
+            variables["e_mag"] = mag
+            if materials is not None and materials.sigma is not None:
+                variables["cw_power_w_m3"] = result.dft.cw_power(
+                    materials.sigma, fi
+                )
+            path = os.path.join(args.out, f"dft_{fi:02d}.vtr")
+            write_vtr(path, coords, variables)
+            print(f"DFT phasors at {f:.6g} Hz written to {path} "
+                  f"(peak |E| {mag.max():.3e}, {result.dft.steps} steps)")
 
     print("Simulation complete!")
     return 0

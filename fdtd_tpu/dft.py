@@ -1,0 +1,171 @@
+"""On-the-fly DFT of the E field: steady-state phasors without storage.
+
+Frequency-domain diagnostics the reference workflow can only fake by
+dumping every snapshot and post-processing: accumulate
+
+    E_hat(f) = (2/N) * sum_n E(t_n) * exp(-i 2 pi f t_n)
+
+per cell *during* the time loop (running sums — no time series is ever
+stored), yielding the complex steady-state field pattern at the drive
+(or any) frequency, its magnitude map, and the cycle-averaged CW power
+deposition  q_cw = 1/2 sigma |E_hat|^2  that a SAR accumulation only
+approaches after many periods of transient averaging.
+
+The quadrature weights cos/sin(2 pi f t_n) are host-precomputed in fp64
+(same discipline as the source's drive_values: on-device fp32 phase at
+~1e2 rad would cost ~1e-5 rad resolution, and x64 is off in production)
+and ride the scan as per-step inputs; the accumulators are fp32 and add
+one fused multiply-add sweep of the three cell-centered E components
+per step.  Normalization: for a real signal A cos(2 pi f t + phi)
+sampled over whole periods, |E_hat| -> A (the 2/N factor), so phasor
+magnitudes read directly in field units.
+
+Supported on the single-chip scan backends ("xla", "pallas",
+"pallas_fused" — the group-stepped temporal/streaming kernels never
+materialize per-step states, and the runner falls back with a notice).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .params import Params
+
+
+@dataclasses.dataclass(frozen=True)
+class DftConfig:
+    """Frequencies (Hz) to accumulate; E-field phasors at cell centers."""
+
+    frequencies: tuple
+
+    def __post_init__(self):
+        fs = tuple(float(f) for f in self.frequencies)
+        if not fs:
+            raise ValueError("DFT needs at least one frequency")
+        if any(f <= 0 for f in fs):
+            raise ValueError("DFT frequencies must be positive Hz")
+        object.__setattr__(self, "frequencies", fs)
+
+    @property
+    def nf(self) -> int:
+        return len(self.frequencies)
+
+
+def dft_weights(dft: DftConfig, times) -> tuple[np.ndarray, np.ndarray]:
+    """(cos, sin) weight arrays of shape (n_steps, nf), fp64 phase math
+    on host, fp32 storage (they scale fp32 fields)."""
+    t = np.asarray(times, np.float64)[:, None]
+    f = np.asarray(dft.frequencies, np.float64)[None, :]
+    ph = 2.0 * np.pi * f * t
+    return (np.cos(ph).astype(np.float32), np.sin(ph).astype(np.float32))
+
+
+def zero_dft_acc(p: Params, dft: DftConfig):
+    """(re, im) accumulators, shape (nf, 3, maxk, maxj, maxi) fp32 —
+    component order (Ex, Ey, Ez) at cell centers."""
+    shape = (dft.nf, 3, p.maxk, p.maxj, p.maxi)
+    return jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32)
+
+
+def accumulate(p: Params, e_cells, cw, sw, acc):
+    """One step of the running sums: acc_re += cos * E, acc_im -= sin * E
+    (so re + i*im = sum E exp(-i w t)).  ``e_cells``: (ex, ey, ez) cell
+    means; ``cw``/``sw``: (nf,) weights for this step."""
+    re, im = acc
+    E = jnp.stack([c.astype(jnp.float32) for c in e_cells])[None]  # (1,3,...)
+    cw = cw[:, None, None, None, None]
+    sw = sw[:, None, None, None, None]
+    return re + cw * E, im - sw * E
+
+
+@dataclasses.dataclass
+class DftResult:
+    frequencies: tuple
+    # complex phasors (nf, 3, maxk, maxj, maxi): (2/N)-normalized so a
+    # steady A*cos(2 pi f t + phi) component reads |.| = A
+    phasors: np.ndarray
+    steps: int
+
+    def magnitude(self, fi: int = 0) -> np.ndarray:
+        """|E| magnitude map (sqrt of the sum over components) at
+        frequency index ``fi``."""
+        ph = self.phasors[fi]
+        return np.sqrt((np.abs(ph) ** 2).sum(axis=0))
+
+    def cw_power(self, sigma_cells, fi: int = 0) -> np.ndarray:
+        """Cycle-averaged CW power deposition 1/2 sigma |E_hat|^2 (W/m^3)
+        at frequency index ``fi`` — the steady-state heating map a --sar
+        accumulation approaches after many periods."""
+        ph = self.phasors[fi]
+        return 0.5 * np.asarray(sigma_cells) * (np.abs(ph) ** 2).sum(axis=0)
+
+
+def finalize(dft: DftConfig, acc, steps: int) -> DftResult:
+    """Apply the 2/N amplitude normalization and assemble the result."""
+    re, im = acc
+    scale = 2.0 / max(steps, 1)
+    phasors = (np.asarray(re, np.float64)
+               + 1j * np.asarray(im, np.float64)) * scale
+    return DftResult(
+        frequencies=dft.frequencies, phasors=phasors, steps=steps
+    )
+
+
+def supported_backend(backend: str) -> bool:
+    """Per-step states exist only on the single-step scan backends."""
+    return backend in ("xla", "pallas", "pallas_fused")
+
+
+def make_dft_chunk_runner(
+    p: Params, materials, backend: str, dft: DftConfig,
+    accumulate_power: bool = False,
+):
+    """``run(state, (ts, amps, cw, sw), power_acc, dft_acc) ->
+    (state, power_acc, dft_acc)`` — the generic scan chunk runner with
+    the DFT running sums (and optionally the SAR accumulator) in the
+    carry.  ``cw``/``sw`` come from :func:`dft_weights` sliced to the
+    chunk.  Not donating: DFT runs are diagnostics, and value semantics
+    keep the runner's restore-at-boundary pattern race-free."""
+    from . import diagnostics
+    from .state import update_coefs
+    from .step import backend_adapters, make_step
+
+    if not supported_backend(backend):
+        raise NotImplementedError(
+            f"DFT accumulation needs per-step states; backend {backend!r} "
+            "group-steps (use xla/pallas/pallas_fused)"
+        )
+    coefs = update_coefs(p, materials)
+    step = make_step(p, materials, backend, coefs=coefs)
+    _, restore = backend_adapters(p, backend)
+    sigma = (
+        np.asarray(coefs.sigma_cells)
+        if coefs.sigma_cells is not None
+        else 0.0
+    )
+    dt_step = p.time_step
+
+    @jax.jit
+    def run(s, xs, power_acc, dft_acc):
+        def body(carry, x):
+            s, acc, dre, dim = carry
+            t, amp, cw, sw = x
+            s = step(s, (t, amp))
+            full = restore(s)
+            e_cells = diagnostics._e_cell_means(p, full)
+            dre, dim = accumulate(p, e_cells, cw, sw, (dre, dim))
+            if accumulate_power:
+                inc = diagnostics.power_deposition(p, full, sigma)
+                acc = acc + (inc * dt_step).astype(acc.dtype)
+            return (s, acc, dre, dim), None
+
+        (s, acc, dre, dim), _ = jax.lax.scan(
+            body, (s, power_acc, dft_acc[0], dft_acc[1]), xs
+        )
+        return s, acc, (dre, dim)
+
+    return run

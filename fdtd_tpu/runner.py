@@ -39,6 +39,7 @@ class RunResult:
     mcells_per_s: float
     power_j: jax.Array | None = None
     warnings: list[str] = dataclasses.field(default_factory=list)
+    dft: object | None = None  # dft.DftResult when run with dft=DftConfig
 
 
 def initial_state(p: Params) -> FieldState:
@@ -463,10 +464,31 @@ def run_simulation(
     diagnostics_log: str | None = None,
     shard: str | None = None,
     pml=None,
+    dft=None,
 ) -> RunResult:
     p.validate()
+    if dft is not None:
+        if shard is not None:
+            raise ValueError(
+                "DFT accumulation under --shard is not supported yet "
+                "(run the DFT diagnostic single-chip)"
+            )
+        if pml is not None:
+            raise ValueError(
+                "DFT accumulation under --pml is not supported yet "
+                "(run the DFT diagnostic in the closed cavity)"
+            )
+        if resume or checkpoint_every:
+            raise ValueError(
+                "DFT accumulators do not ride checkpoints; run --dft "
+                "without --resume/--checkpoint-every"
+            )
     ts = time_values(p)
     xs_t, xs_a = scan_inputs(p, ts)
+    if dft is not None:
+        from .dft import dft_weights
+
+        dft_cw, dft_sw = dft_weights(dft, ts)
     warnings: list[str] = []
 
     def warn(msg: str) -> None:
@@ -536,7 +558,27 @@ def run_simulation(
         )
     else:
         backend = resolve_backend(p, backend, materials, accumulate_power, log)
-        run_chunk = make_chunk_runner(p, materials, backend, accumulate_power)
+        if dft is not None:
+            from . import dft as dft_mod
+
+            if not dft_mod.supported_backend(backend):
+                log(
+                    f"notice: DFT accumulation needs per-step states; "
+                    f"backend {backend!r} group-steps — using xla"
+                )
+                backend = "xla"
+            run_dft_chunk = dft_mod.make_dft_chunk_runner(
+                p, materials, backend, dft, accumulate_power
+            )
+            dft_box = {"acc": dft_mod.zero_dft_acc(p, dft)}
+
+            def run_chunk(st, chunk, power):
+                st, power, dft_box["acc"] = run_dft_chunk(
+                    st, chunk, power, dft_box["acc"]
+                )
+                return st, power
+        else:
+            run_chunk = make_chunk_runner(p, materials, backend, accumulate_power)
 
     state = initial_state(p)
     power = zero_power_acc(p) if accumulate_power else None
@@ -697,6 +739,8 @@ def run_simulation(
             boundary = min(boundary, next_mult(pos, checkpoint_every))
         end = min(boundary, n)
         chunk = (xs_t[pos:end], xs_a[pos:end])
+        if dft is not None:
+            chunk = chunk + (dft_cw[pos:end], dft_sw[pos:end])
         state, power = run_chunk(state, chunk, power)
         pos = end
         t_now = float(ts[pos - 1])
@@ -729,4 +773,9 @@ def run_simulation(
 
     steps_done = n - start_step
     mcells = p.cell_count * steps_done / wall / 1e6 if wall > 0 else float("inf")
-    return RunResult(state, n, wall, mcells, power, warnings)
+    dft_result = None
+    if dft is not None:
+        from .dft import finalize
+
+        dft_result = finalize(dft, dft_box["acc"], steps_done)
+    return RunResult(state, n, wall, mcells, power, warnings, dft=dft_result)
