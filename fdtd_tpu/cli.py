@@ -81,6 +81,11 @@ def build_arg_parser() -> argparse.ArgumentParser:
                          "at these frequencies (comma-separated Hz); writes "
                          "per-frequency dft_NN.vtr complex field maps, |E|, "
                          "and the CW power deposition for lossy loads")
+    ap.add_argument("--probe", action="append", default=None,
+                    metavar="K,J,I",
+                    help="record a per-step time series of the six "
+                         "cell-centered field components at cell (k,j,i); "
+                         "repeatable; writes probes.csv")
     ap.add_argument("--coupled", type=int, default=0, metavar="N",
                     help="two-way EM<->thermal coupling: split the --thermal "
                          "cook time into N quasi-static intervals, re-deriving "
@@ -249,6 +254,20 @@ def main(argv=None) -> int:
               file=sys.stderr)
         return 1
 
+    probe_set = None
+    if args.probe:
+        from .monitors import ProbeSet
+
+        try:
+            cells = tuple(
+                tuple(int(x) for x in spec.split(",")) for spec in args.probe
+            )
+            probe_set = ProbeSet(cells)
+            probe_set.validate(p)
+        except ValueError as e:
+            print(f"error: bad --probe spec: {e}", file=sys.stderr)
+            return 1
+
     dft_cfg = None
     if args.dft:
         from .dft import DftConfig
@@ -294,6 +313,7 @@ def main(argv=None) -> int:
             shard=args.shard,
             pml=_pml_config(args.pml),
             dft=dft_cfg,
+            probes=probe_set,
         )
     except NotImplementedError as e:
         # unsupported backend/feature combination that has no fallback
@@ -363,6 +383,27 @@ def main(argv=None) -> int:
             qh = tuple(int(c) for c in
                        np.unravel_index(int(q.argmax()), q.shape))
             print(f"Peak deposited power {q.max():.3e} W/m^3 at {qh}")
+
+    if result.probes is not None and not args.no_output:
+        import os
+
+        from .monitors import COMPONENTS
+
+        pr = result.probes
+        path = os.path.join(args.out, "probes.csv")
+        header = ["t"] + [
+            f"p{pi}_{c}" for pi in range(len(pr.cells)) for c in COMPONENTS
+        ]
+        with open(path, "w") as f:
+            f.write("# probe cells (k,j,i): "
+                    + "; ".join(str(c) for c in pr.cells) + "\n")
+            f.write(",".join(header) + "\n")
+            flat = pr.values.reshape(pr.values.shape[0], -1)
+            for ti in range(flat.shape[0]):
+                f.write(f"{pr.times[ti]:.9e},"
+                        + ",".join(f"{v:.6e}" for v in flat[ti]) + "\n")
+        print(f"Probe time series ({len(pr.cells)} cell(s), "
+              f"{pr.values.shape[0]} steps) written to {path}")
 
     if result.dft is not None and not args.no_output:
         import os

@@ -129,43 +129,19 @@ def make_dft_chunk_runner(
     the DFT running sums (and optionally the SAR accumulator) in the
     carry.  ``cw``/``sw`` come from :func:`dft_weights` sliced to the
     chunk.  Not donating: DFT runs are diagnostics, and value semantics
-    keep the runner's restore-at-boundary pattern race-free."""
-    from . import diagnostics
-    from .state import update_coefs
-    from .step import backend_adapters, make_step
+    keep the runner's restore-at-boundary pattern race-free.
 
-    if not supported_backend(backend):
-        raise NotImplementedError(
-            f"DFT accumulation needs per-step states; backend {backend!r} "
-            "group-steps (use xla/pallas/pallas_fused)"
-        )
-    coefs = update_coefs(p, materials)
-    step = make_step(p, materials, backend, coefs=coefs)
-    _, restore = backend_adapters(p, backend)
-    sigma = (
-        np.asarray(coefs.sigma_cells)
-        if coefs.sigma_cells is not None
-        else 0.0
+    Thin wrapper over the unified monitored scan
+    (:func:`fdtd_tpu.monitors.make_monitored_chunk_runner`) with only
+    the DFT monitor enabled."""
+    from .monitors import make_monitored_chunk_runner
+
+    run_m = make_monitored_chunk_runner(
+        p, materials, backend, dft=dft, accumulate_power=accumulate_power
     )
-    dt_step = p.time_step
 
-    @jax.jit
     def run(s, xs, power_acc, dft_acc):
-        def body(carry, x):
-            s, acc, dre, dim = carry
-            t, amp, cw, sw = x
-            s = step(s, (t, amp))
-            full = restore(s)
-            e_cells = diagnostics._e_cell_means(p, full)
-            dre, dim = accumulate(p, e_cells, cw, sw, (dre, dim))
-            if accumulate_power:
-                inc = diagnostics.power_deposition(p, full, sigma)
-                acc = acc + (inc * dt_step).astype(acc.dtype)
-            return (s, acc, dre, dim), None
-
-        (s, acc, dre, dim), _ = jax.lax.scan(
-            body, (s, power_acc, dft_acc[0], dft_acc[1]), xs
-        )
-        return s, acc, (dre, dim)
+        s, acc, dacc, _ = run_m(s, xs, power_acc, dft_acc)
+        return s, acc, dacc
 
     return run

@@ -22,6 +22,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import diagnostics
 from .io.checkpoint import CheckpointWriter, latest_checkpoint, load_checkpoint
@@ -40,6 +41,7 @@ class RunResult:
     power_j: jax.Array | None = None
     warnings: list[str] = dataclasses.field(default_factory=list)
     dft: object | None = None  # dft.DftResult when run with dft=DftConfig
+    probes: object | None = None  # monitors.ProbeResult when probes given
 
 
 def initial_state(p: Params) -> FieldState:
@@ -465,23 +467,25 @@ def run_simulation(
     shard: str | None = None,
     pml=None,
     dft=None,
+    probes=None,
 ) -> RunResult:
     p.validate()
-    if dft is not None:
+    if dft is not None or probes is not None:
+        what = "--dft" if dft is not None else "--probe"
         if shard is not None:
             raise ValueError(
-                "DFT accumulation under --shard is not supported yet "
-                "(run the DFT diagnostic single-chip)"
+                f"per-step monitors ({what}) under --shard are not "
+                "supported yet (run the diagnostic single-chip)"
             )
         if pml is not None:
             raise ValueError(
-                "DFT accumulation under --pml is not supported yet "
-                "(run the DFT diagnostic in the closed cavity)"
+                f"per-step monitors ({what}) under --pml are not "
+                "supported yet (run the diagnostic in the closed cavity)"
             )
         if resume or checkpoint_every:
             raise ValueError(
-                "DFT accumulators do not ride checkpoints; run --dft "
-                "without --resume/--checkpoint-every"
+                f"monitor accumulators ({what}) do not ride checkpoints; "
+                "run without --resume/--checkpoint-every"
             )
     ts = time_values(p)
     xs_t, xs_a = scan_inputs(p, ts)
@@ -558,24 +562,33 @@ def run_simulation(
         )
     else:
         backend = resolve_backend(p, backend, materials, accumulate_power, log)
-        if dft is not None:
+        if dft is not None or probes is not None:
             from . import dft as dft_mod
+            from .monitors import make_monitored_chunk_runner
 
             if not dft_mod.supported_backend(backend):
                 log(
-                    f"notice: DFT accumulation needs per-step states; "
-                    f"backend {backend!r} group-steps — using xla"
+                    f"notice: per-step monitors (--dft/--probe) need "
+                    f"per-step states; backend {backend!r} group-steps "
+                    f"— using xla"
                 )
                 backend = "xla"
-            run_dft_chunk = dft_mod.make_dft_chunk_runner(
-                p, materials, backend, dft, accumulate_power
+            run_mon = make_monitored_chunk_runner(
+                p, materials, backend, dft=dft, probes=probes,
+                accumulate_power=accumulate_power,
             )
-            dft_box = {"acc": dft_mod.zero_dft_acc(p, dft)}
+            dft_box = {
+                "acc": dft_mod.zero_dft_acc(p, dft)
+                if dft is not None else None
+            }
+            probe_chunks: list = []
 
             def run_chunk(st, chunk, power):
-                st, power, dft_box["acc"] = run_dft_chunk(
+                st, power, dft_box["acc"], ys = run_mon(
                     st, chunk, power, dft_box["acc"]
                 )
+                if ys is not None:
+                    probe_chunks.append(np.asarray(ys))
                 return st, power
         else:
             run_chunk = make_chunk_runner(p, materials, backend, accumulate_power)
@@ -778,4 +791,16 @@ def run_simulation(
         from .dft import finalize
 
         dft_result = finalize(dft, dft_box["acc"], steps_done)
-    return RunResult(state, n, wall, mcells, power, warnings, dft=dft_result)
+    probe_result = None
+    if probes is not None:
+        from .monitors import ProbeResult
+
+        probe_result = ProbeResult(
+            cells=probes.cells,
+            times=np.asarray(ts, np.float64),
+            values=(np.concatenate(probe_chunks, axis=0)
+                    if probe_chunks else
+                    np.zeros((0, len(probes.cells), 6), np.float32)),
+        )
+    return RunResult(state, n, wall, mcells, power, warnings,
+                     dft=dft_result, probes=probe_result)

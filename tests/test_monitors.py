@@ -1,0 +1,152 @@
+"""Point probes (fdtd_tpu/monitors.py) + mode spectra (utils/spectrum.py).
+
+Physics pins: a validation-mode run is a free TE101 oscillation, so a
+probe's spectrum must peak at (numerically-dispersed) f101; the pulsed
+computation-mode run must ring the same resonance through the full
+product path (gaussian burst -> probe -> spectrum -> peak).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from fdtd_tpu import diagnostics
+from fdtd_tpu.analytic import mode_constants
+from fdtd_tpu.monitors import COMPONENTS, ProbeResult, ProbeSet
+from fdtd_tpu.params import Mode, Params, SourceConfig
+from fdtd_tpu.runner import run_simulation
+from fdtd_tpu.utils.spectrum import (
+    amplitude_spectrum,
+    find_peaks,
+    probe_mode_spectrum,
+)
+
+
+def _box(n, dt, steps, mode=Mode.VALIDATION, source=None):
+    kw = {"source": source} if source is not None else {}
+    return Params(
+        length=n * 1e-3, width=n * 1e-3, height=n * 1e-3,
+        spatial_step=1e-3, time_step=dt,
+        simulation_time=(steps - 0.5) * dt, sampling_rate=10**9,
+        mode=mode, dtype="float32", **kw,
+    )
+
+
+def test_probe_set_validation():
+    with pytest.raises(ValueError):
+        ProbeSet(())
+    with pytest.raises(ValueError):
+        ProbeSet(((1, 2),))
+    ps = ProbeSet(((1, 2, 3),))
+    p = _box(10, 1e-12, 4)
+    ps.validate(p)
+    with pytest.raises(ValueError, match="outside"):
+        ProbeSet(((10, 0, 0),)).validate(p)
+    with pytest.raises(ValueError, match="outside"):
+        ProbeSet(((0, 0, -1),)).validate(p)
+
+
+def test_probe_series_matches_state_evolution():
+    """Probe row k equals the cell means of the state after step k+1:
+    run 10 steps plain and 20 with probes, compare at the overlap."""
+    cell = (5, 4, 6)
+    p10 = _box(10, 1.5e-12, 10)
+    p20 = _box(10, 1.5e-12, 20)
+    plain = run_simulation(p10, write_snapshots=False, backend="xla",
+                           log=lambda s: None)
+    probed = run_simulation(p20, write_snapshots=False, backend="xla",
+                            probes=ProbeSet((cell,)), log=lambda s: None)
+    pr = probed.probes
+    assert pr.values.shape == (20, 1, 6)
+    k, j, i = cell
+    kk, jj, ii = slice(k, k + 1), slice(j, j + 1), slice(i, i + 1)
+    es = diagnostics._e_cell_means(p10, plain.state, kk, jj, ii)
+    hs = diagnostics._h_cell_means(p10, plain.state, kk, jj, ii)
+    want = np.array([float(m[0, 0, 0]) for m in (*es, *hs)], np.float32)
+    np.testing.assert_allclose(pr.values[9, 0], want, rtol=2e-6, atol=1e-30)
+    # the series genuinely oscillates (validation mode rings TE101)
+    assert pr.series(0, "ey").std() > 0.01
+    assert list(COMPONENTS) == ["ex", "ey", "ez", "hx", "hy", "hz"]
+
+
+def test_find_peaks_two_tone():
+    """Parabolic refinement resolves two synthetic tones to ~0.2% even
+    off-bin."""
+    fs = 1.0e9
+    n = 512
+    t = np.arange(n) / fs
+    f1, f2 = 0.1037e9, 0.2731e9  # deliberately off-bin
+    x = 1.0 * np.cos(2 * np.pi * f1 * t) + 0.6 * np.cos(2 * np.pi * f2 * t)
+    freqs, amp = amplitude_spectrum(t, x)
+    peaks = find_peaks(freqs, amp, n_peaks=2)
+    got = sorted(f for f, _ in peaks)
+    np.testing.assert_allclose(got, [f1, f2], rtol=2e-3)
+
+
+def test_validation_ringdown_spectrum_peaks_at_f101():
+    """Free TE101 oscillation: the probe spectrum's dominant peak sits at
+    the (numerically dispersed) TE101 frequency."""
+    n = 10
+    base = _box(n, 1e-12, 4)
+    f101, _ = mode_constants(base)
+    per_period = 32
+    dt = 1.0 / (f101 * per_period)
+    p = _box(n, dt, 64 * per_period)
+    res = run_simulation(p, write_snapshots=False, backend="xla",
+                         probes=ProbeSet(((5, 5, 5),)),
+                         log=lambda s: None)
+    freqs, amp, peaks = probe_mode_spectrum(res, component="ey")
+    assert peaks, "no peaks found"
+    f_peak = peaks[0][0]
+    # numerical dispersion at 10 cells/half-wave shifts f by < ~1.5%
+    assert abs(f_peak - f101) / f101 < 0.015, (f_peak, f101)
+
+
+def test_pulsed_burst_rings_the_cavity_mode():
+    """The product path: gaussian burst -> probe -> ring-down spectrum
+    recovers the TE101 resonance in a driven (computation-mode) run."""
+    n = 10
+    base = _box(n, 1e-12, 4)
+    f101, _ = mode_constants(base)
+    per_period = 32
+    dt = 1.0 / (f101 * per_period)
+    # a small source patch: the reference's hard source *clamps* its
+    # cells every step, and a large clamped region on the z=0 wall
+    # measurably shifts the cavity's eigenfrequencies
+    src = SourceConfig(frequency=f101, envelope="gaussian",
+                       aprime=0.002, bprime=0.002)
+    p = _box(n, dt, 64 * per_period, mode=Mode.COMPUTATION, source=src)
+    res = run_simulation(p, write_snapshots=False, backend="xla",
+                         probes=ProbeSet(((5, 5, 5), (3, 3, 3))),
+                         log=lambda s: None)
+    # drop the driven transient, analyze the ring-down
+    freqs, amp, peaks = probe_mode_spectrum(res, probe=0, component="ey",
+                                            skip_transient=0.25)
+    assert peaks, "no peaks found"
+    rel = [abs(f - f101) / f101 for f, _ in peaks[:4]]
+    assert min(rel) < 0.03, (peaks[:4], f101)
+
+
+def test_probe_cli_end_to_end(tmp_path):
+    from fdtd_tpu.cli import main
+
+    params = tmp_path / "p.txt"
+    params.write_text("0.01\n0.01\n0.01\n0.001\n1e-12\n2e-11\n1000000000\n1\n")
+    out = tmp_path / "o"
+    rc = main([str(params), "--probe", "5,5,5", "--probe", "2,3,4",
+               "--out", str(out), "--backend", "xla"])
+    assert rc == 0
+    lines = (out / "probes.csv").read_text().splitlines()
+    assert lines[0].startswith("# probe cells")
+    header = lines[1].split(",")
+    assert header[0] == "t" and len(header) == 1 + 2 * 6
+    assert len(lines) == 2 + 20  # comment + header + one row per step
+    row = np.array([float(v) for v in lines[2].split(",")])
+    assert row.shape == (13,)
+
+    assert main([str(params), "--probe", "99,0,0"]) == 1  # out of bounds
+    assert main([str(params), "--probe", "a,b,c"]) == 1
+    assert main([str(params), "--probe", "5,5,5",
+                 "--checkpoint-every", "4"]) == 1
+    assert main([str(params), "--probe", "5,5,5", "--pml", "4"]) == 1
