@@ -340,12 +340,20 @@ def make_pml_step(p: Params, cfg: PMLConfig, coefs: UpdateCoefs):
 
 
 def make_pml_chunk_runner(p: Params, cfg: PMLConfig, materials=None,
-                          accumulate_power: bool = False):
+                          accumulate_power: bool = False,
+                          dft=None, probes=None):
     """Jitted ``run((state, psi), xs, power) -> ((state, psi), power)``.
 
     The PML analogue of :func:`fdtd_tpu.step.make_chunk_runner` (xla
     semantics: no donation, canonical layout); SAR accumulation uses the
     per-step jnp increment.
+
+    With ``dft``/``probes`` (per-step monitors — the open-boundary use
+    cases: radiated phasor patterns, ring-down Q factors) the signature
+    extends to ``run(carry, xs, power, dft_acc) -> (carry, power,
+    dft_acc, probe_ys)`` with ``xs`` carrying the DFT weight rows, the
+    same contract as
+    :func:`fdtd_tpu.monitors.make_monitored_chunk_runner`.
     """
     import functools
 
@@ -358,6 +366,40 @@ def make_pml_chunk_runner(p: Params, cfg: PMLConfig, materials=None,
         np.asarray(coefs.sigma_cells) if coefs.sigma_cells is not None else 0.0
     )
     dt_step = p.time_step
+
+    if dft is not None or probes is not None:
+        from ..dft import accumulate as dft_accumulate
+        from ..monitors import probe_row
+
+        if probes is not None:
+            probes.validate(p)
+        cells = probes.cells if probes is not None else None
+
+        @jax.jit
+        def run_mon(carry, xs, power_acc, dft_acc):
+            def body(c, x):
+                (s, psi), acc, dacc = c
+                if dft is not None:
+                    t, amp, cw, sw = x
+                    sx = (t, amp)
+                else:
+                    sx = x
+                s, psi = step((s, psi), sx)
+                if dft is not None:
+                    e_cells = diagnostics._e_cell_means(p, s)
+                    dacc = dft_accumulate(p, e_cells, cw, sw, dacc)
+                if accumulate_power:
+                    inc = diagnostics.power_deposition(p, s, sigma)
+                    acc = acc + (inc * dt_step).astype(acc.dtype)
+                ys = probe_row(p, s, cells) if cells is not None else None
+                return ((s, psi), acc, dacc), ys
+
+            (carry, acc, dacc), ys = jax.lax.scan(
+                body, (carry, power_acc, dft_acc), xs
+            )
+            return carry, acc, dacc, ys
+
+        return run_mon
 
     @functools.partial(jax.jit)
     def run(carry, xs, power_acc=None):

@@ -477,11 +477,6 @@ def run_simulation(
                 f"per-step monitors ({what}) under --shard are not "
                 "supported yet (run the diagnostic single-chip)"
             )
-        if pml is not None:
-            raise ValueError(
-                f"per-step monitors ({what}) under --pml are not "
-                "supported yet (run the diagnostic in the closed cavity)"
-            )
         if resume or checkpoint_every:
             raise ValueError(
                 f"monitor accumulators ({what}) do not ride checkpoints; "
@@ -524,7 +519,16 @@ def run_simulation(
         if accumulate_power and materials is None:
             raise ValueError("--sar needs lossy materials (e.g. --water-block)")
         fast_ok = fast_pml_supported(p, pml, materials)
-        if backend == "auto":
+        if dft is not None or probes is not None:
+            # per-step monitors need per-step states: the xla PML scan
+            # (open-boundary DFT patterns / ring-down Q probes)
+            if backend not in ("auto", "xla"):
+                log(
+                    f"notice: per-step monitors (--dft/--probe) under "
+                    f"--pml run the xla scan (backend {backend!r} ignored)"
+                )
+            backend = "xla"
+        elif backend == "auto":
             backend = "pallas_fused" if (fast_ok and _on_tpu()) else "xla"
         elif backend != "xla":
             if backend not in ("pallas_fused", "pallas"):
@@ -546,11 +550,33 @@ def run_simulation(
             run_pml = make_pml_fast_chunk_runner(
                 p, pml, materials, accumulate_power
             )
+
+            def run_chunk(carry, chunk, power):
+                return run_pml(carry, chunk, power)
+        elif dft is not None or probes is not None:
+            from . import dft as dft_mod
+
+            run_pml = make_pml_chunk_runner(
+                p, pml, materials, accumulate_power, dft=dft, probes=probes
+            )
+            dft_box = {
+                "acc": dft_mod.zero_dft_acc(p, dft)
+                if dft is not None else None
+            }
+            probe_chunks = []
+
+            def run_chunk(carry, chunk, power):
+                carry, power, dft_box["acc"], ys = run_pml(
+                    carry, chunk, power, dft_box["acc"]
+                )
+                if ys is not None:
+                    probe_chunks.append(np.asarray(ys))
+                return carry, power
         else:
             run_pml = make_pml_chunk_runner(p, pml, materials, accumulate_power)
 
-        def run_chunk(carry, chunk, power):
-            return run_pml(carry, chunk, power)
+            def run_chunk(carry, chunk, power):
+                return run_pml(carry, chunk, power)
     elif shard is not None:
         # multi-device spatial decomposition (the reference MPI branch's
         # CLI story, description.pdf section 2.2); see parse_shard_spec

@@ -173,6 +173,13 @@ def test_dft_cli_end_to_end(tmp_path):
     assert float(arrs["cw_power_w_m3"].min()) >= 0.0
 
     assert main([str(params), "--dft", "not-a-number"]) == 1
-    assert main([str(params), "--dft", "2.45e9", "--pml", "4"]) == 1
     assert main([str(params), "--dft", "2.45e9",
                  "--checkpoint-every", "5"]) == 1
+
+    # --dft composes with --pml (open-boundary phasor patterns) via the
+    # xla PML scan
+    rc = main([str(params), "--dft", "2.45e10", "--pml", "3",
+               "--out", str(tmp_path / "pml"), "--backend", "xla"])
+    assert rc == 0
+    arrs = read_vtr_cell_arrays(str(tmp_path / "pml" / "dft_00.vtr"))
+    assert np.isfinite(arrs["e_mag"]).all()
