@@ -72,6 +72,43 @@ def find_peaks(freqs, amp, n_peaks: int = 5, min_rel: float = 0.05):
     return out
 
 
+def ring_down_q(times, series, frequency: float | None = None,
+                skip_transient: float = 0.0):
+    """(Q, decay_rate, frequency) from a ring-down probe series.
+
+    Fits the amplitude envelope A(t) ~ exp(-gamma t) by log-linear least
+    squares through the rectified-peak sequence (DC residual subtracted
+    — CPML alpha=0 leaves a static offset), and returns the quality
+    factor Q = omega / (2 gamma) (amplitude decay at gamma means energy
+    decays at 2 gamma).  ``frequency`` defaults to the spectrum's
+    dominant peak.  A non-decaying (closed-cavity) series yields a huge
+    or negative-gamma Q — check ``decay_rate`` before trusting Q.
+    """
+    t = np.asarray(times, np.float64)
+    x = np.asarray(series, np.float64)
+    n0 = int(len(x) * skip_transient)
+    t, x = t[n0:], x[n0:]
+    if len(x) < 16:
+        raise ValueError("need at least 16 samples for a ring-down fit")
+    x = x - x[-max(len(x) // 8, 1):].mean()  # strip the static residual
+    if frequency is None:
+        freqs, amp = amplitude_spectrum(t, x)
+        peaks = find_peaks(freqs, amp, n_peaks=1)
+        if not peaks:
+            raise ValueError("no spectral peak to anchor the frequency")
+        frequency = peaks[0][0]
+    ax = np.abs(x)
+    pk = np.nonzero((ax[1:-1] > ax[:-2]) & (ax[1:-1] >= ax[2:]))[0] + 1
+    pk = pk[ax[pk] > 1e-3 * ax.max()]  # log() needs headroom
+    if len(pk) < 4:
+        raise ValueError("too few envelope peaks for a decay fit")
+    gamma, _b = np.polyfit(t[pk], np.log(ax[pk]), 1)
+    gamma = -float(gamma)
+    omega = 2.0 * np.pi * float(frequency)
+    q = omega / (2.0 * gamma) if gamma != 0 else float("inf")
+    return float(q), gamma, float(frequency)
+
+
 def probe_mode_spectrum(result, probe: int = 0, component: str = "ey",
                         n_peaks: int = 5, skip_transient: float = 0.0):
     """(freqs, amp, peaks) from a :class:`RunResult` with probes.

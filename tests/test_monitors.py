@@ -187,3 +187,53 @@ def test_probe_ringdown_decays_through_pml():
     osc = np.asarray(ey_o, np.float64) - np.mean(ey_o[-len(ey_o) // 8:])
     assert rms(osc[half:]) < 0.3 * rms(osc[:half])
     assert np.isfinite(opened.dft.phasors).all()
+
+
+def test_ring_down_q_synthetic():
+    """Q extraction recovers a synthetic damped cosine to a few percent."""
+    from fdtd_tpu.utils.spectrum import ring_down_q
+
+    f = 2.0e9
+    gamma = 2.0e8
+    fs = 64 * f
+    t = np.arange(4096) / fs
+    x = np.exp(-gamma * t) * np.cos(2 * np.pi * f * t) + 0.05  # DC offset
+    q, g, fr = ring_down_q(t, x)
+    np.testing.assert_allclose(g, gamma, rtol=0.03)
+    np.testing.assert_allclose(fr, f, rtol=0.01)
+    np.testing.assert_allclose(q, 2 * np.pi * f / (2 * gamma), rtol=0.05)
+
+    with pytest.raises(ValueError, match="16 samples"):
+        ring_down_q(t[:8], x[:8])
+
+
+def test_ring_down_q_from_pml_run():
+    """The product path: probe a TE101 ring-down through CPML walls and
+    read a finite positive Q; the closed cavity's fitted decay rate is
+    tiny by comparison."""
+    from fdtd_tpu.dft import DftConfig
+    from fdtd_tpu.ops.cpml import PMLConfig
+    from fdtd_tpu.utils.spectrum import ring_down_q
+
+    n = 10
+    base = _box(n, 1e-12, 4)
+    f101, _ = mode_constants(base)
+    per_period = 32
+    dt = 1.0 / (f101 * per_period)
+    p = _box(n, dt, 24 * per_period)
+    probes = ProbeSet(((5, 5, 5),))
+    opened = run_simulation(p, write_snapshots=False, backend="xla",
+                            probes=probes, pml=PMLConfig(cells=3),
+                            log=lambda s: None)
+    closed = run_simulation(p, write_snapshots=False, backend="xla",
+                            probes=probes, log=lambda s: None)
+    q_o, g_o, f_o = ring_down_q(opened.probes.times,
+                                opened.probes.series(0, "ey"),
+                                frequency=f101)
+    assert g_o > 0 and 0 < q_o < 1e4
+    # 3-cell CPML is a leaky wall: the mode should die within tens of
+    # periods, i.e. Q of order 10-1000
+    _, g_c, _ = ring_down_q(closed.probes.times,
+                            closed.probes.series(0, "ey"),
+                            frequency=f101)
+    assert abs(g_c) < 0.2 * g_o
