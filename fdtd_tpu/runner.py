@@ -126,7 +126,7 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
                           accumulate_power: bool = False,
                           backend: str = "auto",
                           log: Callable[[str], None] = print,
-                          pml=None):
+                          pml=None, dft=None, probes=None):
     """(prep, restore, run_chunk) running chunks on a (nz, ny) device mesh.
 
     ``backend`` selects the per-shard kernels — the multi-chip analogue of
@@ -187,6 +187,23 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
             return st, acc[crop]
 
         return run_chunk
+
+    monitors = dft is not None or probes is not None
+    if monitors:
+        # per-step monitors under sharding: the jnp shard_map scan is
+        # the only per-step-state path; GSPMD partitions the cell-mean
+        # slices (same arithmetic as single-chip _e_cell_means)
+        if pml is not None:
+            raise ValueError(
+                "per-step monitors (--dft/--probe) under --pml --shard "
+                "are not supported yet (drop one of the three)"
+            )
+        if backend not in ("auto", "xla"):
+            log(
+                f"notice: per-step monitors (--dft/--probe) under --shard "
+                f"run the xla shard_map path (backend {backend!r} ignored)"
+            )
+        backend = "xla"
 
     if pml is not None:
         # CPML x spatial sharding.  Fast path (r3): per-shard two-pass
@@ -340,11 +357,79 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
         )
         from .parallel.sharded_step import make_sharded_chunk_runner
 
+        prep = lambda s: pad_state_for_mesh(p, s, mesh)
+        restore = lambda s: unpad_state(p, s)
+
+        if monitors:
+            from . import diagnostics
+            from . import dft as dft_mod
+            from .monitors import probe_row
+            from .parallel.sharded_step import make_sharded_step
+
+            if probes is not None:
+                probes.validate(p)
+            cells = probes.cells if probes is not None else None
+            sharded_step = make_sharded_step(
+                p, mesh, materials, accumulate_power=accumulate_power
+            )
+
+            @jax.jit
+            def run_mon(s, xs, acc, dacc):
+                def body(carry, x):
+                    s, a, d = carry
+                    if dft is not None:
+                        amp, cw, sw = x
+                    else:
+                        amp = x
+                    if accumulate_power:
+                        s, a = sharded_step(amp, s, a)
+                    else:
+                        s = sharded_step(amp, s)
+                    if dft is not None:
+                        e_cells = diagnostics._e_cell_means(p, s)
+                        d = dft_mod.accumulate(p, e_cells, cw, sw, d)
+                    ys = probe_row(p, s, cells) if cells is not None else None
+                    return (s, a, d), ys
+
+                (s, acc, dacc), ys = jax.lax.scan(body, (s, acc, dacc), xs)
+                return s, acc, dacc, ys
+
+            dft_box = {
+                "acc": dft_mod.zero_dft_acc(p, dft)
+                if dft is not None else None
+            }
+            probe_chunks: list = []
+            K, J, I = p.maxk, p.maxj, p.maxi
+            Kp, Jp, Ip = padded_divisible_shape(p, mesh)
+            fsh = field_sharding(mesh)
+
+            def run_chunk(st, chunk, power):
+                xs = jnp.asarray(chunk[1])
+                if dft is not None:
+                    xs = (xs, jnp.asarray(chunk[2]), jnp.asarray(chunk[3]))
+                acc = None
+                if accumulate_power:
+                    acc = jax.device_put(
+                        jnp.pad(jnp.asarray(power),
+                                ((0, Kp - K), (0, Jp - J), (0, Ip - I))),
+                        fsh,
+                    )
+                st, acc, dft_box["acc"], ys = run_mon(
+                    st, xs, acc, dft_box["acc"]
+                )
+                if ys is not None:
+                    probe_chunks.append(np.asarray(ys))
+                if accumulate_power:
+                    power = acc[:K, :J, :I]
+                return st, power
+
+            run_chunk.dft_box = dft_box
+            run_chunk.probe_chunks = probe_chunks
+            return prep, restore, run_chunk
+
         run_jnp = make_sharded_chunk_runner(
             p, mesh, materials, accumulate_power=accumulate_power
         )
-        prep = lambda s: pad_state_for_mesh(p, s, mesh)
-        restore = lambda s: unpad_state(p, s)
 
         if accumulate_power:
             K, J, I = p.maxk, p.maxj, p.maxi
@@ -472,11 +557,6 @@ def run_simulation(
     p.validate()
     if dft is not None or probes is not None:
         what = "--dft" if dft is not None else "--probe"
-        if shard is not None:
-            raise ValueError(
-                f"per-step monitors ({what}) under --shard are not "
-                "supported yet (run the diagnostic single-chip)"
-            )
         if resume or checkpoint_every:
             raise ValueError(
                 f"monitor accumulators ({what}) do not ride checkpoints; "
@@ -584,8 +664,11 @@ def run_simulation(
             raise ValueError("--sar needs lossy materials (e.g. --water-block)")
         sh_prep, sh_restore, run_chunk = _sharded_chunk_runner(
             p, shard, materials, accumulate_power, backend=backend, log=log,
-            pml=pml,
+            pml=pml, dft=dft, probes=probes,
         )
+        if dft is not None or probes is not None:
+            dft_box = run_chunk.dft_box
+            probe_chunks = run_chunk.probe_chunks
     else:
         backend = resolve_backend(p, backend, materials, accumulate_power, log)
         if dft is not None or probes is not None:

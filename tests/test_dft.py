@@ -143,12 +143,27 @@ def test_dft_unsupported_backend_raises():
 
 def test_dft_guard_combinations():
     p, f = _validation_params(n=8, periods=1)
-    with pytest.raises(ValueError, match="shard"):
-        run_simulation(p, dft=DftConfig((f,)), shard="2",
-                       write_snapshots=False, log=lambda s: None)
     with pytest.raises(ValueError, match="checkpoints"):
         run_simulation(p, dft=DftConfig((f,)), checkpoint_every=5,
                        write_snapshots=False, log=lambda s: None)
+
+
+def test_dft_sharded_matches_single_chip():
+    """--dft under --shard (the jnp shard_map scan): phasors match the
+    single-chip monitored run — GSPMD partitions the very same cell-mean
+    slice arithmetic."""
+    p, f101 = _validation_params(n=8, periods=2)
+    cfg = DftConfig((f101,))
+    single = run_simulation(p, dft=cfg, write_snapshots=False,
+                            backend="xla", log=lambda s: None)
+    sharded = run_simulation(p, dft=cfg, shard="2", write_snapshots=False,
+                             backend="xla", log=lambda s: None)
+    np.testing.assert_array_equal(sharded.dft.phasors, single.dft.phasors)
+    for c in ("ex", "ey", "ez"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(sharded.state, c)),
+            np.asarray(getattr(single.state, c)),
+        )
 
 
 def test_dft_cli_end_to_end(tmp_path):

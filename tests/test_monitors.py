@@ -237,3 +237,34 @@ def test_ring_down_q_from_pml_run():
                             closed.probes.series(0, "ey"),
                             frequency=f101)
     assert abs(g_c) < 0.2 * g_o
+
+
+def test_probes_sharded_match_single_chip():
+    """--probe under --shard: the probe series (and with --water-block
+    --sar, the SAR map) bit-match the single-chip run on a 2-way mesh."""
+    from fdtd_tpu.state import water_block
+
+    dx = 1e-3
+    n = 8
+    p = Params(
+        length=n * dx, width=n * dx, height=n * dx, spatial_step=dx,
+        time_step=1e-12, simulation_time=2e-11, sampling_rate=10**9,
+        mode=Mode.COMPUTATION, dtype="float32",
+    )
+    mats = water_block(p)
+    probes = ProbeSet(((4, 4, 4), (1, 6, 2)))
+    single = run_simulation(p, materials=mats, accumulate_power=True,
+                            probes=probes, write_snapshots=False,
+                            backend="xla", log=lambda s: None)
+    sharded = run_simulation(p, materials=mats, accumulate_power=True,
+                             probes=probes, shard="2",
+                             write_snapshots=False, backend="xla",
+                             log=lambda s: None)
+    # the lossy sharded E update reassociates at fp32 ulp level (the
+    # vacuum DFT parity in test_dft is bit-exact); pin to ulp class
+    np.testing.assert_allclose(sharded.probes.values,
+                               single.probes.values,
+                               rtol=0, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(sharded.power_j),
+                               np.asarray(single.power_j),
+                               rtol=1e-5, atol=1e-30)
