@@ -695,3 +695,21 @@ def dryrun(n_devices: int, devices=None) -> None:
                             np.float32)
             st8, acc8 = run_s2ds(st8, xs8b, jnp.asarray(acc0))
             jax.block_until_ready(acc8)
+
+    # monitored sharded scan (r3): --dft/--probe under --shard rides the
+    # jnp shard_map path; exercised through the real run_simulation wiring
+    import tempfile
+
+    from ..dft import DftConfig
+    from ..monitors import ProbeSet
+    from ..runner import run_simulation
+
+    with tempfile.TemporaryDirectory() as td:
+        res = run_simulation(
+            p, out_dir=td, write_snapshots=False, backend="xla",
+            shard=str(n_devices), dft=DftConfig((p.source.frequency,)),
+            probes=ProbeSet(((n // 2, n // 2, n // 2),)),
+            log=lambda s: None,
+        )
+    assert res.dft is not None
+    assert res.probes.values.shape == (res.iterations, 1, 6)
