@@ -81,6 +81,9 @@ def build_arg_parser() -> argparse.ArgumentParser:
                          "at these frequencies (comma-separated Hz); writes "
                          "per-frequency dft_NN.vtr complex field maps, |E|, "
                          "and the CW power deposition for lossy loads")
+    ap.add_argument("--dft-fields", default="e", choices=["e", "eh"],
+                    help="DFT components: 'e' (default) or 'eh' (all six, "
+                         "enabling the cycle-averaged Poynting map)")
     ap.add_argument("--probe", action="append", default=None,
                     metavar="K,J,I",
                     help="record a per-step time series of the six "
@@ -274,7 +277,8 @@ def main(argv=None) -> int:
 
         try:
             dft_cfg = DftConfig(
-                tuple(float(x) for x in args.dft.split(","))
+                tuple(float(x) for x in args.dft.split(",")),
+                fields=args.dft_fields,
             )
         except ValueError as e:
             print(f"error: bad --dft spec: {e}", file=sys.stderr)
@@ -414,14 +418,21 @@ def main(argv=None) -> int:
         from .io.vtr import write_vtr
 
         coords = grid.node_coords(p)
+        comps = (("ex", "ey", "ez", "hx", "hy", "hz")
+                 if result.dft.fields == "eh" else ("ex", "ey", "ez"))
         for fi, f in enumerate(result.dft.frequencies):
             ph = result.dft.phasors[fi]
             variables = {}
-            for ci, name in enumerate(("ex", "ey", "ez")):
+            for ci, name in enumerate(comps):
                 variables[f"{name}_re"] = np.ascontiguousarray(ph[ci].real)
                 variables[f"{name}_im"] = np.ascontiguousarray(ph[ci].imag)
             mag = result.dft.magnitude(fi)
             variables["e_mag"] = mag
+            if result.dft.fields == "eh":
+                S = result.dft.poynting(fi)
+                for ci, name in enumerate(("s_x", "s_y", "s_z")):
+                    variables[name] = np.ascontiguousarray(S[ci])
+                variables["s_mag"] = np.sqrt((S**2).sum(axis=0))
             if materials is not None and materials.sigma is not None:
                 variables["cw_power_w_m3"] = result.dft.cw_power(
                     materials.sigma, fi

@@ -127,8 +127,10 @@ def make_monitored_chunk_runner(
             s = step(s, (t, amp))
             full = restore(s)
             if dft is not None:
-                e_cells = diagnostics._e_cell_means(p, full)
-                dacc = dft_accumulate(p, e_cells, cw, sw, dacc)
+                cells_f = diagnostics._e_cell_means(p, full)
+                if dft.fields == "eh":
+                    cells_f = (*cells_f, *diagnostics._h_cell_means(p, full))
+                dacc = dft_accumulate(p, cells_f, cw, sw, dacc)
             if accumulate_power:
                 inc = diagnostics.power_deposition(p, full, sigma)
                 acc = acc + (inc * dt_step).astype(acc.dtype)

@@ -386,8 +386,11 @@ def make_pml_chunk_runner(p: Params, cfg: PMLConfig, materials=None,
                     sx = x
                 s, psi = step((s, psi), sx)
                 if dft is not None:
-                    e_cells = diagnostics._e_cell_means(p, s)
-                    dacc = dft_accumulate(p, e_cells, cw, sw, dacc)
+                    cells_f = diagnostics._e_cell_means(p, s)
+                    if dft.fields == "eh":
+                        cells_f = (*cells_f,
+                                   *diagnostics._h_cell_means(p, s))
+                    dacc = dft_accumulate(p, cells_f, cw, sw, dacc)
                 if accumulate_power:
                     inc = diagnostics.power_deposition(p, s, sigma)
                     acc = acc + (inc * dt_step).astype(acc.dtype)

@@ -386,8 +386,11 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
                     else:
                         s = sharded_step(amp, s)
                     if dft is not None:
-                        e_cells = diagnostics._e_cell_means(p, s)
-                        d = dft_mod.accumulate(p, e_cells, cw, sw, d)
+                        cells_f = diagnostics._e_cell_means(p, s)
+                        if dft.fields == "eh":
+                            cells_f = (*cells_f,
+                                       *diagnostics._h_cell_means(p, s))
+                        d = dft_mod.accumulate(p, cells_f, cw, sw, d)
                     ys = probe_row(p, s, cells) if cells is not None else None
                     return (s, a, d), ys
 
@@ -899,7 +902,8 @@ def run_simulation(
     if dft is not None:
         from .dft import finalize
 
-        dft_result = finalize(dft, dft_box["acc"], steps_done)
+        dft_result = finalize(dft, dft_box["acc"], steps_done,
+                              time_step=p.time_step)
     probe_result = None
     if probes is not None:
         from .monitors import ProbeResult

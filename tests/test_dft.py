@@ -198,3 +198,43 @@ def test_dft_cli_end_to_end(tmp_path):
     assert rc == 0
     arrs = read_vtr_cell_arrays(str(tmp_path / "pml" / "dft_00.vtr"))
     assert np.isfinite(arrs["e_mag"]).all()
+
+
+def test_dft_eh_standing_wave_poynting_vanishes():
+    """TE101 is a standing mode: E and H oscillate in time quadrature, so
+    the cycle-averaged Poynting S = 1/2 Re(E x H*) must vanish against
+    the |E||H| scale — but only once the leapfrog half-step phase
+    correction is applied to the H phasors (finalize); undoing it leaks
+    ~sin(w dt/2) ~ 10% of the scale."""
+    p, f101 = _validation_params()
+    res = run_simulation(
+        p, write_snapshots=False, backend="xla",
+        dft=DftConfig((f101,), fields="eh"), log=lambda s: None,
+    )
+    assert res.dft.fields == "eh"
+    ph = res.dft.phasors[0]
+    assert ph.shape[0] == 6
+    e_scale = float(np.abs(ph[:3]).max())
+    h_scale = float(np.abs(ph[3:]).max())
+    assert e_scale > 0.5 and h_scale > 0.0
+    S = res.dft.poynting(0)
+    scale = e_scale * h_scale
+    assert np.abs(S).max() < 0.04 * scale, (np.abs(S).max(), scale)
+
+    # undo the correction: the uncorrected product leaks an order of
+    # magnitude more
+    w = 2 * np.pi * f101
+    raw = ph.copy()
+    raw[3:] = raw[3:] * np.exp(-0.5j * w * p.time_step)
+    S_raw = 0.5 * np.real(np.cross(raw[:3], np.conj(raw[3:]), axis=0))
+    assert np.abs(S_raw).max() > 2.5 * np.abs(S).max()
+
+    # fields='e' results refuse to compute Poynting
+    res_e = run_simulation(
+        p, write_snapshots=False, backend="xla",
+        dft=DftConfig((f101,)), log=lambda s: None,
+    )
+    with pytest.raises(ValueError, match="eh"):
+        res_e.dft.poynting(0)
+    with pytest.raises(ValueError, match="'e' or 'eh'"):
+        DftConfig((1e9,), fields="x")
