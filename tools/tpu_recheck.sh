@@ -74,5 +74,15 @@ assert np.isfinite(e1) and e1 < e0
 print("PML_TPU_OK")
 EOF
 
+echo "=== multiphysics/diagnostic surfaces on device (r3) ==="
+cd /tmp/vtest3
+printf "0.02\n0.02\n0.02\n0.001\n0.000000000001\n0.00000000002\n1000000000\n1\n" > comp.txt
+timeout 900 python -m fdtd_tpu comp.txt --water-block --sar --thermal 30 \
+  --thermal-power 900 --out rth | grep -E "rise|Peak" || exit 1
+timeout 900 python -m fdtd_tpu comp.txt --water-block --coupled 2 --thermal 8 \
+  --thermal-power 2e3 --out rco | grep "drifted" || exit 1
+timeout 900 python -m fdtd_tpu comp.txt --pml 3 --dft 2.45e10 --dft-fields eh \
+  --probe 10,10,10 --out rdf | grep -E "DFT|Probe" || exit 1
+
 echo "=== bench (fp32 headline + bf16 aux) ==="
 cd /root/repo && timeout 1800 python bench.py
