@@ -153,6 +153,17 @@ def _run_coupled_cli(args, p) -> int:
           f"{args.coupled} interval(s); Debye dielectrics at "
           f"{p.source.frequency:.3g} Hz (note the reference drives at "
           f"2.45e10, not 2.45e9 — override with --source-frequency)")
+    on_interval = None
+    if not args.no_output:
+        os.makedirs(args.out, exist_ok=True)
+        coords = grid.node_coords(p)
+
+        def on_interval(it, T):
+            # per-interval maps: load temperature_*.vtr as a time series
+            # in ParaView/VisIt to animate the cook
+            write_vtr(os.path.join(args.out, f"temperature_{it:02d}.vtr"),
+                      coords, {"temperature_c": T})
+
     try:
         res = run_coupled(
             p,
@@ -166,6 +177,7 @@ def _run_coupled_cli(args, p) -> int:
             shard=args.shard,
             pml=_pml_config(args.pml),
             out_dir=args.out,
+            on_interval=on_interval,
         )
     except (NotImplementedError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)

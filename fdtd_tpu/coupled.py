@@ -135,6 +135,7 @@ def run_coupled(
     pml=None,
     out_dir: str = "r",
     log: Callable[[str], None] = print,
+    on_interval: Callable[[int, np.ndarray], None] | None = None,
 ) -> CoupledResult:
     """Alternate EM (SAR) and thermal solves for ``cook_time`` seconds.
 
@@ -147,6 +148,9 @@ def run_coupled(
     ``power_watts``: if set, each interval's heat source is rescaled so
     the total absorbed power equals this (a real oven's magnetron rating);
     otherwise the unit-amplitude source's raw deposition is used.
+
+    ``on_interval(i, T)``: called after each interval with the fp64
+    temperature field — e.g. to write per-interval maps for animation.
     """
     from .runner import run_simulation  # late: avoid import cycle
 
@@ -202,6 +206,8 @@ def run_coupled(
                 "thermal_steps": tr.steps,
             }
         )
+        if on_interval is not None:
+            on_interval(it, T)
         log(
             f"coupled interval {it + 1}/{intervals}: load T "
             f"{in_load.mean():.2f} C mean / {in_load.max():.2f} C peak, "

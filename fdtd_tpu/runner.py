@@ -44,6 +44,20 @@ class RunResult:
     probes: object | None = None  # monitors.ProbeResult when probes given
 
 
+def _dft_memory_note(p: Params, dft) -> str | None:
+    """Warning text when the DFT accumulators (re+im fp32 pairs) cross
+    2 GB of HBM — surfaced up front instead of as a mid-run OOM."""
+    acc_gb = (dft.nf * dft.nc * p.maxk * p.maxj * p.maxi * 8) / 2**30
+    if acc_gb <= 2.0:
+        return None
+    return (
+        f"DFT accumulators need {acc_gb:.1f} GB HBM "
+        f"({dft.nf} frequencies x {dft.nc} components at "
+        f"{p.maxk}x{p.maxj}x{p.maxi}); consider fewer frequencies "
+        "or fields='e'"
+    )
+
+
 def initial_state(p: Params) -> FieldState:
     return init_validation(p) if p.mode == Mode.VALIDATION else zeros(p)
 
@@ -576,6 +590,11 @@ def run_simulation(
     def warn(msg: str) -> None:
         warnings.append(msg)
         log(f"WARNING: {msg}")
+
+    if dft is not None:
+        mem_msg = _dft_memory_note(p, dft)
+        if mem_msg:
+            warn(mem_msg)
 
     if jnp.dtype(p.dtype) == jnp.bfloat16 and (
         p.mode == Mode.VALIDATION or len(ts) > 2000

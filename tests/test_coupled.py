@@ -154,6 +154,11 @@ def test_coupled_cli_end_to_end(tmp_path):
     lines = [json.loads(l) for l in
              (out / "coupled.jsonl").read_text().splitlines()]
     assert len(lines) == 2 and lines[1]["interval"] == 1
+    # per-interval maps for animation; the final one equals temperature.vtr
+    t0 = read_vtr_cell_arrays(str(out / "temperature_00.vtr"))
+    t1 = read_vtr_cell_arrays(str(out / "temperature_01.vtr"))
+    np.testing.assert_array_equal(t1["temperature_c"], T)
+    assert float(t0["temperature_c"].max()) <= float(T.max())
 
     # error paths are clean exits, not tracebacks
     assert main([str(params), "--water-block", "--coupled", "2"]) == 1

@@ -238,3 +238,32 @@ def test_dft_eh_standing_wave_poynting_vanishes():
         res_e.dft.poynting(0)
     with pytest.raises(ValueError, match="'e' or 'eh'"):
         DftConfig((1e9,), fields="x")
+
+
+def test_dft_memory_warning():
+    """A multi-GB accumulator request is warned about up front (RunResult
+    warnings + log), not discovered as an OOM mid-run."""
+    from fdtd_tpu.runner import _dft_memory_note
+
+    # 512^3, 4 frequencies, eh: 4*6*512^3*8 B = 24 GB -> warns
+    dx = 1e-3
+    big = Params(length=0.512, width=0.512, height=0.512, spatial_step=dx,
+                 time_step=1e-12, simulation_time=1e-12,
+                 sampling_rate=10**9, mode=Mode.VALIDATION, dtype="float32")
+    cfg = DftConfig((1e9, 2e9, 3e9, 4e9), fields="eh")
+    note = _dft_memory_note(big, cfg)
+    assert note and "24.0 GB" in note, note
+    # one e-only frequency at 256^3: 0.375 GB -> silent
+    mid = Params(length=0.256, width=0.256, height=0.256, spatial_step=dx,
+                 time_step=1e-12, simulation_time=1e-12,
+                 sampling_rate=10**9, mode=Mode.VALIDATION, dtype="float32")
+    assert _dft_memory_note(mid, DftConfig((1e9,))) is None
+
+    # wiring: a small real run stays warning-free
+    p, f = _validation_params(n=8, periods=1)
+    msgs = []
+    res = run_simulation(p, dft=DftConfig((f,), fields="eh"),
+                         write_snapshots=False, backend="xla",
+                         log=msgs.append)
+    assert not any("GB HBM" in m for m in msgs)
+    assert not any("GB HBM" in w for w in res.warnings)
