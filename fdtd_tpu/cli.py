@@ -81,6 +81,10 @@ def build_arg_parser() -> argparse.ArgumentParser:
                          "at these frequencies (comma-separated Hz); writes "
                          "per-frequency dft_NN.vtr complex field maps, |E|, "
                          "and the CW power deposition for lossy loads")
+    ap.add_argument("--dispersive", action="store_true",
+                    help="make the --water-block load a true single-pole "
+                         "Debye medium solved by the ADE method (frequency-"
+                         "dependent eps(w) in the time domain); xla backend")
     ap.add_argument("--dft-fields", default="e", choices=["e", "eh"],
                     help="DFT components: 'e' (default) or 'eh' (all six, "
                          "enabling the cycle-averaged Poynting map)")
@@ -254,6 +258,21 @@ def main(argv=None) -> int:
     materials = water_block(p) if args.water_block else None
     if args.ferrite_slab:
         materials = ferrite_slab(p, base=materials)
+    if args.dispersive:
+        if not args.water_block or args.ferrite_slab:
+            print("error: --dispersive needs --water-block (and no "
+                  "--ferrite-slab): it is the Debye description of the "
+                  "water load", file=sys.stderr)
+            return 1
+        if args.coupled:
+            print("error: --dispersive does not compose with --coupled "
+                  "(the ADE already carries the frequency dependence)",
+                  file=sys.stderr)
+            return 1
+        from .ops.dispersive import water_debye_load
+
+        materials = water_debye_load(p, temperature=args.thermal_ambient,
+                                     sigma_ion25=args.salt_sigma)
 
     if args.thermal is not None:
         if not args.sar and not args.coupled:
@@ -445,9 +464,18 @@ def main(argv=None) -> int:
                 for ci, name in enumerate(("s_x", "s_y", "s_z")):
                     variables[name] = np.ascontiguousarray(S[ci])
                 variables["s_mag"] = np.sqrt((S**2).sum(axis=0))
-            if materials is not None and materials.sigma is not None:
+            sig_map = None
+            if args.dispersive and materials is not None:
+                # dielectric + ionic loss at THIS frequency: the Debye
+                # medium's sigma_eff(w), not the plain sigma map
+                from .ops.dispersive import effective_sigma
+
+                sig_map = effective_sigma(materials, f)
+            elif materials is not None and materials.sigma is not None:
+                sig_map = materials.sigma
+            if sig_map is not None:
                 variables["cw_power_w_m3"] = result.dft.cw_power(
-                    materials.sigma, fi
+                    sig_map, fi
                 )
             path = os.path.join(args.out, f"dft_{fi:02d}.vtr")
             write_vtr(path, coords, variables)

@@ -1,0 +1,289 @@
+"""ADE single-pole Debye dispersion: frequency-dependent materials.
+
+The real physics of microwave heating: water's permittivity is not a
+constant but a relaxation, eps(w) = eps_inf + d_eps / (1 + i w tau)
+(+ sigma_dc/(i w eps0)).  The quasi-static paths approximate it by
+evaluating eps'/sigma_eff at one drive frequency
+(:mod:`fdtd_tpu.coupled`); this module solves the dispersion *in the
+time domain* with the standard auxiliary-differential-equation (ADE)
+method, so one broadband (pulsed) run carries the correct
+frequency-dependent response at every frequency at once.
+
+Formulation (per E component, on its Yee edge):
+
+    D = eps0 eps_inf E + P,      tau dP/dt + P = eps0 d_eps E
+    curl H = eps0 eps_inf dE/dt + dP/dt + sigma E
+
+Trapezoidal (semi-implicit) discretization of the P ODE,
+
+    P' = k1 P + k2 (E' + E),   k1 = (2 tau - dt)/(2 tau + dt),
+                               k2 = eps0 d_eps dt / (2 tau + dt),
+
+substituted into Ampere's law gives the explicit E update
+
+    E' = ca E + cb (dH/dx-differences) + cp P
+    ca = (eps - k2 - sigma dt/2) / D
+    cb = (dt/dx) / D
+    cp = (1 - k1) / D            with  D = eps + k2 + sigma dt/2,
+                                       eps = eps0 eps_inf (edge-avg)
+
+which reduces *algebraically exactly* to the non-dispersive lossy
+update of :func:`fdtd_tpu.state.update_coefs` when d_eps = 0 (k2 = 0,
+P stays 0).  The three polarization arrays P live on the same padded
+E grids and ride the scan carry.  All coefficient maps are
+edge-averaged from cell maps with the same 4-cell stencil as
+eps/sigma; outside the physical extents (ca, cb, cp, k1, k2) =
+(1, 0, 0, 1, 0) so pads and PEC faces stay inert.
+
+Supported on the xla backend (pure-jnp slice ops); the dispersive
+kernel tier is future work.  Dielectric (Debye) loss is E.dP/dt work,
+NOT sigma|E|^2 — the --sar accumulator would silently miss it, so the
+runner rejects that combination instead of under-reporting heating.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import EPSILON
+from ..params import Params
+from ..state import FieldState, Materials, _edge_average
+
+COMP_AXES = {"x": (0, 1), "y": (0, 2), "z": (1, 2)}
+
+
+@dataclasses.dataclass(frozen=True)
+class DebyeMaterials:
+    """Cell-centered Debye medium maps of shape (maxk, maxj, maxi).
+
+    ``base``: the instantaneous response — ``eps_r`` is eps_inf,
+    ``sigma`` the DC (ionic) conductivity.  ``d_eps``: relaxation
+    strength eps_s - eps_inf (0 = no dispersion).  ``tau``: relaxation
+    time in seconds (must be > 0 wherever d_eps > 0).
+    """
+
+    base: Materials
+    d_eps: np.ndarray
+    tau: np.ndarray
+
+    def __post_init__(self):
+        d = np.asarray(self.d_eps)
+        t = np.asarray(self.tau)
+        if np.any(d < 0):
+            raise ValueError("Debye d_eps must be >= 0")
+        if np.any((d > 0) & (t <= 0)):
+            raise ValueError("Debye tau must be > 0 wherever d_eps > 0")
+
+
+def water_debye_load(p: Params, lo=(0.3, 0.3, 0.3), hi=(0.7, 0.7, 0.7),
+                     temperature: float = 20.0,
+                     sigma_ion25: float = 0.0) -> DebyeMaterials:
+    """A water block as a *true* Debye medium: eps_inf + relaxation from
+    the same Malmberg-Maryott / Kaatze fits the quasi-static coupled
+    model uses (:mod:`fdtd_tpu.coupled`), so the two descriptions agree
+    at any single frequency by construction."""
+    from ..coupled import EPS_INF, _TAU_PS, _TAU_T_C, water_eps_static
+    from ..state import block_mask
+
+    mask = block_mask(p, lo, hi)
+    T = float(np.clip(temperature, 0.0, 100.0))
+    eps_s = float(water_eps_static(T))
+    tau = float(np.interp(T, _TAU_T_C, _TAU_PS)) * 1e-12
+    sigma_ion = sigma_ion25 * (1.0 + 0.02 * (T - 25.0))
+    base = Materials(
+        eps_r=np.where(mask, EPS_INF, 1.0),
+        sigma=np.where(mask, sigma_ion, 0.0),
+    )
+    return DebyeMaterials(
+        base=base,
+        d_eps=np.where(mask, eps_s - EPS_INF, 0.0),
+        tau=np.where(mask, tau, 0.0),
+    )
+
+
+def effective_sigma(dm: DebyeMaterials, frequency: float) -> np.ndarray:
+    """Cell-centered effective conductivity at ``frequency``:
+    sigma_eff(w) = w eps0 eps''_debye(w) + sigma_dc — the map that makes
+    the CW power density 1/2 sigma_eff |E|^2 *correct* for a Debye
+    medium (plain sigma|E|^2 misses the dielectric loss entirely)."""
+    w = 2.0 * np.pi * float(frequency)
+    wt = w * np.asarray(dm.tau, np.float64)
+    eps_pp = np.asarray(dm.d_eps, np.float64) * wt / (1.0 + wt * wt)
+    sigma_dc = (np.asarray(dm.base.sigma, np.float64)
+                if dm.base.sigma is not None else 0.0)
+    return w * EPSILON * eps_pp + sigma_dc
+
+
+@dataclasses.dataclass(frozen=True)
+class DebyeCoefs:
+    """Per-E-component padded coefficient maps (see module docstring)."""
+
+    ca: dict  # comp -> (K1, J1, I1) array
+    cb: dict
+    cp: dict
+    k1: dict
+    k2: dict
+    h_factor: float
+
+
+def debye_coefs(p: Params, dm: DebyeMaterials, dtype=None) -> DebyeCoefs:
+    """Edge-average the cell maps and form the ADE update coefficients."""
+    from ..constants import MU
+    from ..state import field_dtype
+
+    dt_ = p.time_step
+    dx = p.spatial_step
+    dty = dtype or field_dtype(p)
+    K, J, I = p.maxk, p.maxj, p.maxi
+    er = (dm.base.eps_r if dm.base.eps_r is not None
+          else np.ones((K, J, I)))
+    sg = (dm.base.sigma if dm.base.sigma is not None
+          else np.zeros((K, J, I)))
+    if dm.base.mu_r is not None:
+        raise NotImplementedError(
+            "dispersive media with heterogeneous mu_r is not supported"
+        )
+
+    ca, cb, cp, k1m, k2m = {}, {}, {}, {}, {}
+    K1, J1, I1 = p.padded_shape
+    for comp, axes in COMP_AXES.items():
+        eps_e = _edge_average(er, axes) * EPSILON
+        sig_e = _edge_average(sg, axes)
+        de_e = _edge_average(np.asarray(dm.d_eps, np.float64), axes)
+        tau_e = _edge_average(np.asarray(dm.tau, np.float64), axes)
+        two_tau = 2.0 * tau_e + dt_
+        k1 = (2.0 * tau_e - dt_) / two_tau
+        k2 = EPSILON * de_e * dt_ / two_tau
+        D = eps_e + k2 + 0.5 * sig_e * dt_
+        ca_e = (eps_e - k2 - 0.5 * sig_e * dt_) / D
+        cb_e = (dt_ / dx) / D
+        cp_e = (1.0 - k1) / D
+
+        def embed(arr, fill):
+            out = np.full((K1, J1, I1), fill, np.float64)
+            ek, ej, ei = arr.shape
+            out[:ek, :ej, :ei] = arr
+            return jnp.asarray(out, dtype=dty)
+
+        ca[comp] = embed(ca_e, 1.0)
+        cb[comp] = embed(cb_e, 0.0)
+        cp[comp] = embed(cp_e, 0.0)
+        k1m[comp] = embed(k1, 1.0)
+        k2m[comp] = embed(k2, 0.0)
+    return DebyeCoefs(ca=ca, cb=cb, cp=cp, k1=k1m, k2=k2m,
+                      h_factor=dt_ / (MU * dx))
+
+
+def zero_polarization(p: Params):
+    """(px, py, pz) on the padded E grids, zero-initialized."""
+    from ..state import field_dtype
+
+    K1, J1, I1 = p.padded_shape
+    z = lambda: jnp.zeros((K1, J1, I1), field_dtype(p))
+    return z(), z(), z()
+
+
+def update_e_ade(p: Params, s: FieldState, P, dc: DebyeCoefs):
+    """The dispersive E half-step: E' = ca E + cb curlH + cp P, then
+    P' = k1 P + k2 (E' + E) — same interior-only PEC slice bounds as
+    :func:`fdtd_tpu.ops.curl.update_e`."""
+    K, J, I = p.maxk, p.maxj, p.maxi
+    hx, hy, hz = s.hx, s.hy, s.hz
+    dt = s.ex.dtype
+    px, py, pz = P
+
+    sx = (slice(1, K), slice(1, J), slice(0, I))
+    curl_x = (hz[1:K, 1:J, :I] - hz[1:K, 0:J - 1, :I]) - (
+        hy[1:K, 1:J, :I] - hy[0:K - 1, 1:J, :I]
+    )
+    exn = (dc.ca["x"][sx] * s.ex[sx] + dc.cb["x"][sx] * curl_x
+           + dc.cp["x"][sx] * px[sx]).astype(dt)
+    pxn = (dc.k1["x"][sx] * px[sx]
+           + dc.k2["x"][sx] * (exn + s.ex[sx])).astype(dt)
+    ex = s.ex.at[sx].set(exn)
+    px = px.at[sx].set(pxn)
+
+    sy = (slice(1, K), slice(0, J), slice(1, I))
+    curl_y = (hx[1:K, :J, 1:I] - hx[0:K - 1, :J, 1:I]) - (
+        hz[1:K, :J, 1:I] - hz[1:K, :J, 0:I - 1]
+    )
+    eyn = (dc.ca["y"][sy] * s.ey[sy] + dc.cb["y"][sy] * curl_y
+           + dc.cp["y"][sy] * py[sy]).astype(dt)
+    pyn = (dc.k1["y"][sy] * py[sy]
+           + dc.k2["y"][sy] * (eyn + s.ey[sy])).astype(dt)
+    ey = s.ey.at[sy].set(eyn)
+    py = py.at[sy].set(pyn)
+
+    sz = (slice(0, K), slice(1, J), slice(1, I))
+    curl_z = (hy[:K, 1:J, 1:I] - hy[:K, 1:J, 0:I - 1]) - (
+        hx[:K, 1:J, 1:I] - hx[:K, 0:J - 1, 1:I]
+    )
+    ezn = (dc.ca["z"][sz] * s.ez[sz] + dc.cb["z"][sz] * curl_z
+           + dc.cp["z"][sz] * pz[sz]).astype(dt)
+    pzn = (dc.k1["z"][sz] * pz[sz]
+           + dc.k2["z"][sz] * (ezn + s.ez[sz])).astype(dt)
+    ez = s.ez.at[sz].set(ezn)
+    pz = pz.at[sz].set(pzn)
+
+    return FieldState(ex, ey, ez, s.hx, s.hy, s.hz), (px, py, pz)
+
+
+def make_dispersive_chunk_runner(p: Params, dm: DebyeMaterials,
+                                 dft=None, probes=None):
+    """``run((state, P), xs, power, dft_acc) -> ((state, P), power,
+    dft_acc, probe_ys)`` — the dispersive analogue of the monitored
+    chunk runners (power is passed through untouched; see module
+    docstring for why sigma|E|^2 SAR is rejected upstream)."""
+    import jax
+
+    from .. import diagnostics
+    from ..params import Mode
+    from ..source import apply_source, make_source_plan
+    from ..state import UpdateCoefs
+    from . import curl
+
+    dc = debye_coefs(p, dm)
+    hcoefs = UpdateCoefs(1.0, 1.0, 1.0, 0.0, 0.0, 0.0, dc.h_factor, None)
+    plan = make_source_plan(p) if p.mode == Mode.COMPUTATION else None
+    if probes is not None:
+        probes.validate(p)
+    cells = probes.cells if probes is not None else None
+    if dft is not None:
+        from ..dft import accumulate as dft_accumulate
+
+    def one_step(s, P, amp):
+        if plan is not None:
+            s = apply_source(plan, s, amp)
+        s = curl.update_h(p, s, hcoefs)
+        if plan is not None:
+            s = apply_source(plan, s, amp)
+        return update_e_ade(p, s, P, dc)
+
+    @jax.jit
+    def run(carry, xs, power_acc, dft_acc):
+        def body(c, x):
+            (s, P), dacc = c
+            if dft is not None:
+                _t, amp, cw, sw = x
+            else:
+                _t, amp = x
+            s, P = one_step(s, P, amp)
+            if dft is not None:
+                cells_f = diagnostics._e_cell_means(p, s)
+                if dft.fields == "eh":
+                    cells_f = (*cells_f, *diagnostics._h_cell_means(p, s))
+                dacc = dft_accumulate(p, cells_f, cw, sw, dacc)
+            ys = None
+            if cells is not None:
+                from ..monitors import probe_row
+
+                ys = probe_row(p, s, cells)
+            return ((s, P), dacc), ys
+
+        ((s, P), dacc), ys = jax.lax.scan(body, (carry, dft_acc), xs)
+        return (s, P), power_acc, dacc, ys
+
+    return run

@@ -608,7 +608,62 @@ def run_simulation(
             "for validation/accuracy runs"
         )
 
-    if pml is not None and shard is None:
+    from .ops.dispersive import DebyeMaterials
+
+    dispersive = isinstance(materials, DebyeMaterials)
+    if dispersive:
+        # ADE single-pole Debye dispersion (ops/dispersive.py): the three
+        # polarization arrays ride the chunk carry as (state, P).
+        if accumulate_power:
+            raise ValueError(
+                "--sar with a dispersive medium would count conductive "
+                "loss only and silently miss the dielectric (Debye) loss "
+                "(E.dP/dt work) that dominates microwave heating; not "
+                "supported"
+            )
+        if shard is not None or pml is not None:
+            raise ValueError(
+                "dispersive media run single-chip in the closed cavity "
+                "for now (no --shard/--pml)"
+            )
+        if checkpoint_every or resume:
+            raise ValueError(
+                "the polarization state does not ride checkpoints yet; "
+                "run dispersive media without --resume/--checkpoint-every"
+            )
+        if backend not in ("auto", "xla"):
+            log(
+                f"notice: dispersive media run the xla ADE scan "
+                f"(backend {backend!r} ignored)"
+            )
+        from .ops.dispersive import (
+            make_dispersive_chunk_runner,
+            zero_polarization,
+        )
+
+        run_disp = make_dispersive_chunk_runner(p, materials, dft=dft,
+                                                probes=probes)
+        if dft is not None or probes is not None:
+            from . import dft as dft_mod
+
+            dft_box = {
+                "acc": dft_mod.zero_dft_acc(p, dft)
+                if dft is not None else None
+            }
+            probe_chunks = []
+        else:
+            dft_box = {"acc": None}
+            probe_chunks = []
+
+        def run_chunk(carry, chunk, power):
+            carry, power, dft_box["acc"], ys = run_disp(
+                carry, chunk, power, dft_box["acc"]
+            )
+            if ys is not None:
+                probe_chunks.append(np.asarray(ys))
+            return carry, power
+
+    elif pml is not None and shard is None:
         # CPML absorbing boundaries (ops/cpml.py; capability extension —
         # the reference cavity is closed PEC).  psi memory variables ride
         # the chunk carry as (state, psi).  Fast path (r3): the two-pass
@@ -768,7 +823,10 @@ def run_simulation(
 
     # hot-path layout conversion (identity for the xla backend); restore is
     # jitted: one dispatch per boundary, not an eager-op chain (axon, r3)
-    if pml is not None and shard is None:
+    if dispersive:
+        prep = lambda s: (s, zero_polarization(p))
+        restore = jax.jit(lambda carry: carry[0])
+    elif pml is not None and shard is None:
         from .ops.cpml import init_psi
 
         # identity adapters on the xla path; stripped-layout conversion

@@ -1,0 +1,225 @@
+"""ADE Debye dispersion (fdtd_tpu/ops/dispersive.py).
+
+Pins: the P-recursion against the Debye ODE's exact discrete limits
+(static fixed point is an algebraic identity; CW steady state matches
+the complex susceptibility to O((w dt)^2)); exact reduction to the
+non-dispersive lossy path at d_eps = 0; and the integration-level
+physics — a cavity uniformly filled with a weak Debye medium rings
+down with Q = 1/tan(delta) at the measured mode frequency.
+"""
+
+import numpy as np
+import pytest
+
+from fdtd_tpu.constants import EPSILON
+from fdtd_tpu.monitors import ProbeSet
+from fdtd_tpu.ops.dispersive import (
+    DebyeMaterials,
+    debye_coefs,
+    water_debye_load,
+)
+from fdtd_tpu.params import Mode, Params
+from fdtd_tpu.runner import run_simulation
+from fdtd_tpu.state import Materials, block_mask, water_block
+
+
+def _box(n, dt, steps, mode=Mode.COMPUTATION, dtype="float32"):
+    return Params(
+        length=n * 1e-3, width=n * 1e-3, height=n * 1e-3,
+        spatial_step=1e-3, time_step=dt,
+        simulation_time=(steps - 0.5) * dt, sampling_rate=10**9,
+        mode=mode, dtype=dtype,
+    )
+
+
+def _uniform_debye(p, eps_inf=1.0, d_eps=0.2, tau=8e-12, sigma=0.0):
+    shape = (p.maxk, p.maxj, p.maxi)
+    return DebyeMaterials(
+        base=Materials(eps_r=np.full(shape, eps_inf),
+                       sigma=np.full(shape, sigma)),
+        d_eps=np.full(shape, d_eps),
+        tau=np.full(shape, tau),
+    )
+
+
+def test_ade_recursion_matches_debye_ode():
+    """Scalar P-recursion: the static fixed point equals eps0*d_eps*E
+    exactly (trapezoidal identity), and the CW steady state matches the
+    complex susceptibility d_eps/(1 + i w tau) to O((w dt)^2)."""
+    d_eps, tau = 5.0, 8.0e-12
+    dt = tau / 64.0
+    p = _box(6, dt, 4, dtype="float64")
+    dm = _uniform_debye(p, d_eps=d_eps, tau=tau)
+    dc = debye_coefs(p, dm, dtype=np.float64)
+    k1 = float(dc.k1["y"][2, 2, 2])
+    k2 = float(dc.k2["y"][2, 2, 2])
+    # static: P* = 2 k2 E / (1 - k1) == eps0 d_eps E (identity)
+    np.testing.assert_allclose(2 * k2 / (1 - k1), EPSILON * d_eps,
+                               rtol=1e-12)
+    # and the relaxation rate: k1 = (2tau-dt)/(2tau+dt) ~ exp(-dt/tau)
+    np.testing.assert_allclose(k1, np.exp(-dt / tau), rtol=1e-4)
+
+    # CW: P' = k1 P + k2 (E' + E) driven by E = cos(w t), w tau = 1
+    w = 1.0 / tau
+    n_per = int(round(2 * np.pi / (w * dt)))
+    steps = 40 * n_per
+    t = np.arange(steps) * dt
+    E = np.cos(w * t)
+    P = 0.0
+    out = np.empty(steps)
+    for i in range(1, steps):
+        P = k1 * P + k2 * (E[i] + E[i - 1])
+        out[i] = P
+    # steady state over the last 8 whole periods: quadrature demodulation
+    sl = slice(steps - 8 * n_per, steps)
+    z = out[sl] * np.exp(-1j * w * t[sl])
+    phasor = 2.0 * z.mean()
+    want = EPSILON * d_eps / (1 + 1j * w * tau)
+    np.testing.assert_allclose(abs(phasor), abs(want), rtol=3e-3)
+    np.testing.assert_allclose(np.angle(phasor), np.angle(want),
+                               atol=5e-2)  # includes the half-step skew
+
+
+def test_deps_zero_reduces_to_lossy_path():
+    """d_eps = 0: the ADE update is algebraically the standard lossy
+    update, so a dispersive run with zero relaxation strength matches
+    the plain lossy run on the same eps_inf/sigma maps."""
+    p = _box(8, 1e-12, 20)
+    plain = water_block(p)  # eps 78, sigma 1.7 in the block
+    dm = DebyeMaterials(
+        base=plain,
+        d_eps=np.zeros((p.maxk, p.maxj, p.maxi)),
+        tau=np.zeros((p.maxk, p.maxj, p.maxi)),
+    )
+    want = run_simulation(p, materials=plain, write_snapshots=False,
+                          backend="xla", log=lambda s: None)
+    got = run_simulation(p, materials=dm, write_snapshots=False,
+                         backend="xla", log=lambda s: None)
+    for c in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got.state, c)),
+            np.asarray(getattr(want.state, c)),
+            rtol=2e-5, atol=1e-7,
+        )
+
+
+def test_debye_cavity_ring_down_q():
+    """A cavity uniformly filled with a weak Debye medium: the TE101
+    ring-down Q equals 1/tan(delta) of the medium at the measured mode
+    frequency (uniform fill, PEC walls -> Q = eps'/eps'')."""
+    from fdtd_tpu.analytic import mode_constants
+    from fdtd_tpu.utils.spectrum import probe_mode_spectrum, ring_down_q
+
+    n = 10
+    base = _box(n, 1e-12, 4, mode=Mode.VALIDATION)
+    f_vac, _ = mode_constants(base)
+    eps_inf, d_eps = 1.0, 0.2
+    tau = 1.0 / (2 * np.pi * 2.0e10)
+    per_period = 40
+    dt = 1.0 / (f_vac * per_period)
+    p = _box(n, dt, 20 * per_period, mode=Mode.VALIDATION)
+    dm = _uniform_debye(p, eps_inf=eps_inf, d_eps=d_eps, tau=tau)
+    res = run_simulation(p, materials=dm, write_snapshots=False,
+                         backend="xla", probes=ProbeSet(((5, 5, 5),)),
+                         log=lambda s: None)
+    ey = res.probes.series(0, "ey")
+    t = res.probes.times
+    # measured mode frequency (red-shifted by eps' > 1)
+    _f, _a, peaks = probe_mode_spectrum(res, component="ey")
+    f_meas = peaks[0][0]
+    assert f_meas < f_vac  # the dielectric slows the mode
+    q_meas, gamma, _ = ring_down_q(t, ey, frequency=f_meas)
+    w = 2 * np.pi * f_meas
+    wt = w * tau
+    eps_p = eps_inf + d_eps / (1 + wt * wt)
+    eps_pp = d_eps * wt / (1 + wt * wt)
+    q_want = eps_p / eps_pp
+    assert gamma > 0
+    np.testing.assert_allclose(q_meas, q_want, rtol=0.25)
+
+
+def test_dispersive_guards_and_cli(tmp_path):
+    from fdtd_tpu.cli import main
+    from fdtd_tpu.dft import DftConfig
+
+    p = _box(8, 1e-12, 8)
+    dm = water_debye_load(p)
+    with pytest.raises(ValueError, match="dielectric"):
+        run_simulation(p, materials=dm, accumulate_power=True,
+                       write_snapshots=False, log=lambda s: None)
+    with pytest.raises(ValueError, match="single-chip"):
+        run_simulation(p, materials=dm, shard="2",
+                       write_snapshots=False, log=lambda s: None)
+    with pytest.raises(ValueError, match="checkpoints"):
+        run_simulation(p, materials=dm, checkpoint_every=4,
+                       write_snapshots=False, log=lambda s: None)
+    # monitors compose
+    res = run_simulation(p, materials=dm, write_snapshots=False,
+                         probes=ProbeSet(((4, 4, 4),)),
+                         dft=DftConfig((p.source.frequency,)),
+                         backend="xla", log=lambda s: None)
+    assert res.probes.values.shape[0] == res.iterations
+    assert np.isfinite(res.dft.phasors).all()
+
+    params = tmp_path / "p.txt"
+    params.write_text("0.01\n0.01\n0.01\n0.001\n1e-12\n2e-11\n1000000000\n1\n")
+    out = tmp_path / "o"
+    rc = main([str(params), "--water-block", "--dispersive",
+               "--probe", "5,5,5", "--out", str(out)])
+    assert rc == 0
+    assert (out / "probes.csv").exists()
+    assert main([str(params), "--dispersive"]) == 1  # needs --water-block
+    assert main([str(params), "--water-block", "--dispersive",
+                 "--sar"]) == 1
+    assert main([str(params), "--water-block", "--dispersive",
+                 "--coupled", "2", "--thermal", "5"]) == 1
+
+
+def test_water_debye_load_consistency():
+    """The ADE load's static limit (eps_inf + d_eps) equals the
+    quasi-static model's eps_s at the same temperature."""
+    from fdtd_tpu.coupled import water_eps_static
+
+    p = _box(10, 1e-12, 4)
+    dm = water_debye_load(p, temperature=40.0, sigma_ion25=1.0)
+    mask = block_mask(p)
+    eps_static = dm.base.eps_r[mask] + dm.d_eps[mask]
+    np.testing.assert_allclose(eps_static, float(water_eps_static(40.0)),
+                               rtol=1e-12)
+    # ionic sigma scaled to 40 C by the +2%/K coefficient
+    np.testing.assert_allclose(dm.base.sigma[mask],
+                               1.0 * (1 + 0.02 * 15), rtol=1e-12)
+    np.testing.assert_allclose(dm.d_eps[~mask], 0.0)
+
+
+def test_effective_sigma_matches_quasi_static_model():
+    """sigma_eff(w) of the ADE load equals the quasi-static coupled
+    model's Debye-loss sigma at the same frequency and temperature —
+    the two descriptions agree at any single frequency by design."""
+    from fdtd_tpu.coupled import water_debye
+    from fdtd_tpu.ops.dispersive import effective_sigma
+
+    p = _box(10, 1e-12, 4)
+    f = 2.45e9
+    dm = water_debye_load(p, temperature=30.0, sigma_ion25=0.5)
+    mask = block_mask(p)
+    sig = effective_sigma(dm, f)
+    _, want = water_debye(30.0, frequency=f, sigma_ion25=0.5)
+    np.testing.assert_allclose(sig[mask], float(want), rtol=1e-12)
+    np.testing.assert_allclose(sig[~mask], 0.0)
+
+
+def test_dispersive_dft_cli_writes_cw_power(tmp_path):
+    from fdtd_tpu.cli import main
+    from fdtd_tpu.io.vtr import read_vtr_cell_arrays
+
+    params = tmp_path / "p.txt"
+    params.write_text("0.01\n0.01\n0.01\n0.001\n1e-12\n2e-11\n1000000000\n1\n")
+    out = tmp_path / "o"
+    rc = main([str(params), "--water-block", "--dispersive",
+               "--dft", "2.45e10", "--out", str(out)])
+    assert rc == 0
+    a = read_vtr_cell_arrays(str(out / "dft_00.vtr"))
+    assert "cw_power_w_m3" in a
+    assert float(a["cw_power_w_m3"].min()) >= 0.0
+    assert float(a["cw_power_w_m3"].max()) > 0.0
