@@ -626,11 +626,6 @@ def run_simulation(
                 "dispersive media run single-chip in the closed cavity "
                 "for now (no --shard/--pml)"
             )
-        if checkpoint_every or resume:
-            raise ValueError(
-                "the polarization state does not ride checkpoints yet; "
-                "run dispersive media without --resume/--checkpoint-every"
-            )
         if backend not in ("auto", "xla"):
             log(
                 f"notice: dispersive media run the xla ADE scan "
@@ -784,11 +779,25 @@ def run_simulation(
     start_step = 0
 
     resumed_psi = None
+    resumed_pol = None
     if resume:
         ck = latest_checkpoint(out_dir)
         if ck:
             state, it_done, _t, ck_power = load_checkpoint(ck, p)
             start_step = it_done
+            if dispersive:
+                from .io.checkpoint import load_aux
+
+                aux = load_aux(ck)
+                names = ("pol_x", "pol_y", "pol_z")
+                if all(n in aux for n in names):
+                    resumed_pol = tuple(jnp.asarray(aux[n]) for n in names)
+                else:
+                    log(
+                        "WARNING: checkpoint has no polarization state; "
+                        "the Debye memory restarts from zero (the medium "
+                        "will see a transient)"
+                    )
             if accumulate_power:
                 if ck_power is not None:
                     power = ck_power
@@ -824,7 +833,8 @@ def run_simulation(
     # hot-path layout conversion (identity for the xla backend); restore is
     # jitted: one dispatch per boundary, not an eager-op chain (axon, r3)
     if dispersive:
-        prep = lambda s: (s, zero_polarization(p))
+        prep = lambda s: (s, resumed_pol if resumed_pol is not None
+                          else zero_polarization(p))
         restore = jax.jit(lambda carry: carry[0])
     elif pml is not None and shard is None:
         from .ops.cpml import init_psi
@@ -960,6 +970,8 @@ def run_simulation(
                 psi = psi_canon(state)
                 aux = {f"psi_{n}": getattr(psi, n)
                        for n in type(psi).__dataclass_fields__}
+            elif dispersive:
+                aux = dict(zip(("pol_x", "pol_y", "pol_z"), state[1]))
             ckpt_writer.submit(full, pos, t_now, power=power, aux=aux)
 
     state = restore(state)

@@ -150,9 +150,6 @@ def test_dispersive_guards_and_cli(tmp_path):
     with pytest.raises(ValueError, match="single-chip"):
         run_simulation(p, materials=dm, shard="2",
                        write_snapshots=False, log=lambda s: None)
-    with pytest.raises(ValueError, match="checkpoints"):
-        run_simulation(p, materials=dm, checkpoint_every=4,
-                       write_snapshots=False, log=lambda s: None)
     # monitors compose
     res = run_simulation(p, materials=dm, write_snapshots=False,
                          probes=ProbeSet(((4, 4, 4),)),
@@ -223,3 +220,33 @@ def test_dispersive_dft_cli_writes_cw_power(tmp_path):
     assert "cw_power_w_m3" in a
     assert float(a["cw_power_w_m3"].min()) >= 0.0
     assert float(a["cw_power_w_m3"].max()) > 0.0
+
+
+def test_dispersive_checkpoint_resume(tmp_path):
+    """The polarization state rides checkpoints: full run == interrupted
+    + resumed run, bit-for-bit (the P arrays are aux_pol_* in the
+    checkpoint, like the CPML psi)."""
+    import glob
+    import os
+
+    p = _box(8, 1e-12, 16)
+    dm = water_debye_load(p)
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    ra = run_simulation(p, materials=dm, out_dir=out_a,
+                        write_snapshots=False, checkpoint_every=8,
+                        backend="xla", log=lambda s: None)
+    run_simulation(p, materials=dm, out_dir=out_b,
+                   write_snapshots=False, checkpoint_every=8,
+                   backend="xla", log=lambda s: None)
+    for f in glob.glob(out_b + "/ckpt*.npz"):
+        if int(os.path.basename(f)[4:-4]) > 8:
+            os.remove(f)
+    rb = run_simulation(p, materials=dm, out_dir=out_b,
+                        write_snapshots=False, resume=True,
+                        backend="xla", log=lambda s: None)
+    for c in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ra.state, c)),
+            np.asarray(getattr(rb.state, c)),
+        )
