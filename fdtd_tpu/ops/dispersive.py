@@ -126,6 +126,7 @@ class DebyeCoefs:
     cp: dict
     k1: dict
     k2: dict
+    sig: dict  # edge-averaged sigma_dc (for the dissipation accumulator)
     h_factor: float
 
 
@@ -147,7 +148,7 @@ def debye_coefs(p: Params, dm: DebyeMaterials, dtype=None) -> DebyeCoefs:
             "dispersive media with heterogeneous mu_r is not supported"
         )
 
-    ca, cb, cp, k1m, k2m = {}, {}, {}, {}, {}
+    ca, cb, cp, k1m, k2m, sgm = {}, {}, {}, {}, {}, {}
     K1, J1, I1 = p.padded_shape
     for comp, axes in COMP_AXES.items():
         eps_e = _edge_average(er, axes) * EPSILON
@@ -173,7 +174,8 @@ def debye_coefs(p: Params, dm: DebyeMaterials, dtype=None) -> DebyeCoefs:
         cp[comp] = embed(cp_e, 0.0)
         k1m[comp] = embed(k1, 1.0)
         k2m[comp] = embed(k2, 0.0)
-    return DebyeCoefs(ca=ca, cb=cb, cp=cp, k1=k1m, k2=k2m,
+        sgm[comp] = embed(sig_e, 0.0)
+    return DebyeCoefs(ca=ca, cb=cb, cp=cp, k1=k1m, k2=k2m, sig=sgm,
                       h_factor=dt_ / (MU * dx))
 
 
@@ -186,57 +188,90 @@ def zero_polarization(p: Params):
     return z(), z(), z()
 
 
-def update_e_ade(p: Params, s: FieldState, P, dc: DebyeCoefs):
+def update_e_ade(p: Params, s: FieldState, P, dc: DebyeCoefs,
+                 with_work: bool = False):
     """The dispersive E half-step: E' = ca E + cb curlH + cp P, then
     P' = k1 P + k2 (E' + E) — same interior-only PEC slice bounds as
-    :func:`fdtd_tpu.ops.curl.update_e`."""
+    :func:`fdtd_tpu.ops.curl.update_e`.
+
+    With ``with_work``: also return the edge-located dissipation rate
+    arrays (wx, wy, wz) in W/m^3,
+
+        w = E_mid (dP/dt) + sigma E_mid^2,     E_mid = (E' + E)/2,
+
+    the trapezoidal-midpoint work densities consistent with the update's
+    own discretization — so their volume integral closes the discrete
+    energy balance of a ring-down (field energy lost == work
+    accumulated), which sigma|E'|^2 alone cannot do for a Debye medium.
+    """
     K, J, I = p.maxk, p.maxj, p.maxi
     hx, hy, hz = s.hx, s.hy, s.hz
     dt = s.ex.dtype
+    dt_s = p.time_step
     px, py, pz = P
+    work = []
+
+    def advance(comp, e_old, p_old, sl, curl):
+        en = (dc.ca[comp][sl] * e_old[sl] + dc.cb[comp][sl] * curl
+              + dc.cp[comp][sl] * p_old[sl]).astype(dt)
+        pn = (dc.k1[comp][sl] * p_old[sl]
+              + dc.k2[comp][sl] * (en + e_old[sl])).astype(dt)
+        if with_work:
+            e_mid = 0.5 * (en + e_old[sl])
+            w = e_mid * ((pn - p_old[sl]) / dt_s
+                         + dc.sig[comp][sl] * e_mid)
+            work.append(jnp.zeros_like(e_old).at[sl].set(w))
+        return e_old.at[sl].set(en), p_old.at[sl].set(pn)
 
     sx = (slice(1, K), slice(1, J), slice(0, I))
     curl_x = (hz[1:K, 1:J, :I] - hz[1:K, 0:J - 1, :I]) - (
         hy[1:K, 1:J, :I] - hy[0:K - 1, 1:J, :I]
     )
-    exn = (dc.ca["x"][sx] * s.ex[sx] + dc.cb["x"][sx] * curl_x
-           + dc.cp["x"][sx] * px[sx]).astype(dt)
-    pxn = (dc.k1["x"][sx] * px[sx]
-           + dc.k2["x"][sx] * (exn + s.ex[sx])).astype(dt)
-    ex = s.ex.at[sx].set(exn)
-    px = px.at[sx].set(pxn)
+    ex, px = advance("x", s.ex, px, sx, curl_x)
 
     sy = (slice(1, K), slice(0, J), slice(1, I))
     curl_y = (hx[1:K, :J, 1:I] - hx[0:K - 1, :J, 1:I]) - (
         hz[1:K, :J, 1:I] - hz[1:K, :J, 0:I - 1]
     )
-    eyn = (dc.ca["y"][sy] * s.ey[sy] + dc.cb["y"][sy] * curl_y
-           + dc.cp["y"][sy] * py[sy]).astype(dt)
-    pyn = (dc.k1["y"][sy] * py[sy]
-           + dc.k2["y"][sy] * (eyn + s.ey[sy])).astype(dt)
-    ey = s.ey.at[sy].set(eyn)
-    py = py.at[sy].set(pyn)
+    ey, py = advance("y", s.ey, py, sy, curl_y)
 
     sz = (slice(0, K), slice(1, J), slice(1, I))
     curl_z = (hy[:K, 1:J, 1:I] - hy[:K, 1:J, 0:I - 1]) - (
         hx[:K, 1:J, 1:I] - hx[:K, 0:J - 1, 1:I]
     )
-    ezn = (dc.ca["z"][sz] * s.ez[sz] + dc.cb["z"][sz] * curl_z
-           + dc.cp["z"][sz] * pz[sz]).astype(dt)
-    pzn = (dc.k1["z"][sz] * pz[sz]
-           + dc.k2["z"][sz] * (ezn + s.ez[sz])).astype(dt)
-    ez = s.ez.at[sz].set(ezn)
-    pz = pz.at[sz].set(pzn)
+    ez, pz = advance("z", s.ez, pz, sz, curl_z)
 
-    return FieldState(ex, ey, ez, s.hx, s.hy, s.hz), (px, py, pz)
+    out = FieldState(ex, ey, ez, s.hx, s.hy, s.hz), (px, py, pz)
+    if with_work:
+        return (*out, tuple(work))
+    return out
+
+
+def work_cell_means(p: Params, wx, wy, wz):
+    """Cell-centered total dissipation rate from the three edge work
+    arrays — the same 4-edge-per-cell association as
+    :func:`fdtd_tpu.diagnostics._e_cell_means`."""
+    K, J, I = p.maxk, p.maxj, p.maxi
+    kk, jj, ii = slice(0, K), slice(0, J), slice(0, I)
+    k1s, j1s, i1s = slice(1, K + 1), slice(1, J + 1), slice(1, I + 1)
+    mx = 0.25 * (wx[kk, jj, ii] + wx[k1s, jj, ii]
+                 + wx[kk, j1s, ii] + wx[k1s, j1s, ii])
+    my = 0.25 * (wy[kk, jj, ii] + wy[kk, jj, i1s]
+                 + wy[k1s, jj, ii] + wy[k1s, jj, i1s])
+    mz = 0.25 * (wz[kk, jj, ii] + wz[kk, j1s, ii]
+                 + wz[kk, jj, i1s] + wz[kk, j1s, i1s])
+    return mx + my + mz
 
 
 def make_dispersive_chunk_runner(p: Params, dm: DebyeMaterials,
-                                 dft=None, probes=None):
+                                 dft=None, probes=None,
+                                 accumulate_power: bool = False):
     """``run((state, P), xs, power, dft_acc) -> ((state, P), power,
     dft_acc, probe_ys)`` — the dispersive analogue of the monitored
-    chunk runners (power is passed through untouched; see module
-    docstring for why sigma|E|^2 SAR is rejected upstream)."""
+    chunk runners.  With ``accumulate_power`` the per-step dissipation
+    is the *true* Debye work E.dP/dt + sigma E_mid^2 (cell-centered,
+    J/m^3 — see :func:`update_e_ade`), so ``--sar``/``--thermal`` are
+    physically correct for dispersive loads."""
     import jax
 
     from .. import diagnostics
@@ -260,17 +295,24 @@ def make_dispersive_chunk_runner(p: Params, dm: DebyeMaterials,
         s = curl.update_h(p, s, hcoefs)
         if plan is not None:
             s = apply_source(plan, s, amp)
-        return update_e_ade(p, s, P, dc)
+        return update_e_ade(p, s, P, dc, with_work=accumulate_power)
+
+    dt_step = p.time_step
 
     @jax.jit
     def run(carry, xs, power_acc, dft_acc):
         def body(c, x):
-            (s, P), dacc = c
+            (s, P), acc, dacc = c
             if dft is not None:
                 _t, amp, cw, sw = x
             else:
                 _t, amp = x
-            s, P = one_step(s, P, amp)
+            if accumulate_power:
+                s, P, (wx, wy, wz) = one_step(s, P, amp)
+                inc = work_cell_means(p, wx, wy, wz)
+                acc = acc + (inc * dt_step).astype(acc.dtype)
+            else:
+                s, P = one_step(s, P, amp)
             if dft is not None:
                 cells_f = diagnostics._e_cell_means(p, s)
                 if dft.fields == "eh":
@@ -281,9 +323,11 @@ def make_dispersive_chunk_runner(p: Params, dm: DebyeMaterials,
                 from ..monitors import probe_row
 
                 ys = probe_row(p, s, cells)
-            return ((s, P), dacc), ys
+            return ((s, P), acc, dacc), ys
 
-        ((s, P), dacc), ys = jax.lax.scan(body, (carry, dft_acc), xs)
-        return (s, P), power_acc, dacc, ys
+        ((s, P), acc, dacc), ys = jax.lax.scan(
+            body, (carry, power_acc, dft_acc), xs
+        )
+        return (s, P), acc, dacc, ys
 
     return run

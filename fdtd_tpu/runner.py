@@ -613,14 +613,9 @@ def run_simulation(
     dispersive = isinstance(materials, DebyeMaterials)
     if dispersive:
         # ADE single-pole Debye dispersion (ops/dispersive.py): the three
-        # polarization arrays ride the chunk carry as (state, P).
-        if accumulate_power:
-            raise ValueError(
-                "--sar with a dispersive medium would count conductive "
-                "loss only and silently miss the dielectric (Debye) loss "
-                "(E.dP/dt work) that dominates microwave heating; not "
-                "supported"
-            )
+        # polarization arrays ride the chunk carry as (state, P); --sar
+        # accumulates the TRUE Debye dissipation E.dP/dt + sigma E_mid^2
+        # (not sigma|E|^2, which misses the dielectric loss entirely)
         if shard is not None or pml is not None:
             raise ValueError(
                 "dispersive media run single-chip in the closed cavity "
@@ -636,8 +631,10 @@ def run_simulation(
             zero_polarization,
         )
 
-        run_disp = make_dispersive_chunk_runner(p, materials, dft=dft,
-                                                probes=probes)
+        run_disp = make_dispersive_chunk_runner(
+            p, materials, dft=dft, probes=probes,
+            accumulate_power=accumulate_power,
+        )
         if dft is not None or probes is not None:
             from . import dft as dft_mod
 

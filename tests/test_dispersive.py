@@ -144,9 +144,6 @@ def test_dispersive_guards_and_cli(tmp_path):
 
     p = _box(8, 1e-12, 8)
     dm = water_debye_load(p)
-    with pytest.raises(ValueError, match="dielectric"):
-        run_simulation(p, materials=dm, accumulate_power=True,
-                       write_snapshots=False, log=lambda s: None)
     with pytest.raises(ValueError, match="single-chip"):
         run_simulation(p, materials=dm, shard="2",
                        write_snapshots=False, log=lambda s: None)
@@ -167,9 +164,20 @@ def test_dispersive_guards_and_cli(tmp_path):
     assert (out / "probes.csv").exists()
     assert main([str(params), "--dispersive"]) == 1  # needs --water-block
     assert main([str(params), "--water-block", "--dispersive",
-                 "--sar"]) == 1
-    assert main([str(params), "--water-block", "--dispersive",
                  "--coupled", "2", "--thermal", "5"]) == 1
+
+    # the full dispersive heating chain: true Debye SAR -> thermal
+    out2 = tmp_path / "o2"
+    rc = main([str(params), "--water-block", "--dispersive", "--sar",
+               "--thermal", "30", "--thermal-power", "700",
+               "--out", str(out2)])
+    assert rc == 0
+    from fdtd_tpu.io.vtr import read_vtr_cell_arrays
+
+    sar = read_vtr_cell_arrays(str(out2 / "sar.vtr"))["power_j_m3"]
+    T = read_vtr_cell_arrays(str(out2 / "temperature.vtr"))["temperature_c"]
+    assert float(sar.max()) > 0.0
+    assert float(T.max()) > 20.0
 
 
 def test_water_debye_load_consistency():
@@ -250,3 +258,38 @@ def test_dispersive_checkpoint_resume(tmp_path):
             np.asarray(getattr(ra.state, c)),
             np.asarray(getattr(rb.state, c)),
         )
+
+
+def test_dispersive_sar_energy_balance():
+    """The discrete energy books close: in a source-free ring-down
+    through a uniform Debye medium, the field energy lost equals the
+    accumulated dissipation integral (E.dP/dt + sigma E_mid^2 work is
+    the very term the update was derived with)."""
+    from fdtd_tpu import diagnostics
+    from fdtd_tpu.runner import initial_state
+
+    n = 10
+    base = _box(n, 1e-12, 4, mode=Mode.VALIDATION, dtype="float64")
+    from fdtd_tpu.analytic import mode_constants
+
+    f_vac, _ = mode_constants(base)
+    per_period = 40
+    dt = 1.0 / (f_vac * per_period)
+    p = _box(n, dt, 12 * per_period, mode=Mode.VALIDATION, dtype="float64")
+    dm = _uniform_debye(p, eps_inf=1.0, d_eps=0.15,
+                        tau=1.0 / (2 * np.pi * 2.0e10), sigma=0.05)
+    e0 = float(diagnostics.total_energy(p, initial_state(p)))
+    res = run_simulation(p, materials=dm, accumulate_power=True,
+                         write_snapshots=False, backend="xla",
+                         log=lambda s: None)
+    e1 = float(diagnostics.total_energy(p, res.state))
+    dissipated = float(np.asarray(res.power_j, np.float64).sum()) \
+        * p.spatial_step**3
+    lost = e0 - e1
+    assert lost > 0.2 * e0  # the medium genuinely absorbed
+    # NOTE: diagnostics.total_energy is the vacuum-coefficient Yee sum;
+    # in a dispersive medium the stored energy also lives in P, and the
+    # staggered-time energy definition differs at O(w dt) — 15%
+    # agreement pins that the accumulator measures real physics, not a
+    # mislabeled quantity (sigma|E|^2 alone would be ~3x off here).
+    np.testing.assert_allclose(dissipated, lost, rtol=0.15)
