@@ -316,9 +316,10 @@ def main(argv=None) -> int:
             return 1
 
     if args.coupled:
-        if dft_cfg is not None:
-            print("error: --dft does not compose with --coupled (run the "
-                  "DFT diagnostic on a fixed-material run)", file=sys.stderr)
+        if dft_cfg is not None or probe_set is not None:
+            print("error: --dft/--probe do not compose with --coupled "
+                  "(run the diagnostics on a fixed-material run)",
+                  file=sys.stderr)
             return 1
         return _run_coupled_cli(args, p)
 

@@ -45,7 +45,14 @@ import numpy as np
 from .constants import EPSILON
 from .params import Mode, Params
 from .state import Materials, block_mask
-from .thermal import ThermalMaterials, run_thermal, water_thermal
+from .thermal import (
+    AIR_K,
+    AIR_RHO_C,
+    WATER_K,
+    WATER_RHO_C,
+    ThermalMaterials,
+    run_thermal,
+)
 
 # tau(T) in ps: Kaatze (1989) dielectric-relaxation measurements of
 # liquid water (interpolated linearly; endpoints clamp).
@@ -164,10 +171,16 @@ def run_coupled(
         mask = block_mask(p)
     if not mask.any():
         raise ValueError("the load mask is empty — nothing to heat")
+    # thermal properties follow the SAME mask as the EM load (a custom
+    # mask with the default water_thermal box would integrate heat with
+    # air rho_c in the load — a ~3500x temperature error)
     tm = (
         thermal_materials
         if thermal_materials is not None
-        else water_thermal(p)
+        else ThermalMaterials(
+            rho_c=np.where(mask, WATER_RHO_C, AIR_RHO_C),
+            k=np.where(mask, WATER_K, AIR_K),
+        )
     )
 
     T = np.full((p.maxk, p.maxj, p.maxi), float(ambient), np.float64)

@@ -78,6 +78,34 @@ def probe_row(p: Params, full, cells):
     return jnp.stack(rows)
 
 
+def split_monitor_inputs(x, dft):
+    """((t, amp), weights) from a scan input row — weights are the
+    (cw, sw) DFT quadrature rows when a DFT is on, else None."""
+    if dft is not None:
+        t, amp, cw, sw = x
+        return (t, amp), (cw, sw)
+    return x, None
+
+
+def apply_monitors(p: Params, full, weights, dft, cells, dacc):
+    """One step of every enabled per-step monitor on a canonical-layout
+    state: the DFT running sums and/or a probe row.  THE single
+    definition of the monitor sampling — every monitored scan (closed
+    cavity, PML, sharded, dispersive) calls this, so the paths cannot
+    silently desynchronize."""
+    from . import diagnostics
+    from .dft import accumulate
+
+    if dft is not None:
+        cw, sw = weights
+        cells_f = diagnostics._e_cell_means(p, full)
+        if dft.fields == "eh":
+            cells_f = (*cells_f, *diagnostics._h_cell_means(p, full))
+        dacc = accumulate(p, cells_f, cw, sw, dacc)
+    ys = probe_row(p, full, cells) if cells is not None else None
+    return dacc, ys
+
+
 def make_monitored_chunk_runner(
     p: Params,
     materials,
@@ -93,7 +121,6 @@ def make_monitored_chunk_runner(
     (n_steps, n_probes, 6) or None.  Not donating: monitor runs are
     diagnostics and keep value semantics."""
     from . import diagnostics
-    from .dft import accumulate as dft_accumulate
     from .dft import supported_backend
     from .state import update_coefs
     from .step import backend_adapters, make_step
@@ -120,21 +147,13 @@ def make_monitored_chunk_runner(
     def run(s, xs, power_acc, dft_acc):
         def body(carry, x):
             s, acc, dacc = carry
-            if dft is not None:
-                t, amp, cw, sw = x
-            else:
-                t, amp = x
-            s = step(s, (t, amp))
+            sx, weights = split_monitor_inputs(x, dft)
+            s = step(s, sx)
             full = restore(s)
-            if dft is not None:
-                cells_f = diagnostics._e_cell_means(p, full)
-                if dft.fields == "eh":
-                    cells_f = (*cells_f, *diagnostics._h_cell_means(p, full))
-                dacc = dft_accumulate(p, cells_f, cw, sw, dacc)
+            dacc, ys = apply_monitors(p, full, weights, dft, cells, dacc)
             if accumulate_power:
                 inc = diagnostics.power_deposition(p, full, sigma)
                 acc = acc + (inc * dt_step).astype(acc.dtype)
-            ys = probe_row(p, full, cells) if cells is not None else None
             return (s, acc, dacc), ys
 
         (s, acc, dacc), ys = jax.lax.scan(body, (s, power_acc, dft_acc), xs)

@@ -368,8 +368,7 @@ def make_pml_chunk_runner(p: Params, cfg: PMLConfig, materials=None,
     dt_step = p.time_step
 
     if dft is not None or probes is not None:
-        from ..dft import accumulate as dft_accumulate
-        from ..monitors import probe_row
+        from ..monitors import apply_monitors, split_monitor_inputs
 
         if probes is not None:
             probes.validate(p)
@@ -379,22 +378,12 @@ def make_pml_chunk_runner(p: Params, cfg: PMLConfig, materials=None,
         def run_mon(carry, xs, power_acc, dft_acc):
             def body(c, x):
                 (s, psi), acc, dacc = c
-                if dft is not None:
-                    t, amp, cw, sw = x
-                    sx = (t, amp)
-                else:
-                    sx = x
+                sx, weights = split_monitor_inputs(x, dft)
                 s, psi = step((s, psi), sx)
-                if dft is not None:
-                    cells_f = diagnostics._e_cell_means(p, s)
-                    if dft.fields == "eh":
-                        cells_f = (*cells_f,
-                                   *diagnostics._h_cell_means(p, s))
-                    dacc = dft_accumulate(p, cells_f, cw, sw, dacc)
+                dacc, ys = apply_monitors(p, s, weights, dft, cells, dacc)
                 if accumulate_power:
                     inc = diagnostics.power_deposition(p, s, sigma)
                     acc = acc + (inc * dt_step).astype(acc.dtype)
-                ys = probe_row(p, s, cells) if cells is not None else None
                 return ((s, psi), acc, dacc), ys
 
             (carry, acc, dacc), ys = jax.lax.scan(

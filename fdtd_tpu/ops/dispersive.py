@@ -37,8 +37,10 @@ eps/sigma; outside the physical extents (ca, cb, cp, k1, k2) =
 
 Supported on the xla backend (pure-jnp slice ops); the dispersive
 kernel tier is future work.  Dielectric (Debye) loss is E.dP/dt work,
-NOT sigma|E|^2 — the --sar accumulator would silently miss it, so the
-runner rejects that combination instead of under-reporting heating.
+NOT sigma|E|^2 — so the --sar accumulator on dispersive runs uses the
+true trapezoidal work densities (see :func:`update_e_ade` with_work),
+making --dispersive --sar --thermal the physically correct heating
+chain.
 """
 
 from __future__ import annotations
@@ -274,7 +276,7 @@ def make_dispersive_chunk_runner(p: Params, dm: DebyeMaterials,
     physically correct for dispersive loads."""
     import jax
 
-    from .. import diagnostics
+    from ..monitors import apply_monitors, split_monitor_inputs
     from ..params import Mode
     from ..source import apply_source, make_source_plan
     from ..state import UpdateCoefs
@@ -286,8 +288,6 @@ def make_dispersive_chunk_runner(p: Params, dm: DebyeMaterials,
     if probes is not None:
         probes.validate(p)
     cells = probes.cells if probes is not None else None
-    if dft is not None:
-        from ..dft import accumulate as dft_accumulate
 
     def one_step(s, P, amp):
         if plan is not None:
@@ -303,26 +303,14 @@ def make_dispersive_chunk_runner(p: Params, dm: DebyeMaterials,
     def run(carry, xs, power_acc, dft_acc):
         def body(c, x):
             (s, P), acc, dacc = c
-            if dft is not None:
-                _t, amp, cw, sw = x
-            else:
-                _t, amp = x
+            (_t, amp), weights = split_monitor_inputs(x, dft)
             if accumulate_power:
                 s, P, (wx, wy, wz) = one_step(s, P, amp)
                 inc = work_cell_means(p, wx, wy, wz)
                 acc = acc + (inc * dt_step).astype(acc.dtype)
             else:
                 s, P = one_step(s, P, amp)
-            if dft is not None:
-                cells_f = diagnostics._e_cell_means(p, s)
-                if dft.fields == "eh":
-                    cells_f = (*cells_f, *diagnostics._h_cell_means(p, s))
-                dacc = dft_accumulate(p, cells_f, cw, sw, dacc)
-            ys = None
-            if cells is not None:
-                from ..monitors import probe_row
-
-                ys = probe_row(p, s, cells)
+            dacc, ys = apply_monitors(p, s, weights, dft, cells, dacc)
             return ((s, P), acc, dacc), ys
 
         ((s, P), acc, dacc), ys = jax.lax.scan(

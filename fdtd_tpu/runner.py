@@ -44,6 +44,32 @@ class RunResult:
     probes: object | None = None  # monitors.ProbeResult when probes given
 
 
+def _monitor_boxes(p: Params, dft):
+    """(dft_box, probe_chunks): the host-side monitor accumulators a
+    monitored chunk runner threads across chunks."""
+    from . import dft as dft_mod
+
+    return (
+        {"acc": dft_mod.zero_dft_acc(p, dft) if dft is not None else None},
+        [],
+    )
+
+
+def _monitored_run_chunk(run_mon, dft_box, probe_chunks):
+    """The one run_chunk wrapper every monitored path shares: thread the
+    DFT accumulator through the box, collect probe rows per chunk."""
+
+    def run_chunk(st, chunk, power):
+        st, power, dft_box["acc"], ys = run_mon(
+            st, chunk, power, dft_box["acc"]
+        )
+        if ys is not None:
+            probe_chunks.append(np.asarray(ys))
+        return st, power
+
+    return run_chunk
+
+
 def _dft_memory_note(p: Params, dft) -> str | None:
     """Warning text when the DFT accumulators (re+im fp32 pairs) cross
     2 GB of HBM — surfaced up front instead of as a mid-run OOM."""
@@ -375,9 +401,7 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
         restore = lambda s: unpad_state(p, s)
 
         if monitors:
-            from . import diagnostics
-            from . import dft as dft_mod
-            from .monitors import probe_row
+            from .monitors import apply_monitors
             from .parallel.sharded_step import make_sharded_step
 
             if probes is not None:
@@ -393,29 +417,20 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
                     s, a, d = carry
                     if dft is not None:
                         amp, cw, sw = x
+                        weights = (cw, sw)
                     else:
-                        amp = x
+                        amp, weights = x, None
                     if accumulate_power:
                         s, a = sharded_step(amp, s, a)
                     else:
                         s = sharded_step(amp, s)
-                    if dft is not None:
-                        cells_f = diagnostics._e_cell_means(p, s)
-                        if dft.fields == "eh":
-                            cells_f = (*cells_f,
-                                       *diagnostics._h_cell_means(p, s))
-                        d = dft_mod.accumulate(p, cells_f, cw, sw, d)
-                    ys = probe_row(p, s, cells) if cells is not None else None
+                    d, ys = apply_monitors(p, s, weights, dft, cells, d)
                     return (s, a, d), ys
 
                 (s, acc, dacc), ys = jax.lax.scan(body, (s, acc, dacc), xs)
                 return s, acc, dacc, ys
 
-            dft_box = {
-                "acc": dft_mod.zero_dft_acc(p, dft)
-                if dft is not None else None
-            }
-            probe_chunks: list = []
+            dft_box, probe_chunks = _monitor_boxes(p, dft)
             K, J, I = p.maxk, p.maxj, p.maxi
             Kp, Jp, Ip = padded_divisible_shape(p, mesh)
             fsh = field_sharding(mesh)
@@ -635,25 +650,8 @@ def run_simulation(
             p, materials, dft=dft, probes=probes,
             accumulate_power=accumulate_power,
         )
-        if dft is not None or probes is not None:
-            from . import dft as dft_mod
-
-            dft_box = {
-                "acc": dft_mod.zero_dft_acc(p, dft)
-                if dft is not None else None
-            }
-            probe_chunks = []
-        else:
-            dft_box = {"acc": None}
-            probe_chunks = []
-
-        def run_chunk(carry, chunk, power):
-            carry, power, dft_box["acc"], ys = run_disp(
-                carry, chunk, power, dft_box["acc"]
-            )
-            if ys is not None:
-                probe_chunks.append(np.asarray(ys))
-            return carry, power
+        dft_box, probe_chunks = _monitor_boxes(p, dft)
+        run_chunk = _monitored_run_chunk(run_disp, dft_box, probe_chunks)
 
     elif pml is not None and shard is None:
         # CPML absorbing boundaries (ops/cpml.py; capability extension —
@@ -703,24 +701,11 @@ def run_simulation(
             def run_chunk(carry, chunk, power):
                 return run_pml(carry, chunk, power)
         elif dft is not None or probes is not None:
-            from . import dft as dft_mod
-
             run_pml = make_pml_chunk_runner(
                 p, pml, materials, accumulate_power, dft=dft, probes=probes
             )
-            dft_box = {
-                "acc": dft_mod.zero_dft_acc(p, dft)
-                if dft is not None else None
-            }
-            probe_chunks = []
-
-            def run_chunk(carry, chunk, power):
-                carry, power, dft_box["acc"], ys = run_pml(
-                    carry, chunk, power, dft_box["acc"]
-                )
-                if ys is not None:
-                    probe_chunks.append(np.asarray(ys))
-                return carry, power
+            dft_box, probe_chunks = _monitor_boxes(p, dft)
+            run_chunk = _monitored_run_chunk(run_pml, dft_box, probe_chunks)
         else:
             run_pml = make_pml_chunk_runner(p, pml, materials, accumulate_power)
 
@@ -739,36 +724,30 @@ def run_simulation(
             dft_box = run_chunk.dft_box
             probe_chunks = run_chunk.probe_chunks
     else:
-        backend = resolve_backend(p, backend, materials, accumulate_power, log)
         if dft is not None or probes is not None:
-            from . import dft as dft_mod
             from .monitors import make_monitored_chunk_runner
 
-            if not dft_mod.supported_backend(backend):
+            # group-stepped kernels have no per-step states at all; the
+            # single-step pallas paths do, but the monitored scan would
+            # pay a full stripped->canonical restore per step (cell
+            # means need the canonical layout) — worse than running xla
+            # outright.  One rule: monitors run the xla scan.
+            if backend not in ("auto", "xla"):
                 log(
-                    f"notice: per-step monitors (--dft/--probe) need "
-                    f"per-step states; backend {backend!r} group-steps "
-                    f"— using xla"
+                    f"notice: per-step monitors (--dft/--probe) run "
+                    f"the xla scan (backend {backend!r} ignored)"
                 )
-                backend = "xla"
+            backend = "xla"
             run_mon = make_monitored_chunk_runner(
                 p, materials, backend, dft=dft, probes=probes,
                 accumulate_power=accumulate_power,
             )
-            dft_box = {
-                "acc": dft_mod.zero_dft_acc(p, dft)
-                if dft is not None else None
-            }
-            probe_chunks: list = []
-
-            def run_chunk(st, chunk, power):
-                st, power, dft_box["acc"], ys = run_mon(
-                    st, chunk, power, dft_box["acc"]
-                )
-                if ys is not None:
-                    probe_chunks.append(np.asarray(ys))
-                return st, power
+            dft_box, probe_chunks = _monitor_boxes(p, dft)
+            run_chunk = _monitored_run_chunk(run_mon, dft_box, probe_chunks)
         else:
+            backend = resolve_backend(
+                p, backend, materials, accumulate_power, log
+            )
             run_chunk = make_chunk_runner(p, materials, backend, accumulate_power)
 
     state = initial_state(p)

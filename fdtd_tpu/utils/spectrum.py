@@ -35,6 +35,10 @@ def amplitude_spectrum(times, series, window: str = "hann"):
         w = np.ones(len(x))
     else:
         raise ValueError(f"unknown window {window!r}: use hann or none")
+    # strip the mean: a static offset (e.g. the CPML alpha=0 residual)
+    # carries no oscillation physics, and its windowed leakage into the
+    # first bins would otherwise swamp the peak threshold
+    x = x - x.mean()
     spec = np.abs(np.fft.rfft(x * w))
     freqs = np.fft.rfftfreq(len(x), dt)
     return freqs, spec
@@ -55,7 +59,10 @@ def find_peaks(freqs, amp, n_peaks: int = 5, min_rel: float = 0.05):
         return []
     interior = (a[1:-1] > a[:-2]) & (a[1:-1] >= a[2:])
     idx = np.nonzero(interior)[0] + 1
-    idx = idx[a[idx] >= min_rel * a.max()]
+    # threshold against the spectrum EXCLUDING the DC bin: index 0 can
+    # never be a peak, so a static offset (e.g. the CPML alpha=0
+    # residual) must not suppress real resonances
+    idx = idx[a[idx] >= min_rel * a[1:].max()]
     idx = idx[np.argsort(a[idx])[::-1][:n_peaks]]
     out = []
     df = f[1] - f[0]

@@ -167,3 +167,31 @@ def test_coupled_cli_end_to_end(tmp_path):
     vparams.write_text("0.01\n0.01\n0.01\n0.001\n1e-12\n2e-11\n1000000000\n0\n")
     assert main([str(vparams), "--water-block", "--coupled", "2",
                  "--thermal", "5"]) == 1
+
+
+def test_run_coupled_custom_mask_gets_water_thermal_properties():
+    """Review fix (r3): a custom load mask must carry WATER thermal
+    properties in exactly the masked cells — with the old default-box
+    water_thermal, a custom load heated with air rho_c (~3500x the
+    rise)."""
+    from fdtd_tpu.thermal import WATER_RHO_C
+
+    p = _box_params(10, steps=20)
+    mask = block_mask(p, lo=(0.1, 0.1, 0.1), hi=(0.4, 0.4, 0.4))
+    watts = 100.0
+    cook = 2.0
+    res = run_coupled(p, cook_time=cook, intervals=1, mask=mask,
+                      power_watts=watts, backend="xla",
+                      log=lambda s: None)
+    # adiabatic bound with water rho_c: total absorbed energy spread
+    # over the load; the hottest cell concentrates it but stays within
+    # ~100x of the mean (field pattern), while air rho_c would be 3486x
+    dv = p.spatial_step**3
+    n_load = int(mask.sum())
+    mean_adiabatic = watts * cook / (WATER_RHO_C * n_load * dv)
+    rise = res.rise
+    assert rise[mask].max() > 0
+    assert rise[mask].max() < 200 * mean_adiabatic
+    # and the heating is inside the custom box, not the default one
+    hot = np.unravel_index(int(rise.argmax()), rise.shape)
+    assert mask[hot]

@@ -268,3 +268,18 @@ def test_probes_sharded_match_single_chip():
     np.testing.assert_allclose(np.asarray(sharded.power_j),
                                np.asarray(single.power_j),
                                rtol=1e-5, atol=1e-30)
+
+
+def test_find_peaks_survives_dc_offset():
+    """Review repro (r3): a static offset (the CPML alpha=0 residual
+    pattern) must not suppress real resonances — the spectrum strips
+    the mean before windowing."""
+    from fdtd_tpu.utils.spectrum import amplitude_spectrum, find_peaks
+
+    fs = 64 * 2.45e9
+    t = np.arange(4096) / fs
+    x = 100.0 + np.exp(-t / 2e-9) * np.cos(2 * np.pi * 2.45e9 * t)
+    freqs, amp = amplitude_spectrum(t, x)
+    peaks = find_peaks(freqs, amp, n_peaks=1)
+    assert peaks, "DC offset swallowed the resonance"
+    np.testing.assert_allclose(peaks[0][0], 2.45e9, rtol=5e-3)
