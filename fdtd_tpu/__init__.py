@@ -10,10 +10,14 @@ exchange — the TPU analogue of the reference's MPI slab decomposition.
 """
 
 from .params import Mode, Params, SourceConfig, load_parameters, parse_params_text, time_values, num_steps
-from .state import FieldState, Materials, zeros, init_validation, update_coefs, water_block
+from .state import FieldState, Materials, block_mask, zeros, init_validation, update_coefs, water_block
 from .step import make_step, make_chunk_runner
 from .ops.cpml import PMLConfig
+from .ops.dispersive import DebyeMaterials, water_debye_load
 from .thermal import ThermalMaterials, air_thermal, run_thermal, water_thermal
+from .coupled import CoupledResult, run_coupled, water_debye
+from .dft import DftConfig, DftResult
+from .monitors import ProbeResult, ProbeSet
 from . import analytic, diagnostics, grid
 
 __all__ = [
@@ -33,6 +37,16 @@ __all__ = [
     "make_step",
     "make_chunk_runner",
     "PMLConfig",
+    "DebyeMaterials",
+    "water_debye_load",
+    "CoupledResult",
+    "run_coupled",
+    "water_debye",
+    "DftConfig",
+    "DftResult",
+    "ProbeResult",
+    "ProbeSet",
+    "block_mask",
     "ThermalMaterials",
     "air_thermal",
     "run_thermal",
