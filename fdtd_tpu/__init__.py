@@ -10,7 +10,18 @@ exchange — the TPU analogue of the reference's MPI slab decomposition.
 """
 
 from .params import Mode, Params, SourceConfig, load_parameters, parse_params_text, time_values, num_steps
-from .state import FieldState, Materials, block_mask, zeros, init_validation, update_coefs, water_block
+from .state import (
+    FieldState,
+    Materials,
+    block_mask,
+    cylinder_mask,
+    init_validation,
+    sphere_mask,
+    update_coefs,
+    water_block,
+    water_from_mask,
+    zeros,
+)
 from .step import make_step, make_chunk_runner
 from .ops.cpml import PMLConfig
 from .ops.dispersive import DebyeMaterials, water_debye_load
@@ -47,6 +58,9 @@ __all__ = [
     "ProbeResult",
     "ProbeSet",
     "block_mask",
+    "sphere_mask",
+    "cylinder_mask",
+    "water_from_mask",
     "ThermalMaterials",
     "air_thermal",
     "run_thermal",

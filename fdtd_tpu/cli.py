@@ -14,7 +14,7 @@ import sys
 
 from .params import Mode, load_parameters
 from .runner import run_simulation
-from .state import ferrite_slab, water_block
+from .state import ferrite_slab
 
 
 def build_arg_parser() -> argparse.ArgumentParser:
@@ -81,6 +81,12 @@ def build_arg_parser() -> argparse.ArgumentParser:
                          "at these frequencies (comma-separated Hz); writes "
                          "per-frequency dft_NN.vtr complex field maps, |E|, "
                          "and the CW power deposition for lossy loads")
+    ap.add_argument("--load-shape", default="box",
+                    choices=["box", "sphere", "cylinder"],
+                    help="geometry of the --water-block load: the default "
+                         "0.3-0.7 box, a centered sphere, or a z-axis "
+                         "cylinder (the mug); applies to EM, thermal, "
+                         "coupled, and dispersive paths alike")
     ap.add_argument("--dispersive", action="store_true",
                     help="make the --water-block load a true single-pole "
                          "Debye medium solved by the ADE method (frequency-"
@@ -121,7 +127,7 @@ def _pml_config(cells: int):
     return PMLConfig(cells=cells)
 
 
-def _run_coupled_cli(args, p) -> int:
+def _run_coupled_cli(args, p, load_mask=None) -> int:
     """--coupled N: the two-way EM <-> thermal driver (fdtd_tpu/coupled.py)."""
     import json
     import os
@@ -173,6 +179,7 @@ def _run_coupled_cli(args, p) -> int:
             p,
             cook_time=args.thermal,
             intervals=args.coupled,
+            mask=load_mask,
             frequency=p.source.frequency,
             sigma_ion25=args.salt_sigma,
             power_watts=args.thermal_power,
@@ -255,7 +262,27 @@ def main(argv=None) -> int:
             file=sys.stderr,
         )
 
-    materials = water_block(p) if args.water_block else None
+    load_mask = None
+    if args.water_block:
+        from .state import (
+            block_mask,
+            cylinder_mask,
+            sphere_mask,
+            water_from_mask,
+        )
+
+        load_mask = (
+            sphere_mask(p) if args.load_shape == "sphere"
+            else cylinder_mask(p) if args.load_shape == "cylinder"
+            else block_mask(p)
+        )
+        materials = water_from_mask(p, load_mask)
+    else:
+        if args.load_shape != "box":
+            print("error: --load-shape needs --water-block (it shapes the "
+                  "water load)", file=sys.stderr)
+            return 1
+        materials = None
     if args.ferrite_slab:
         materials = ferrite_slab(p, base=materials)
     if args.dispersive:
@@ -272,7 +299,8 @@ def main(argv=None) -> int:
         from .ops.dispersive import water_debye_load
 
         materials = water_debye_load(p, temperature=args.thermal_ambient,
-                                     sigma_ion25=args.salt_sigma)
+                                     sigma_ion25=args.salt_sigma,
+                                     mask=load_mask)
 
     if args.thermal is not None:
         if not args.sar and not args.coupled:
@@ -321,7 +349,7 @@ def main(argv=None) -> int:
                   "(run the diagnostics on a fixed-material run)",
                   file=sys.stderr)
             return 1
-        return _run_coupled_cli(args, p)
+        return _run_coupled_cli(args, p, load_mask)
 
     print("Initializing fields")
     if p.mode == Mode.VALIDATION:
@@ -390,9 +418,12 @@ def main(argv=None) -> int:
                   f"(peak {acc.max():.3e} J/m^3 over {t_em:.3e} s)")
 
         if args.thermal is not None:
-            from .thermal import air_thermal, run_thermal, water_thermal
+            from .thermal import air_thermal, run_thermal
 
-            tm = water_thermal(p) if args.water_block else air_thermal(p)
+            from .thermal import thermal_from_mask
+
+            tm = (thermal_from_mask(p, load_mask) if load_mask is not None
+                  else air_thermal(p))
             q = acc / t_em
             if args.thermal_power is not None:
                 from .coupled import normalize_power

@@ -45,14 +45,7 @@ import numpy as np
 from .constants import EPSILON
 from .params import Mode, Params
 from .state import Materials, block_mask
-from .thermal import (
-    AIR_K,
-    AIR_RHO_C,
-    WATER_K,
-    WATER_RHO_C,
-    ThermalMaterials,
-    run_thermal,
-)
+from .thermal import ThermalMaterials, run_thermal, thermal_from_mask
 
 # tau(T) in ps: Kaatze (1989) dielectric-relaxation measurements of
 # liquid water (interpolated linearly; endpoints clamp).
@@ -177,10 +170,7 @@ def run_coupled(
     tm = (
         thermal_materials
         if thermal_materials is not None
-        else ThermalMaterials(
-            rho_c=np.where(mask, WATER_RHO_C, AIR_RHO_C),
-            k=np.where(mask, WATER_K, AIR_K),
-        )
+        else thermal_from_mask(p, mask)
     )
 
     T = np.full((p.maxk, p.maxj, p.maxi), float(ambient), np.float64)

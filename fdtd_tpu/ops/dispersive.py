@@ -82,15 +82,18 @@ class DebyeMaterials:
 
 def water_debye_load(p: Params, lo=(0.3, 0.3, 0.3), hi=(0.7, 0.7, 0.7),
                      temperature: float = 20.0,
-                     sigma_ion25: float = 0.0) -> DebyeMaterials:
-    """A water block as a *true* Debye medium: eps_inf + relaxation from
+                     sigma_ion25: float = 0.0,
+                     mask: np.ndarray | None = None) -> DebyeMaterials:
+    """A water load as a *true* Debye medium: eps_inf + relaxation from
     the same Malmberg-Maryott / Kaatze fits the quasi-static coupled
     model uses (:mod:`fdtd_tpu.coupled`), so the two descriptions agree
-    at any single frequency by construction."""
+    at any single frequency by construction.  ``mask`` overrides the
+    default [lo, hi) box with an arbitrary cell geometry."""
     from ..coupled import EPS_INF, _TAU_PS, _TAU_T_C, water_eps_static
     from ..state import block_mask
 
-    mask = block_mask(p, lo, hi)
+    if mask is None:
+        mask = block_mask(p, lo, hi)
     T = float(np.clip(temperature, 0.0, 100.0))
     eps_s = float(water_eps_static(T))
     tau = float(np.interp(T, _TAU_T_C, _TAU_PS)) * 1e-12

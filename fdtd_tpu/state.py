@@ -114,12 +114,52 @@ def block_mask(p: Params, lo=(0.3, 0.3, 0.3), hi=(0.7, 0.7, 0.7)) -> np.ndarray:
     return mask
 
 
-def water_block(p: Params, lo=(0.3, 0.3, 0.3), hi=(0.7, 0.7, 0.7), eps_r=78.0, sigma=1.7) -> Materials:
-    """A water/food block spanning fractional box coords [lo, hi) (BASELINE config #2)."""
-    mask = block_mask(p, lo, hi)
+def sphere_mask(p: Params, center=(0.5, 0.5, 0.5), radius=0.2) -> np.ndarray:
+    """Boolean cell mask of a sphere: ``center`` in (x, y, z) fractional
+    box coords, ``radius`` as a fraction of the box's shortest side.
+    Cells are in when their center is inside — the staircase
+    approximation standard for structured-grid FDTD."""
+    K, J, I = p.maxk, p.maxj, p.maxi
+    kc = (np.arange(K) + 0.5) / K
+    jc = (np.arange(J) + 0.5) / J
+    ic = (np.arange(I) + 0.5) / I
+    # physical distances: fractional coords scaled by the box dimensions
+    dims = np.array([p.length, p.width, p.height])
+    r_phys = float(radius) * dims.min()
+    dz = (kc - center[2])[:, None, None] * p.height
+    dy = (jc - center[1])[None, :, None] * p.width
+    dx = (ic - center[0])[None, None, :] * p.length
+    return dx * dx + dy * dy + dz * dz <= r_phys * r_phys
+
+
+def cylinder_mask(p: Params, center=(0.5, 0.5), radius=0.2,
+                  lo=0.3, hi=0.7) -> np.ndarray:
+    """Boolean cell mask of a z-axis cylinder (the mug of water):
+    ``center`` in (x, y) fractions, ``radius`` as a fraction of the
+    smaller transverse side, height spanning z fractions [lo, hi)."""
+    K, J, I = p.maxk, p.maxj, p.maxi
+    jc = (np.arange(J) + 0.5) / J
+    ic = (np.arange(I) + 0.5) / I
+    r_phys = float(radius) * min(p.length, p.width)
+    dy = (jc - center[1])[None, :, None] * p.width
+    dx = (ic - center[0])[None, None, :] * p.length
+    disk = dx * dx + dy * dy <= r_phys * r_phys
+    kz = np.zeros((K, 1, 1), bool)
+    kz[int(lo * K):int(hi * K)] = True
+    return np.broadcast_to(disk & kz, (K, J, I)).copy()
+
+
+def water_from_mask(p: Params, mask: np.ndarray, eps_r=78.0,
+                    sigma=1.7) -> Materials:
+    """Water/food material maps over an arbitrary boolean cell mask."""
     er = np.where(mask, float(eps_r), 1.0)
     sg = np.where(mask, float(sigma), 0.0)
     return Materials(eps_r=er, sigma=sg)
+
+
+def water_block(p: Params, lo=(0.3, 0.3, 0.3), hi=(0.7, 0.7, 0.7), eps_r=78.0, sigma=1.7) -> Materials:
+    """A water/food block spanning fractional box coords [lo, hi) (BASELINE config #2)."""
+    return water_from_mask(p, block_mask(p, lo, hi), eps_r, sigma)
 
 
 def ferrite_slab(p: Params, base: Materials | None = None,

@@ -72,6 +72,21 @@ def air_thermal(p: Params) -> ThermalMaterials:
     )
 
 
+def thermal_from_mask(p: Params, mask, rho_c: float = WATER_RHO_C,
+                      k: float = WATER_K,
+                      base: ThermalMaterials | None = None) -> ThermalMaterials:
+    """Water/food thermal properties over an arbitrary boolean cell mask
+    (air elsewhere) — the mask-shaped sibling of :func:`water_thermal`,
+    shared by the coupled driver and the CLI's --load-shape geometries."""
+    tm = base if base is not None else air_thermal(p)
+    import numpy as _np
+
+    return ThermalMaterials(
+        rho_c=_np.where(mask, rho_c, tm.rho_c),
+        k=_np.where(mask, k, tm.k),
+    )
+
+
 def water_thermal(p: Params, lo=(0.3, 0.3, 0.3), hi=(0.7, 0.7, 0.7),
                   base: ThermalMaterials | None = None,
                   rho_c: float = WATER_RHO_C,

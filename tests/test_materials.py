@@ -292,3 +292,61 @@ def test_het_mu_sharded_fast_matches_single(tiny_params, tmp_path):
         b = read_vtr_cell_arrays(str(tmp_path / sub / "result0020.vtr"))
         for k in ["ex", "ey", "ez", "hx", "hy", "hz"]:
             np.testing.assert_array_equal(a[k], b[k], err_msg=f"{spec}/{k}")
+
+
+def test_load_shape_masks_geometry():
+    """Sphere/cylinder cell masks: volumes match the analytic shapes to
+    the staircase tolerance and respect the expected symmetries."""
+    from fdtd_tpu.params import Mode, Params
+    from fdtd_tpu.state import cylinder_mask, sphere_mask
+
+    n = 20
+    p = Params(length=n * 1e-3, width=n * 1e-3, height=n * 1e-3,
+               spatial_step=1e-3, time_step=1e-12, simulation_time=1e-12,
+               sampling_rate=10**9, mode=Mode.VALIDATION)
+    sm = sphere_mask(p, radius=0.3)
+    want = 4.0 / 3.0 * np.pi * (0.3 * n) ** 3
+    np.testing.assert_allclose(sm.sum(), want, rtol=0.05)
+    # centered: symmetric under each axis flip
+    for ax in range(3):
+        np.testing.assert_array_equal(sm, np.flip(sm, axis=ax))
+
+    cm = cylinder_mask(p, radius=0.25, lo=0.2, hi=0.8)
+    height = int(0.8 * n) - int(0.2 * n)
+    want_c = np.pi * (0.25 * n) ** 2 * height
+    np.testing.assert_allclose(cm.sum(), want_c, rtol=0.05)
+    # every z slab inside [lo, hi) carries the same disk
+    disk = cm[int(0.2 * n)]
+    for k in range(int(0.2 * n), int(0.8 * n)):
+        np.testing.assert_array_equal(cm[k], disk)
+    assert not cm[: int(0.2 * n)].any() and not cm[int(0.8 * n):].any()
+
+
+def test_load_shape_cli_end_to_end(tmp_path):
+    """--load-shape sphere: SAR deposits inside the sphere only, and the
+    thermal hot spot sits inside it; --load-shape without --water-block
+    errors cleanly."""
+    from fdtd_tpu.cli import main
+    from fdtd_tpu.io.vtr import read_vtr_cell_arrays
+    from fdtd_tpu.params import parse_params_text
+    from fdtd_tpu.state import sphere_mask
+
+    params = tmp_path / "p.txt"
+    params.write_text("0.02\n0.02\n0.02\n0.001\n1e-12\n2e-11\n1000000000\n1\n")
+    out = tmp_path / "o"
+    rc = main([str(params), "--water-block", "--load-shape", "sphere",
+               "--sar", "--thermal", "10", "--out", str(out),
+               "--backend", "xla"])
+    assert rc == 0
+    # the CLI's grid derivation applies the C %f float32 rounding
+    # (QUIRKS #7), so build the mask from the SAME parsed params
+    p = parse_params_text(params.read_text())
+    mask = sphere_mask(p)
+    sar = read_vtr_cell_arrays(str(out / "sar.vtr"))["power_j_m3"]
+    assert float(sar[~mask].max()) == 0.0
+    assert float(sar[mask].max()) > 0.0
+    T = read_vtr_cell_arrays(str(out / "temperature.vtr"))["temperature_c"]
+    hot = np.unravel_index(int(T.argmax()), T.shape)
+    assert mask[hot]
+
+    assert main([str(params), "--load-shape", "sphere"]) == 1
