@@ -17,6 +17,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import math
+import os
 import time
 from typing import Callable
 
@@ -196,8 +197,13 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
     devs = jax.devices()
     if len(devs) < n:
         cpus = jax.devices("cpu")
-        if len(cpus) >= n:
-            # ADVICE r2: never silently swap accelerators for host devices
+        # ADVICE r2: never silently swap accelerators for host devices.
+        # Exception: JAX_PLATFORMS=cpu is an explicit request for host
+        # execution (the hermetic test setup), not a silent downgrade —
+        # the axon TPU plugin registers itself regardless, so devs can
+        # still be the lone tunneled TPU there.
+        cpu_requested = "cpu" in os.environ.get("JAX_PLATFORMS", "")
+        if len(cpus) >= n and not cpu_requested:
             log(
                 f"notice: only {len(devs)} accelerator device(s) present; "
                 f"--shard {shard} runs on {n} virtual CPU devices "
