@@ -27,6 +27,7 @@ from .ops.cpml import PMLConfig
 from .ops.dispersive import DebyeMaterials, water_debye_load
 from .thermal import ThermalMaterials, air_thermal, run_thermal, water_thermal
 from .coupled import CoupledResult, run_coupled, water_debye
+from .turntable import LoadGeometry, geometry_mask, rotate_field
 from .dft import DftConfig, DftResult
 from .monitors import ProbeResult, ProbeSet
 from . import analytic, diagnostics, grid
@@ -53,6 +54,9 @@ __all__ = [
     "CoupledResult",
     "run_coupled",
     "water_debye",
+    "LoadGeometry",
+    "geometry_mask",
+    "rotate_field",
     "DftConfig",
     "DftResult",
     "ProbeResult",

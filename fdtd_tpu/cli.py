@@ -116,6 +116,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
     ap.add_argument("--thermal-ambient", type=float, default=20.0,
                     metavar="C", help="initial/ambient temperature "
                     "(default 20 C)")
+    ap.add_argument("--rotate", type=float, default=0.0, metavar="RPM",
+                    help="turntable rotation: spin the --water-block load "
+                         "at RPM about the vertical cavity axis during a "
+                         "--coupled cook (each interval re-rasterizes the "
+                         "load at its mid-interval angle; heat integrates "
+                         "in the load's co-rotating frame)")
+    ap.add_argument("--load-center", default=None, metavar="X,Y",
+                    help="(x, y) center of the load as box fractions "
+                         "(default 0.5,0.5); off-center loads are what make "
+                         "--rotate matter")
     return ap
 
 
@@ -125,6 +135,22 @@ def _pml_config(cells: int):
     from .ops.cpml import PMLConfig
 
     return PMLConfig(cells=cells)
+
+
+def _parse_load_center(args) -> tuple:
+    """(x, y) load center as box fractions from --load-center (default
+    centered); raises ValueError on a malformed spec."""
+    if not args.load_center:
+        return (0.5, 0.5)
+    parts = args.load_center.split(",")
+    if len(parts) != 2:
+        raise ValueError(
+            f"--load-center wants X,Y fractions, got {args.load_center!r}"
+        )
+    cx, cy = (float(v) for v in parts)
+    if not (0.0 < cx < 1.0 and 0.0 < cy < 1.0):
+        raise ValueError("--load-center fractions must be in (0, 1)")
+    return (cx, cy)
 
 
 def _run_coupled_cli(args, p, load_mask=None) -> int:
@@ -159,6 +185,15 @@ def _run_coupled_cli(args, p, load_mask=None) -> int:
         print("error: --coupled does not checkpoint yet (each EM interval "
               "restarts from a zero field)", file=sys.stderr)
         return 1
+    geometry = None
+    if args.rotate:
+        from .turntable import LoadGeometry
+
+        center = _parse_load_center(args)
+        geometry = LoadGeometry(shape=args.load_shape, center=center)
+        load_mask = None  # run_coupled rasterizes the geometry itself
+        print(f"Turntable: {args.rotate:g} rpm about the cavity axis "
+              f"({args.coupled} angle samples over the cook)")
     print(f"Coupled EM<->thermal cook: {args.thermal:g} s over "
           f"{args.coupled} interval(s); Debye dielectrics at "
           f"{p.source.frequency:.3g} Hz (note the reference drives at "
@@ -180,6 +215,8 @@ def _run_coupled_cli(args, p, load_mask=None) -> int:
             cook_time=args.thermal,
             intervals=args.coupled,
             mask=load_mask,
+            geometry=geometry,
+            rpm=args.rotate,
             frequency=p.source.frequency,
             sigma_ion25=args.salt_sigma,
             power_watts=args.thermal_power,
@@ -271,18 +308,30 @@ def main(argv=None) -> int:
             water_from_mask,
         )
 
+        try:
+            cx, cy = _parse_load_center(args)
+        except ValueError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 1
+        ox, oy = cx - 0.5, cy - 0.5  # offset from the centered defaults
         load_mask = (
-            sphere_mask(p) if args.load_shape == "sphere"
-            else cylinder_mask(p) if args.load_shape == "cylinder"
-            else block_mask(p)
+            sphere_mask(p, center=(cx, cy, 0.5)) if args.load_shape == "sphere"
+            else cylinder_mask(p, center=(cx, cy))
+            if args.load_shape == "cylinder"
+            else block_mask(p, lo=(0.3 + ox, 0.3 + oy, 0.3),
+                            hi=(0.7 + ox, 0.7 + oy, 0.7))
         )
         materials = water_from_mask(p, load_mask)
     else:
-        if args.load_shape != "box":
-            print("error: --load-shape needs --water-block (it shapes the "
-                  "water load)", file=sys.stderr)
+        if args.load_shape != "box" or args.load_center:
+            print("error: --load-shape/--load-center need --water-block "
+                  "(they place the water load)", file=sys.stderr)
             return 1
         materials = None
+    if args.rotate and not args.coupled:
+        print("error: --rotate needs --coupled N (the turntable is sampled "
+              "at N angles over the --thermal cook)", file=sys.stderr)
+        return 1
     if args.ferrite_slab:
         materials = ferrite_slab(p, base=materials)
     if args.dispersive:

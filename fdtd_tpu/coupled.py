@@ -136,6 +136,9 @@ def run_coupled(
     out_dir: str = "r",
     log: Callable[[str], None] = print,
     on_interval: Callable[[int, np.ndarray], None] | None = None,
+    geometry=None,
+    rpm: float = 0.0,
+    axis_center: tuple[float, float] = (0.5, 0.5),
 ) -> CoupledResult:
     """Alternate EM (SAR) and thermal solves for ``cook_time`` seconds.
 
@@ -151,8 +154,18 @@ def run_coupled(
 
     ``on_interval(i, T)``: called after each interval with the fp64
     temperature field — e.g. to write per-interval maps for animation.
+
+    ``geometry``/``rpm``/``axis_center``: turntable rotation.  With a
+    :class:`~fdtd_tpu.turntable.LoadGeometry` and ``rpm`` != 0, each
+    interval freezes the load at its mid-interval angle: the geometry is
+    re-rasterized there, the temperature field (kept in the load's
+    co-rotating material frame) is rotated into the lab frame to
+    evaluate the dielectrics, and the deposited power map is rotated
+    back before the thermal advance (see :mod:`fdtd_tpu.turntable`).
+    With ``rpm`` == 0 a ``geometry`` simply defines the static mask.
     """
     from .runner import run_simulation  # late: avoid import cycle
+    from .turntable import geometry_mask, rotate_field
 
     if intervals < 1:
         raise ValueError("coupled run needs at least 1 interval")
@@ -160,6 +173,16 @@ def run_coupled(
         raise ValueError(
             "coupled heating needs computation mode (a driven source)"
         )
+    rotating = rpm != 0.0
+    if rotating and geometry is None:
+        raise ValueError(
+            "turntable rotation (rpm != 0) needs a LoadGeometry — a bare "
+            "mask array cannot be re-rasterized at other angles"
+        )
+    if geometry is not None:
+        if mask is not None:
+            raise ValueError("pass either mask or geometry, not both")
+        mask = geometry_mask(p, geometry, 0.0, axis_center)
     if mask is None:
         mask = block_mask(p)
     if not mask.any():
@@ -173,11 +196,31 @@ def run_coupled(
         else thermal_from_mask(p, mask)
     )
 
-    T = np.full((p.maxk, p.maxj, p.maxi), float(ambient), np.float64)
+    # The cook's state variable is the RISE above ambient, not absolute
+    # temperature: the heat equation is translation-invariant, and
+    # reconstructing rise as (ambient + rise) - ambient each interval
+    # cancels catastrophically when rises are far below ambient's fp64
+    # ulp scale (exactly the regime of short validation cooks).
+    R = np.zeros((p.maxk, p.maxj, p.maxi), np.float64)
+    T = R + float(ambient)
     t_int = cook_time / intervals
+    omega_tt = 2.0 * np.pi * rpm / 60.0  # turntable angular rate (rad/s)
     summaries: list[dict] = []
     for it in range(intervals):
-        mats = materials_at_temperature(p, T, mask, frequency, sigma_ion25)
+        # mid-interval angle: continuous rpm -> 0 limit (theta -> 0)
+        theta = omega_tt * (it + 0.5) * t_int if rotating else 0.0
+        if rotating:
+            lab_mask = geometry_mask(p, geometry, theta, axis_center)
+            # T rides the material frame; dielectrics live in the lab
+            T_lab = rotate_field(p, T, theta, axis_center, fill=ambient)
+            mats = materials_at_temperature(
+                p, T_lab, lab_mask, frequency, sigma_ion25
+            )
+        else:
+            lab_mask = mask
+            mats = materials_at_temperature(
+                p, T, mask, frequency, sigma_ion25
+            )
         res = run_simulation(
             p,
             out_dir=out_dir,
@@ -191,18 +234,34 @@ def run_coupled(
         )
         t_em = res.iterations * p.time_step
         q = np.asarray(res.power_j, np.float64) / t_em
+        if rotating:
+            # bring Q home to the material frame; the bilinear resample
+            # smears the staircase edge, so clip to the canonical mask
+            # and restore the integral (total absorbed power is a lab-
+            # frame fact the resample must not change)
+            total_lab = float(q.sum())
+            q = np.where(
+                mask, rotate_field(p, q, -theta, axis_center, fill=0.0), 0.0
+            )
+            total_mat = float(q.sum())
+            if total_lab > 0.0 and total_mat > 0.0:
+                q = q * (total_lab / total_mat)
         if power_watts is not None:
             q = normalize_power(p, q, power_watts)
-        tr = run_thermal(p, tm, q, t_int, ambient=ambient, t0=T)
-        T = tr.temperature
+        # integrate in rise form (ambient=0 shifts the whole problem;
+        # zero-flux walls make the shift exact)
+        tr = run_thermal(p, tm, q, t_int, ambient=0.0, t0=R)
+        R = np.asarray(tr.rise, np.float64)
+        T = R + float(ambient)
         in_load = T[mask]
+        lab_load = mats.eps_r[lab_mask]
         summaries.append(
             {
                 "interval": it,
-                "eps_r_range": [float(mats.eps_r[mask].min()),
-                                float(mats.eps_r[mask].max())],
-                "sigma_range": [float(mats.sigma[mask].min()),
-                                float(mats.sigma[mask].max())],
+                "theta_deg": float(np.degrees(theta)),
+                "eps_r_range": [float(lab_load.min()), float(lab_load.max())],
+                "sigma_range": [float(mats.sigma[lab_mask].min()),
+                                float(mats.sigma[lab_mask].max())],
                 "absorbed_w": float(q.sum()) * p.spatial_step**3,
                 "peak_t_c": float(in_load.max()),
                 "mean_t_c": float(in_load.mean()),
@@ -221,6 +280,6 @@ def run_coupled(
         )
     return CoupledResult(
         temperature=T,
-        rise=T - float(ambient),
+        rise=R,
         intervals=summaries,
     )
