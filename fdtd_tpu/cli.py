@@ -203,11 +203,26 @@ def _run_coupled_cli(args, p, load_mask=None) -> int:
         os.makedirs(args.out, exist_ok=True)
         coords = grid.node_coords(p)
 
-        def on_interval(it, T):
+        def on_interval(it, T, theta):
             # per-interval maps: load temperature_*.vtr as a time series
-            # in ParaView/VisIt to animate the cook
+            # in ParaView/VisIt to animate the cook.  T is in the load's
+            # co-rotating MATERIAL frame; under --rotate also write the
+            # lab-frame map at this interval's angle so the animation
+            # shows the load actually moving and stays comparable with
+            # the lab-frame SAR/DFT maps.
+            if theta:
+                from .turntable import rotate_field
+
+                variables = {
+                    "temperature_c_material_frame": T,
+                    "temperature_c_lab": rotate_field(
+                        p, T, theta, fill=args.thermal_ambient
+                    ),
+                }
+            else:
+                variables = {"temperature_c": T}
             write_vtr(os.path.join(args.out, f"temperature_{it:02d}.vtr"),
-                      coords, {"temperature_c": T})
+                      coords, variables)
 
     try:
         res = run_coupled(
@@ -234,7 +249,23 @@ def _run_coupled_cli(args, p, load_mask=None) -> int:
     if not args.no_output:
         os.makedirs(args.out, exist_ok=True)
         t_path = os.path.join(args.out, "temperature.vtr")
-        write_vtr(t_path, grid.node_coords(p), {"temperature_c": T})
+        if res.final_theta:
+            # material-frame + end-of-cook lab-frame maps, frames named
+            # explicitly (ADVICE r3: an unannotated material-frame map
+            # misleads comparisons against lab-frame SAR/DFT fields)
+            from .turntable import rotate_field
+
+            write_vtr(t_path, grid.node_coords(p), {
+                "temperature_c_material_frame": T,
+                "temperature_c_lab": rotate_field(
+                    p, T, res.final_theta, fill=args.thermal_ambient
+                ),
+            })
+            print(f"Turntable end-of-cook angle "
+                  f"{np.degrees(res.final_theta):.1f} deg; temperature.vtr "
+                  "carries both the material-frame and lab-frame maps")
+        else:
+            write_vtr(t_path, grid.node_coords(p), {"temperature_c": T})
         log_path = os.path.join(args.out, "coupled.jsonl")
         with open(log_path, "w") as f:
             for s in res.intervals:

@@ -118,6 +118,11 @@ class CoupledResult:
     temperature: np.ndarray  # final absolute T (C), fp64, (maxk, maxj, maxi)
     rise: np.ndarray  # final rise above ambient (K), fp64
     intervals: list[dict]  # per-interval summaries (JSON-friendly)
+    # end-of-cook turntable angle (radians; 0.0 without rotation).
+    # ``temperature``/``rise`` live in the load's co-rotating MATERIAL
+    # frame — rotate by final_theta (turntable.rotate_field) for the
+    # lab-frame map at the end-of-cook load position.
+    final_theta: float = 0.0
 
 
 def run_coupled(
@@ -135,7 +140,7 @@ def run_coupled(
     pml=None,
     out_dir: str = "r",
     log: Callable[[str], None] = print,
-    on_interval: Callable[[int, np.ndarray], None] | None = None,
+    on_interval: Callable | None = None,
     geometry=None,
     rpm: float = 0.0,
     axis_center: tuple[float, float] = (0.5, 0.5),
@@ -152,8 +157,13 @@ def run_coupled(
     the total absorbed power equals this (a real oven's magnetron rating);
     otherwise the unit-amplitude source's raw deposition is used.
 
-    ``on_interval(i, T)``: called after each interval with the fp64
-    temperature field — e.g. to write per-interval maps for animation.
+    ``on_interval(i, T, theta)``: called after each interval with the
+    fp64 temperature field and the interval's turntable angle (radians;
+    0.0 when not rotating) — e.g. to write per-interval maps for
+    animation.  NOTE the frame: under rotation ``T`` lives in the
+    load's CO-ROTATING MATERIAL frame (heat integrates there); rotate
+    by ``theta`` via :func:`fdtd_tpu.turntable.rotate_field` to get the
+    lab-frame map comparable with lab-frame SAR/DFT fields.
 
     ``geometry``/``rpm``/``axis_center``: turntable rotation.  With a
     :class:`~fdtd_tpu.turntable.LoadGeometry` and ``rpm`` != 0, each
@@ -246,6 +256,11 @@ def run_coupled(
             total_mat = float(q.sum())
             if total_lab > 0.0 and total_mat > 0.0:
                 q = q * (total_lab / total_mat)
+        # raw (pre-normalization) absorbed power: with --thermal-power the
+        # normalized absorbed_w is the rated wattage every interval by
+        # construction, so THIS is the number that shows the angle /
+        # temperature dependence of the coupling
+        raw_absorbed_w = float(q.sum()) * p.spatial_step**3
         if power_watts is not None:
             q = normalize_power(p, q, power_watts)
         # integrate in rise form (ambient=0 shifts the whole problem;
@@ -263,13 +278,14 @@ def run_coupled(
                 "sigma_range": [float(mats.sigma[lab_mask].min()),
                                 float(mats.sigma[lab_mask].max())],
                 "absorbed_w": float(q.sum()) * p.spatial_step**3,
+                "raw_absorbed_w": raw_absorbed_w,
                 "peak_t_c": float(in_load.max()),
                 "mean_t_c": float(in_load.mean()),
                 "thermal_steps": tr.steps,
             }
         )
         if on_interval is not None:
-            on_interval(it, T)
+            on_interval(it, T, theta)
         log(
             f"coupled interval {it + 1}/{intervals}: load T "
             f"{in_load.mean():.2f} C mean / {in_load.max():.2f} C peak, "
@@ -282,4 +298,5 @@ def run_coupled(
         temperature=T,
         rise=R,
         intervals=summaries,
+        final_theta=omega_tt * cook_time if rotating else 0.0,
     )

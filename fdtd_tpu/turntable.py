@@ -143,7 +143,6 @@ def rotate_field(
     K, J, I = arr.shape
     if theta == 0.0:
         return arr.copy()
-    dx = p.spatial_step
     x = (np.arange(I) + 0.5) / I * p.length
     y = (np.arange(J) + 0.5) / J * p.width
     ax = axis_center[0] * p.length
@@ -153,8 +152,14 @@ def rotate_field(
     Y = y[:, None] - ay
     xs = ax + c * X + s * Y  # (J, I) source points, physical
     ys = ay - s * X + c * Y
-    si = xs / dx - 0.5  # fractional source indices
-    sj = ys / dx - 0.5
+    # index conversion uses the SAME pitch (length/I, width/J) as the
+    # coordinate arrays above and geometry_mask: params derives
+    # maxi = int(length/spatial_step) from a float32-parsed length, so
+    # length is generally NOT maxi*spatial_step (e.g. float32(0.06) gives
+    # maxi=59) — dividing by spatial_step here would carry a systematic
+    # radial scale error that breaks the exact 90-degree permutation
+    si = xs / (p.length / I) - 0.5  # fractional source indices
+    sj = ys / (p.width / J) - 0.5
     # a source point within half a cell outside the boundary still has
     # meaningful clamped-edge interpolation; beyond that it is `fill`
     valid = (si >= -0.5) & (si <= I - 0.5) & (sj >= -0.5) & (sj <= J - 0.5)

@@ -123,6 +123,35 @@ def test_rotate_field_quarter_turn_is_exact_permutation():
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
 
 
+def test_rotate_field_quarter_turn_exact_on_truncating_grid():
+    """ADVICE r3: params derives maxi = int(length/dx) from a
+    float32-parsed length, so length is generally NOT maxi*dx —
+    float32(0.06) = 0.0599999987 gives maxi = 59 with a cell pitch
+    length/59 that is ~1.7% off dx.  rotate_field must convert physical
+    positions back to indices with the SAME pitch it built the
+    coordinates with, or the resample carries a systematic radial scale
+    error; on this square 59x59 floor plan the 90-degree rotation about
+    the center is then still an exact permutation."""
+    dx = 0.001
+    p = Params(
+        length=float(np.float32(0.06)),
+        width=float(np.float32(0.06)),
+        height=float(np.float32(0.012)),
+        spatial_step=dx,
+        time_step=1e-12,
+        simulation_time=1e-11,
+        sampling_rate=10**9,
+        mode=Mode.COMPUTATION,
+    )
+    assert p.maxi == 59 and p.maxj == 59  # the truncating regime
+    assert abs(p.length / p.maxi - dx) / dx > 0.01  # pitch != dx
+    rng = np.random.default_rng(11)
+    a = rng.standard_normal((p.maxk, p.maxj, p.maxi))
+    got = rotate_field(p, a, np.pi / 2.0)
+    want = a[:, ::-1, :].transpose(0, 2, 1)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-9)
+
+
 def test_rotate_field_round_trip_preserves_smooth_fields():
     """theta then -theta through bilinear resampling reproduces a smooth
     field away from the boundary (interpolation error only)."""
