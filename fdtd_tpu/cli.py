@@ -181,10 +181,6 @@ def _run_coupled_cli(args, p, load_mask=None) -> int:
         print("error: --coupled models the water load only (no --ferrite-"
               "slab)", file=sys.stderr)
         return 1
-    if args.resume or args.checkpoint_every:
-        print("error: --coupled does not checkpoint yet (each EM interval "
-              "restarts from a zero field)", file=sys.stderr)
-        return 1
     geometry = None
     if args.rotate:
         from .turntable import LoadGeometry
@@ -241,6 +237,11 @@ def _run_coupled_cli(args, p, load_mask=None) -> int:
             pml=_pml_config(args.pml),
             out_dir=args.out,
             on_interval=on_interval,
+            # --checkpoint-every under --coupled means interval-level
+            # checkpointing (any N > 0): each EM interval restarts from a
+            # zero field, so there is no meaningful intra-interval state
+            checkpoint=bool(args.checkpoint_every),
+            resume=args.resume,
         )
     except (NotImplementedError, ValueError) as e:
         print(f"error: {e}", file=sys.stderr)

@@ -125,6 +125,45 @@ class CoupledResult:
     final_theta: float = 0.0
 
 
+def _coupled_ckpt_path(out_dir: str) -> str:
+    import os
+
+    return os.path.join(out_dir, "coupled_ckpt.npz")
+
+
+def _save_coupled_ckpt(out_dir: str, R: np.ndarray, it_done: int,
+                       summaries: list) -> None:
+    """Atomic interval-level checkpoint: the fp64 rise map is the cook's
+    entire state (each EM interval restarts from a zero field, and the
+    turntable angle is a pure function of the interval index), so a
+    resumed cook reproduces the uninterrupted one bit-exactly."""
+    import json as _json
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    path = _coupled_ckpt_path(out_dir)
+    tmp = path[:-len(".npz")] + "_tmp.npz"
+    np.savez(tmp, rise=R, intervals_done=np.int64(it_done),
+             summaries=np.frombuffer(
+                 _json.dumps(summaries).encode(), dtype=np.uint8))
+    os.replace(tmp, path)
+
+
+def _load_coupled_ckpt(out_dir: str):
+    """(rise, intervals_done, summaries) or None."""
+    import json as _json
+    import os
+
+    path = _coupled_ckpt_path(out_dir)
+    if not os.path.exists(path):
+        return None
+    with np.load(path) as z:
+        R = np.asarray(z["rise"], np.float64)
+        done = int(z["intervals_done"])
+        summaries = _json.loads(bytes(z["summaries"].tobytes()).decode())
+    return R, done, summaries
+
+
 def run_coupled(
     p: Params,
     cook_time: float,
@@ -144,6 +183,8 @@ def run_coupled(
     geometry=None,
     rpm: float = 0.0,
     axis_center: tuple[float, float] = (0.5, 0.5),
+    checkpoint: bool = False,
+    resume: bool = False,
 ) -> CoupledResult:
     """Alternate EM (SAR) and thermal solves for ``cook_time`` seconds.
 
@@ -156,6 +197,13 @@ def run_coupled(
     ``power_watts``: if set, each interval's heat source is rescaled so
     the total absorbed power equals this (a real oven's magnetron rating);
     otherwise the unit-amplitude source's raw deposition is used.
+
+    ``checkpoint``/``resume``: interval-level checkpointing to
+    ``{out_dir}/coupled_ckpt.npz`` (the fp64 rise map + interval index +
+    the interval summaries; the turntable angle is a pure function of
+    the index).  A resumed cook is bit-exact vs the uninterrupted one:
+    each interval's EM solve restarts from a zero field by construction,
+    so the rise map is the cook's entire cross-interval state.
 
     ``on_interval(i, T, theta)``: called after each interval with the
     fp64 temperature field and the interval's turntable angle (radians;
@@ -212,11 +260,34 @@ def run_coupled(
     # cancels catastrophically when rises are far below ambient's fp64
     # ulp scale (exactly the regime of short validation cooks).
     R = np.zeros((p.maxk, p.maxj, p.maxi), np.float64)
-    T = R + float(ambient)
     t_int = cook_time / intervals
     omega_tt = 2.0 * np.pi * rpm / 60.0  # turntable angular rate (rad/s)
     summaries: list[dict] = []
-    for it in range(intervals):
+    start_it = 0
+    if resume:
+        # interval-level resume (r4): the longest-running product
+        # scenario (N full EM solves) no longer loses everything to a
+        # crash — the fp64 rise map + interval index reproduce the
+        # uninterrupted cook bit-exactly
+        ck = _load_coupled_ckpt(out_dir)
+        if ck is not None:
+            R_ck, start_it, summaries = ck
+            if R_ck.shape != R.shape:
+                raise ValueError(
+                    f"coupled checkpoint grid {R_ck.shape} does not match "
+                    f"this run's {R.shape}"
+                )
+            if start_it > intervals:
+                raise ValueError(
+                    f"coupled checkpoint has {start_it} intervals done, "
+                    f"more than this run's {intervals}"
+                )
+            R = R_ck
+            log(f"Resuming coupled cook after interval {start_it}")
+        else:
+            log("No coupled checkpoint found; starting from interval 0")
+    T = R + float(ambient)
+    for it in range(start_it, intervals):
         # mid-interval angle: continuous rpm -> 0 limit (theta -> 0)
         theta = omega_tt * (it + 0.5) * t_int if rotating else 0.0
         if rotating:
@@ -284,6 +355,8 @@ def run_coupled(
                 "thermal_steps": tr.steps,
             }
         )
+        if checkpoint:
+            _save_coupled_ckpt(out_dir, R, it + 1, summaries)
         if on_interval is not None:
             on_interval(it, T, theta)
         log(

@@ -35,8 +35,12 @@ edge-averaged from cell maps with the same 4-cell stencil as
 eps/sigma; outside the physical extents (ca, cb, cp, k1, k2) =
 (1, 0, 0, 1, 0) so pads and PEC faces stay inert.
 
-Supported on the xla backend (pure-jnp slice ops); the dispersive
-kernel tier is future work.  Dielectric (Debye) loss is E.dP/dt work,
+This module is the xla/ground-truth tier (pure-jnp slice ops) and the
+coefficient factory; the Pallas kernel tiers (r4: streaming ADE sweep +
+two-pass ADE kernels) live in :mod:`fdtd_tpu.ops.pallas_dispersive`,
+and the sharded shard_map tier in
+:mod:`fdtd_tpu.parallel.sharded_step.make_sharded_dispersive_step`.
+Dielectric (Debye) loss is E.dP/dt work,
 NOT sigma|E|^2 — so the --sar accumulator on dispersive runs uses the
 true trapezoidal work densities (see :func:`update_e_ade` with_work),
 making --dispersive --sar --thermal the physically correct heating

@@ -50,6 +50,43 @@ def _source_pattern(p: Params, shape_ji: tuple[int, int], dtype) -> tuple[np.nda
     return prof.astype(dtype), mask
 
 
+def _grid_ops(mesh: Mesh, lsz: dict):
+    """(shift_up, shift_down, gindex) halo/index helpers for a rank-local
+    block: one-plane ppermute exchanges over the mesh axes and the
+    global-index iota used by the staggered/PEC masks.  Shared by the
+    standard and dispersive sharded steps so the two cannot diverge."""
+    nsh = {i: mesh.shape[a] for i, a in enumerate(AXES)}
+
+    def shift_up(x, dim):
+        """xp[l] = x[global l+1]; zero beyond the global top (masked there)."""
+        n = nsh[dim]
+        rest = lax.slice_in_dim(x, 1, None, axis=dim)
+        first = lax.slice_in_dim(x, 0, 1, axis=dim)
+        if n > 1:
+            recv = lax.ppermute(first, AXES[dim], [(r, r - 1) for r in range(1, n)])
+        else:
+            recv = jnp.zeros_like(first)
+        return jnp.concatenate([rest, recv], axis=dim)
+
+    def shift_down(x, dim):
+        """xm[l] = x[global l-1]; zero below 0 (masked there)."""
+        n = nsh[dim]
+        rest = lax.slice_in_dim(x, 0, -1, axis=dim)
+        last = lax.slice_in_dim(x, -1, None, axis=dim)
+        if n > 1:
+            recv = lax.ppermute(last, AXES[dim], [(r, r + 1) for r in range(n - 1)])
+        else:
+            recv = jnp.zeros_like(last)
+        return jnp.concatenate([recv, rest], axis=dim)
+
+    def gindex(local_shape, dim):
+        r = lax.axis_index(AXES[dim])
+        io = lax.broadcasted_iota(jnp.int32, local_shape, dim)
+        return io + r * lsz[dim]
+
+    return shift_up, shift_down, gindex
+
+
 def make_sharded_step(p: Params, mesh: Mesh, materials=None, pml=None,
                       accumulate_power: bool = False):
     """Build ``sharded_step(amp, state) -> state``.
@@ -155,35 +192,8 @@ def make_sharded_step(p: Params, mesh: Mesh, materials=None, pml=None,
     prof = jax.device_put(jnp.asarray(prof_np), src_sh)
     msrc = jax.device_put(jnp.asarray(mask_np), src_sh)
 
-    nsh = {0: nz, 1: ny, 2: nx}
     lsz = {0: Lk, 1: Lj, 2: Li}
-
-    def shift_up(x, dim):
-        """xp[l] = x[global l+1]; zero beyond the global top (masked there)."""
-        n = nsh[dim]
-        rest = lax.slice_in_dim(x, 1, None, axis=dim)
-        first = lax.slice_in_dim(x, 0, 1, axis=dim)
-        if n > 1:
-            recv = lax.ppermute(first, AXES[dim], [(r, r - 1) for r in range(1, n)])
-        else:
-            recv = jnp.zeros_like(first)
-        return jnp.concatenate([rest, recv], axis=dim)
-
-    def shift_down(x, dim):
-        """xm[l] = x[global l-1]; zero below 0 (masked there)."""
-        n = nsh[dim]
-        rest = lax.slice_in_dim(x, 0, -1, axis=dim)
-        last = lax.slice_in_dim(x, -1, None, axis=dim)
-        if n > 1:
-            recv = lax.ppermute(last, AXES[dim], [(r, r + 1) for r in range(n - 1)])
-        else:
-            recv = jnp.zeros_like(last)
-        return jnp.concatenate([recv, rest], axis=dim)
-
-    def gindex(local_shape, dim):
-        r = lax.axis_index(AXES[dim])
-        io = lax.broadcasted_iota(jnp.int32, local_shape, dim)
-        return io + r * lsz[dim]
+    shift_up, shift_down, gindex = _grid_ops(mesh, lsz)
 
     def local_step(amp, ex, ey, ez, hx, hy, hz, prof_l, msrc_l, *cf):
         # cf layout: [lossy ca/cb x6] [het hf x3] [sigma] [prof12] [psi12] [acc]
@@ -445,6 +455,207 @@ def make_sharded_chunk_runner(p: Params, mesh: Mesh, materials=None,
 
         s, _ = lax.scan(body, s, amps)
         return s
+
+    return run
+
+
+def make_sharded_dispersive_step(p: Params, mesh: Mesh, dm,
+                                 accumulate_power: bool = False):
+    """``step(amp, state, (px, py, pz)[, acc]) -> (state, P[, acc])`` —
+    the ADE Debye update (:mod:`fdtd_tpu.ops.dispersive`) under spatial
+    sharding, lifting round 3's single-chip-only restriction.
+
+    The three polarization arrays shard exactly like the fields (they
+    live on the same padded E grids and join the scan carry); the five
+    ADE coefficient maps per component plus the edge sigma are sharded
+    constants.  P needs NO halo exchange of its own: the ADE update is
+    pointwise in P (only curl H is non-local, and those planes are the
+    same six ppermute shifts the standard E half-step uses).  With
+    ``accumulate_power`` the accumulator collects the TRUE Debye work
+    E_mid (dP/dt + sigma E_mid) cell-centered with the exact slice
+    association of :func:`fdtd_tpu.ops.dispersive.work_cell_means` — so
+    the cropped accumulator is bit-equal to the single-chip ADE scan's.
+
+    H half-step: vacuum factor dt/(MU dx) — DebyeMaterials rejects
+    heterogeneous mu_r (ops/dispersive.debye_coefs).
+    """
+    from ..ops.dispersive import debye_coefs
+
+    if p.mode != Mode.COMPUTATION:
+        raise ValueError("dispersive media run in computation mode")
+    plan = make_source_plan(p)
+    inv_z_te = plan.inv_z_te
+
+    K, J, I = p.maxk, p.maxj, p.maxi
+    Kp, Jp, Ip = padded_divisible_shape(p, mesh)
+    nz, ny, nx = (mesh.shape[a] for a in AXES)
+    lsz = {0: Kp // nz, 1: Jp // ny, 2: Ip // nx}
+    dtype = jnp.dtype(p.dtype)
+    dc = debye_coefs(p, dm)
+    f_h = dtype.type(float(np.asarray(dc.h_factor)))
+    dt_step = p.time_step
+    fsh = field_sharding(mesh)
+    K1, J1, I1 = p.padded_shape
+
+    def padc(a):
+        a = jnp.pad(jnp.asarray(a, dtype),
+                    ((0, Kp - K1), (0, Jp - J1), (0, Ip - I1)))
+        return jax.device_put(a, fsh)
+
+    # 18 sharded coefficient constants: (ca, cb, cp, k1, k2, sig) x (x, y, z)
+    coef_arrays = [padc(getattr(dc, n)[c])
+                   for c in ("x", "y", "z")
+                   for n in ("ca", "cb", "cp", "k1", "k2", "sig")]
+
+    prof_np, mask_np = _source_pattern(p, (Jp, Ip), dtype)
+    src_sh = NamedSharding(mesh, P("y", "x"))
+    prof = jax.device_put(jnp.asarray(prof_np), src_sh)
+    msrc = jax.device_put(jnp.asarray(mask_np), src_sh)
+
+    shift_up, shift_down, gindex = _grid_ops(mesh, lsz)
+
+    def local_step(amp, ex, ey, ez, hx, hy, hz, px, py, pz,
+                   prof_l, msrc_l, *cf):
+        if accumulate_power:
+            acc = cf[-1]
+            cf = cf[:-1]
+        cx6, cy6, cz6 = cf[:6], cf[6:12], cf[12:18]
+        shp = ex.shape
+        gz = gindex(shp, 0)
+        gy = gindex(shp, 1)
+        gx = gindex(shp, 2)
+
+        def inject(ex, ez, hx, hz):
+            m = (gz == 0) & msrc_l[None, :, :]
+            drive = (amp * prof_l[None, :, :]).astype(dtype)
+            ez = jnp.where(m, drive, ez)
+            ex = jnp.where(m, dtype.type(0), ex)
+            hz = jnp.where(m, dtype.type(0), hz)
+            hx = jnp.where(m, (-inv_z_te) * drive, hx)
+            return ex, ez, hx, hz
+
+        ex, ez, hx, hz = inject(ex, ez, hx, hz)
+
+        # --- vacuum H half-step (identical to make_sharded_step's) ---
+        ey_pz = shift_up(ey, 0)
+        ey_px = shift_up(ey, 2)
+        ez_py = shift_up(ez, 1)
+        ez_px = shift_up(ez, 2)
+        ex_pz = shift_up(ex, 0)
+        ex_py = shift_up(ex, 1)
+        m_hx = (gz < K) & (gy < J) & (gx < I + 1)
+        m_hy = (gz < K) & (gy < J + 1) & (gx < I)
+        m_hz = (gz < K + 1) & (gy < J) & (gx < I)
+        hx = jnp.where(m_hx, hx + f_h * ((ey_pz - ey) - (ez_py - ez)), hx)
+        hy = jnp.where(m_hy, hy + f_h * ((ez_px - ez) - (ex_pz - ex)), hy)
+        hz = jnp.where(m_hz, hz + f_h * ((ex_py - ex) - (ey_px - ey)), hz)
+
+        ex, ez, hx, hz = inject(ex, ez, hx, hz)
+
+        # --- ADE E half-step: E' = ca E + cb curlH + cp P, then
+        #     P' = k1 P + k2 (E' + E)  (ops/dispersive.update_e_ade) ---
+        hz_my = shift_down(hz, 1)
+        hy_mz = shift_down(hy, 0)
+        hx_mz = shift_down(hx, 0)
+        hz_mx = shift_down(hz, 2)
+        hy_mx = shift_down(hy, 2)
+        hx_my = shift_down(hx, 1)
+        m_ex = (gz >= 1) & (gz < K) & (gy >= 1) & (gy < J) & (gx < I)
+        m_ey = (gz >= 1) & (gz < K) & (gy < J) & (gx >= 1) & (gx < I)
+        m_ez = (gz < K) & (gy >= 1) & (gy < J) & (gx >= 1) & (gx < I)
+        curl_x = (hz - hz_my) - (hy - hy_mz)
+        curl_y = (hx - hx_mz) - (hz - hz_mx)
+        curl_z = (hy - hy_mx) - (hx - hx_my)
+
+        works = []
+
+        def advance(m, e_old, p_old, curl, c6):
+            ca, cb, cp_, k1, k2, sig = c6
+            en = (ca * e_old + cb * curl + cp_ * p_old).astype(dtype)
+            pn = (k1 * p_old + k2 * (en + e_old)).astype(dtype)
+            if accumulate_power:
+                e_mid = 0.5 * (en + e_old)
+                w = e_mid * ((pn - p_old) / dt_step + sig * e_mid)
+                works.append(jnp.where(m, w, jnp.zeros_like(w)))
+            return jnp.where(m, en, e_old), jnp.where(m, pn, p_old)
+
+        ex, px = advance(m_ex, ex, px, curl_x, cx6)
+        ey, py = advance(m_ey, ey, py, curl_y, cy6)
+        ez, pz = advance(m_ez, ez, pz, curl_z, cz6)
+
+        out = [ex, ey, ez, hx, hy, hz, px, py, pz]
+        if accumulate_power:
+            # cell-centered Debye work, the exact slice association of
+            # ops/dispersive.work_cell_means (wx: +k, +j; wy: +i, +k;
+            # wz: +j, +i) — shift_up planes are the masked-zero rows the
+            # single-chip crop never reads
+            wx, wy, wz = works
+            mx = 0.25 * (wx + shift_up(wx, 0) + shift_up(wx, 1)
+                         + shift_up(shift_up(wx, 0), 1))
+            my = 0.25 * (wy + shift_up(wy, 2) + shift_up(wy, 0)
+                         + shift_up(shift_up(wy, 0), 2))
+            mz = 0.25 * (wz + shift_up(wz, 1) + shift_up(wz, 2)
+                         + shift_up(shift_up(wz, 1), 2))
+            inc = mx + my + mz
+            out.append(acc + (inc * dt_step).astype(acc.dtype))
+        return tuple(out)
+
+    fspec = P(*AXES)
+    n_extra = 18 + (1 if accumulate_power else 0)
+    in_specs = (P(),) + (fspec,) * 9 + (P("y", "x"), P("y", "x")) \
+        + (fspec,) * n_extra
+    n_out = 9 + (1 if accumulate_power else 0)
+    smap = jax.shard_map(
+        local_step, mesh=mesh, in_specs=in_specs, out_specs=(fspec,) * n_out
+    )
+
+    def sharded_step(amp, s: FieldState, P3, *extra):
+        args = [amp, s.ex, s.ey, s.ez, s.hx, s.hy, s.hz, *P3, prof, msrc,
+                *coef_arrays]
+        if accumulate_power:
+            args.append(extra[0])
+        outs = smap(*args)
+        res = (FieldState(*outs[:6]), tuple(outs[6:9]))
+        if accumulate_power:
+            return res + (outs[9],)
+        return res
+
+    return sharded_step
+
+
+def make_sharded_dispersive_chunk_runner(p: Params, mesh: Mesh, dm,
+                                         accumulate_power: bool = False,
+                                         dft=None, probes=None):
+    """``run((state, P), xs, power, dft_acc) -> ((state, P), power,
+    dft_acc, probe_ys)`` — the sharded analogue of
+    :func:`fdtd_tpu.ops.dispersive.make_dispersive_chunk_runner` with the
+    same monitored-chunk contract, so the runner wires both identically.
+    ``power``/``dft_acc`` may be None when that monitor is off."""
+    from ..monitors import apply_monitors, split_monitor_inputs
+
+    step = make_sharded_dispersive_step(
+        p, mesh, dm, accumulate_power=accumulate_power
+    )
+    if probes is not None:
+        probes.validate(p)
+    cells = probes.cells if probes is not None else None
+
+    @jax.jit
+    def run(carry, xs, power_acc, dft_acc):
+        def body(c, x):
+            (s, P3), acc, dacc = c
+            (_t, amp), weights = split_monitor_inputs(x, dft)
+            if accumulate_power:
+                s, P3, acc = step(amp, s, P3, acc)
+            else:
+                s, P3 = step(amp, s, P3)
+            dacc, ys = apply_monitors(p, s, weights, dft, cells, dacc)
+            return ((s, P3), acc, dacc), ys
+
+        ((s, P3), acc, dacc), ys = jax.lax.scan(
+            body, (carry, power_acc, dft_acc), xs
+        )
+        return (s, P3), acc, dacc, ys
 
     return run
 
@@ -713,3 +924,18 @@ def dryrun(n_devices: int, devices=None) -> None:
         )
     assert res.dft is not None
     assert res.probes.values.shape == (res.iterations, 1, 6)
+
+    # dispersive ADE x sharding (r4): P rides the shard_map scan carry,
+    # the SAR accumulator collects the TRUE Debye work — through the real
+    # run_simulation wiring (prep/restore, padded P, acc pad/crop)
+    from ..ops.dispersive import water_debye_load
+
+    dm = water_debye_load(p, lo=(0.25,) * 3, hi=(0.75,) * 3,
+                          sigma_ion25=0.2)
+    with tempfile.TemporaryDirectory() as td:
+        res_d = run_simulation(
+            p, out_dir=td, write_snapshots=False, shard=str(n_devices),
+            materials=dm, accumulate_power=True, log=lambda s: None,
+        )
+    assert res_d.power_j is not None
+    assert bool(jnp.isfinite(jnp.sum(res_d.state.ez)))

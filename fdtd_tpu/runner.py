@@ -632,32 +632,123 @@ def run_simulation(
     from .ops.dispersive import DebyeMaterials
 
     dispersive = isinstance(materials, DebyeMaterials)
+    disp_sharded = dispersive and shard is not None
+    disp_fast = False
     if dispersive:
         # ADE single-pole Debye dispersion (ops/dispersive.py): the three
         # polarization arrays ride the chunk carry as (state, P); --sar
         # accumulates the TRUE Debye dissipation E.dP/dt + sigma E_mid^2
         # (not sigma|E|^2, which misses the dielectric loss entirely)
-        if shard is not None or pml is not None:
+        if pml is not None:
             raise ValueError(
-                "dispersive media run single-chip in the closed cavity "
-                "for now (no --shard/--pml)"
+                "dispersive media run in the closed cavity for now "
+                "(no --pml)"
             )
-        if backend not in ("auto", "xla"):
-            log(
-                f"notice: dispersive media run the xla ADE scan "
-                f"(backend {backend!r} ignored)"
+        if disp_sharded:
+            # r4: P shards with the fields in the shard_map scan
+            # (parallel/sharded_step.make_sharded_dispersive_step); the
+            # monitored-chunk contract matches the single-chip ADE scan
+            from .parallel.mesh import make_mesh
+            from .parallel.sharded_step import (
+                make_sharded_dispersive_chunk_runner,
             )
-        from .ops.dispersive import (
-            make_dispersive_chunk_runner,
-            zero_polarization,
-        )
 
-        run_disp = make_dispersive_chunk_runner(
-            p, materials, dft=dft, probes=probes,
-            accumulate_power=accumulate_power,
-        )
-        dft_box, probe_chunks = _monitor_boxes(p, dft)
-        run_chunk = _monitored_run_chunk(run_disp, dft_box, probe_chunks)
+            if backend not in ("auto", "xla"):
+                log(
+                    f"notice: dispersive media under --shard run the xla "
+                    f"shard_map ADE scan (backend {backend!r} ignored)"
+                )
+            nz_d, ny_d = parse_shard_spec(shard)
+            n_dev = nz_d * ny_d
+            devs = jax.devices()
+            if len(devs) < n_dev:
+                devs = jax.devices("cpu")
+            if len(devs) < n_dev:
+                raise ValueError(
+                    f"--shard {shard} needs {n_dev} devices; "
+                    f"{len(devs)} available"
+                )
+            disp_mesh = make_mesh(n_dev, (nz_d, ny_d, 1),
+                                  devices=devs[:n_dev])
+            run_disp = make_sharded_dispersive_chunk_runner(
+                p, disp_mesh, materials, dft=dft, probes=probes,
+                accumulate_power=accumulate_power,
+            )
+            if accumulate_power:
+                # the sharded accumulator rides padded/sharded inside the
+                # chunk, canonical (maxk, maxj, maxi) at the boundaries —
+                # checkpoint-compatible with single-chip runs
+                from .parallel.mesh import (
+                    field_sharding as _fsh,
+                    padded_divisible_shape as _pds,
+                )
+
+                _Kp, _Jp, _Ip = _pds(p, disp_mesh)
+                _K, _J, _I = p.maxk, p.maxj, p.maxi
+                _acc_sh = _fsh(disp_mesh)
+                run_disp_raw = run_disp
+
+                def run_disp(carry, xs, power, dacc):
+                    acc = jax.device_put(
+                        jnp.pad(jnp.asarray(power),
+                                ((0, _Kp - _K), (0, _Jp - _J),
+                                 (0, _Ip - _I))),
+                        _acc_sh,
+                    )
+                    carry, acc, dacc, ys = run_disp_raw(carry, xs, acc,
+                                                        dacc)
+                    return carry, acc[:_K, :_J, :_I], dacc, ys
+        else:
+            from .ops.pallas_dispersive import dispersive_fused_supported
+
+            monitors_on = dft is not None or probes is not None
+            disp_fast = (
+                not monitors_on
+                and dispersive_fused_supported(p)
+                and backend != "xla"
+                and (_on_tpu() or backend in ("pallas", "pallas_fused",
+                                              "pallas_temporal",
+                                              "pallas_stream"))
+            )
+            if disp_fast:
+                # r4: the physically-correct heating chain on the Pallas
+                # tier — streaming ADE when a plan fits, else the
+                # two-pass ADE kernel (ops/pallas_dispersive.py)
+                from .ops.pallas_dispersive import (
+                    make_dispersive_chunk_runner_fast,
+                )
+
+                run_disp_fast = make_dispersive_chunk_runner_fast(
+                    p, materials, accumulate_power=accumulate_power,
+                    backend=backend, log=log,
+                )
+            else:
+                if backend not in ("auto", "xla") and not monitors_on:
+                    log(
+                        f"notice: the dispersive Pallas tier needs "
+                        f"computation mode and fp32/bf16; running the xla "
+                        f"ADE scan (backend {backend!r})"
+                    )
+                elif backend not in ("auto", "xla"):
+                    log(
+                        f"notice: dispersive media with per-step monitors "
+                        f"run the xla ADE scan (backend {backend!r} "
+                        "ignored)"
+                    )
+                from .ops.dispersive import make_dispersive_chunk_runner
+
+                run_disp = make_dispersive_chunk_runner(
+                    p, materials, dft=dft, probes=probes,
+                    accumulate_power=accumulate_power,
+                )
+        if disp_sharded or not disp_fast:
+            dft_box, probe_chunks = _monitor_boxes(p, dft)
+            run_chunk = _monitored_run_chunk(run_disp, dft_box,
+                                             probe_chunks)
+        else:
+
+            def run_chunk(carry, chunk, power):
+                return run_disp_fast(carry, (chunk[0], chunk[1]), power)
 
     elif pml is not None and shard is None:
         # CPML absorbing boundaries (ops/cpml.py; capability extension —
@@ -815,9 +906,53 @@ def run_simulation(
     # hot-path layout conversion (identity for the xla backend); restore is
     # jitted: one dispatch per boundary, not an eager-op chain (axon, r3)
     if dispersive:
-        prep = lambda s: (s, resumed_pol if resumed_pol is not None
-                          else zero_polarization(p))
-        restore = jax.jit(lambda carry: carry[0])
+        from .ops.dispersive import zero_polarization
+
+        if disp_fast:
+            from .ops.pallas_dispersive import extract_pol, make_ade_state
+            from .step import backend_adapters as _ba
+
+            prep_s, restore_s = _ba(p, "pallas_fused")
+
+            def prep(s):
+                return (prep_s(s),
+                        make_ade_state(p, materials, accumulate_power,
+                                       pol=resumed_pol))
+
+            restore = jax.jit(lambda carry: restore_s(carry[0]))
+        elif disp_sharded:
+            from .parallel.mesh import (
+                field_sharding as _dfsh,
+                pad_state_for_mesh,
+                padded_divisible_shape as _dpds,
+                unpad_state,
+            )
+
+            _Kp, _Jp, _Ip = _dpds(p, disp_mesh)
+            _K1, _J1, _I1 = p.padded_shape
+            _psh = _dfsh(disp_mesh)
+
+            def _pad_pol(P3):
+                return tuple(
+                    jax.device_put(
+                        jnp.pad(jnp.asarray(a),
+                                ((0, _Kp - _K1), (0, _Jp - _J1),
+                                 (0, _Ip - _I1))),
+                        _psh,
+                    )
+                    for a in P3
+                )
+
+            def prep(s):
+                P3 = (resumed_pol if resumed_pol is not None
+                      else zero_polarization(p))
+                return (pad_state_for_mesh(p, s, disp_mesh), _pad_pol(P3))
+
+            restore = jax.jit(lambda carry: unpad_state(p, carry[0]))
+        else:
+            prep = lambda s: (s, resumed_pol if resumed_pol is not None
+                              else zero_polarization(p))
+            restore = jax.jit(lambda carry: carry[0])
     elif pml is not None and shard is None:
         from .ops.cpml import init_psi
 
@@ -953,7 +1088,19 @@ def run_simulation(
                 aux = {f"psi_{n}": getattr(psi, n)
                        for n in type(psi).__dataclass_fields__}
             elif dispersive:
-                aux = dict(zip(("pol_x", "pol_y", "pol_z"), state[1]))
+                # canonical (K1, J1, I1) polarization layout whatever the
+                # carry holds (xla tuple, sharded padded tuple, fast-path
+                # AdeState) — checkpoints interoperate across tiers
+                if disp_fast:
+                    from .ops.pallas_dispersive import extract_pol
+
+                    pol = extract_pol(p, state[1])
+                else:
+                    pol = state[1]
+                    if disp_sharded:
+                        K1_, J1_, I1_ = p.padded_shape
+                        pol = tuple(a[:K1_, :J1_, :I1_] for a in pol)
+                aux = dict(zip(("pol_x", "pol_y", "pol_z"), pol))
             ckpt_writer.submit(full, pos, t_now, power=power, aux=aux)
 
     state = restore(state)

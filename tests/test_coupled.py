@@ -195,3 +195,65 @@ def test_run_coupled_custom_mask_gets_water_thermal_properties():
     # and the heating is inside the custom box, not the default one
     hot = np.unravel_index(int(rise.argmax()), rise.shape)
     assert mask[hot]
+
+
+def test_coupled_checkpoint_resume_bit_exact(tmp_path):
+    """Interval-level checkpoint/resume (r4): kill a cook after interval
+    2 of 4, resume, and the final temperature map is bit-exact vs the
+    uninterrupted cook (the fp64 rise map is the cook's entire
+    cross-interval state — each EM interval restarts from a zero field)."""
+    p = _box_params(10, steps=20)
+    kw = dict(cook_time=4.0, intervals=4, power_watts=500.0,
+              sigma_ion25=0.5, backend="xla", log=lambda s: None)
+    full = run_coupled(p, out_dir=str(tmp_path / "full"), **kw)
+
+    class Kill(Exception):
+        pass
+
+    def die_after(it, T, theta):
+        if it == 1:  # intervals 0 and 1 done (and checkpointed)
+            raise Kill()
+
+    out = str(tmp_path / "ck")
+    with pytest.raises(Kill):
+        run_coupled(p, out_dir=out, checkpoint=True,
+                    on_interval=die_after, **kw)
+    resumed = run_coupled(p, out_dir=out, checkpoint=True, resume=True,
+                          **kw)
+    assert len(resumed.intervals) == 4
+    assert [s["interval"] for s in resumed.intervals] == [0, 1, 2, 3]
+    np.testing.assert_array_equal(resumed.rise, full.rise)
+    np.testing.assert_array_equal(resumed.temperature, full.temperature)
+    # summaries survive the restart (persisted in the checkpoint)
+    for a, b in zip(resumed.intervals, full.intervals):
+        assert a == b, (a, b)
+
+
+def test_coupled_checkpoint_cli(tmp_path):
+    """--coupled now composes with --checkpoint-every/--resume: the r3
+    CLI error is gone and a resumed cook completes."""
+    from fdtd_tpu.cli import main
+
+    params = tmp_path / "p.txt"
+    params.write_text("0.01\n0.01\n0.01\n0.001\n1e-12\n2e-11\n1000000000\n1\n")
+    out = tmp_path / "o"
+    rc = main([str(params), "--water-block", "--coupled", "2",
+               "--thermal", "4", "--checkpoint-every", "1",
+               "--out", str(out)])
+    assert rc == 0
+    assert (out / "coupled_ckpt.npz").exists()
+    rc = main([str(params), "--water-block", "--coupled", "2",
+               "--thermal", "4", "--checkpoint-every", "1", "--resume",
+               "--out", str(out)])
+    assert rc == 0
+
+
+def test_coupled_resume_grid_mismatch_is_clean(tmp_path):
+    from fdtd_tpu.coupled import _save_coupled_ckpt
+
+    p = _box_params(10, steps=20)
+    out = str(tmp_path / "o")
+    _save_coupled_ckpt(out, np.zeros((3, 3, 3)), 1, [])
+    with pytest.raises(ValueError, match="does not match"):
+        run_coupled(p, cook_time=1.0, intervals=2, resume=True,
+                    out_dir=out, backend="xla", log=lambda s: None)

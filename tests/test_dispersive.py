@@ -144,8 +144,10 @@ def test_dispersive_guards_and_cli(tmp_path):
 
     p = _box(8, 1e-12, 8)
     dm = water_debye_load(p)
-    with pytest.raises(ValueError, match="single-chip"):
-        run_simulation(p, materials=dm, shard="2",
+    from fdtd_tpu.ops.cpml import PMLConfig
+
+    with pytest.raises(ValueError, match="closed cavity"):
+        run_simulation(p, materials=dm, pml=PMLConfig(cells=2),
                        write_snapshots=False, log=lambda s: None)
     # monitors compose
     res = run_simulation(p, materials=dm, write_snapshots=False,
@@ -258,6 +260,193 @@ def test_dispersive_checkpoint_resume(tmp_path):
             np.asarray(getattr(ra.state, c)),
             np.asarray(getattr(rb.state, c)),
         )
+
+
+@pytest.mark.parametrize("shard", ["2", "2x2"])
+def test_dispersive_sharded_parity(shard):
+    """--dispersive --shard (r4): the shard_map ADE scan with P in the
+    carry matches the single-chip ADE scan element-for-element, and the
+    sharded TRUE-Debye-work SAR accumulator matches the single-chip one."""
+    p = _box(10, 1e-12, 24, dtype="float64")
+    dm = water_debye_load(p, sigma_ion25=0.5)
+    want = run_simulation(p, materials=dm, write_snapshots=False,
+                          accumulate_power=True, backend="xla",
+                          log=lambda s: None)
+    got = run_simulation(p, materials=dm, write_snapshots=False,
+                         accumulate_power=True, shard=shard,
+                         log=lambda s: None)
+    for c in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got.state, c)),
+            np.asarray(getattr(want.state, c)),
+            rtol=0, atol=1e-14,
+        )
+    np.testing.assert_allclose(np.asarray(got.power_j),
+                               np.asarray(want.power_j),
+                               rtol=1e-12, atol=1e-30)
+
+
+def test_dispersive_sharded_monitors_and_checkpoint(tmp_path):
+    """Monitors (--dft/--probe) compose with --dispersive --shard, and a
+    sharded dispersive checkpoint resumes bit-exactly AND interoperates
+    with a single-chip resume (canonical pol_* layout either way)."""
+    import glob
+    import os
+
+    from fdtd_tpu.dft import DftConfig
+
+    p = _box(8, 1e-12, 16, dtype="float64")
+    dm = water_debye_load(p)
+    res = run_simulation(p, materials=dm, write_snapshots=False,
+                         shard="2", probes=ProbeSet(((4, 4, 4),)),
+                         dft=DftConfig((p.source.frequency,)),
+                         log=lambda s: None)
+    assert res.probes.values.shape == (res.iterations, 1, 6)
+    assert np.isfinite(res.dft.phasors).all()
+    # probe series equals the single-chip one
+    res1 = run_simulation(p, materials=dm, write_snapshots=False,
+                          probes=ProbeSet(((4, 4, 4),)), backend="xla",
+                          log=lambda s: None)
+    np.testing.assert_allclose(res.probes.values, res1.probes.values,
+                               rtol=0, atol=1e-15)
+
+    # checkpoint interop: sharded run to step 8, resume SINGLE-CHIP
+    out = str(tmp_path / "ck")
+    full = run_simulation(p, materials=dm, write_snapshots=False,
+                          backend="xla", log=lambda s: None)
+    run_simulation(p, materials=dm, out_dir=out, write_snapshots=False,
+                   checkpoint_every=8, shard="2", log=lambda s: None)
+    for f in glob.glob(out + "/ckpt*.npz"):
+        if int(os.path.basename(f)[4:-4]) > 8:
+            os.remove(f)
+    resumed = run_simulation(p, materials=dm, out_dir=out,
+                             write_snapshots=False, resume=True,
+                             backend="xla", log=lambda s: None)
+    for c in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(resumed.state, c)),
+            np.asarray(getattr(full.state, c)),
+            rtol=0, atol=1e-14,
+        )
+
+
+def test_dispersive_fused_tier_parity():
+    """The two-pass ADE Pallas tier (r4): fields and the TRUE-Debye-work
+    SAR accumulator match the xla ADE scan at the fp32 ulp level (the
+    three-product update expression gives XLA FMA-contraction freedom,
+    so exact bit-equality is not guaranteed across program shapes)."""
+    p = _box(10, 1e-12, 24)
+    dm = water_debye_load(p, sigma_ion25=0.5)
+    want = run_simulation(p, materials=dm, write_snapshots=False,
+                          backend="xla", accumulate_power=True,
+                          log=lambda s: None)
+    got = run_simulation(p, materials=dm, write_snapshots=False,
+                         backend="pallas_fused", accumulate_power=True,
+                         log=lambda s: None)
+    for c in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got.state, c)),
+            np.asarray(getattr(want.state, c)),
+            rtol=0, atol=5e-7,
+        )
+    np.testing.assert_allclose(np.asarray(got.power_j),
+                               np.asarray(want.power_j),
+                               rtol=3e-6, atol=1e-18)
+
+
+def test_dispersive_stream_tier_parity():
+    """The streaming ADE tier (r4): s=4 steps/sweep with P in the skewed
+    pipeline and in-kernel TRUE-Debye-work accumulation — ulp-level
+    parity vs the xla ADE scan, including an odd trailing step through
+    the two-pass tier."""
+    from fdtd_tpu.ops.pallas_dispersive import pick_ade_plan
+
+    p = _box(10, 1e-12, 22)  # 5 sweeps of 4 + 2 odd steps
+    assert pick_ade_plan(p, sar=True) == (4, 1)
+    dm = water_debye_load(p, sigma_ion25=0.5)
+    want = run_simulation(p, materials=dm, write_snapshots=False,
+                          backend="xla", accumulate_power=True,
+                          log=lambda s: None)
+    got = run_simulation(p, materials=dm, write_snapshots=False,
+                         backend="pallas_stream", accumulate_power=True,
+                         log=lambda s: None)
+    for c in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got.state, c)),
+            np.asarray(getattr(want.state, c)),
+            rtol=0, atol=5e-7,
+        )
+    assert float(np.abs(np.asarray(want.power_j)).max()) > 0
+    np.testing.assert_allclose(np.asarray(got.power_j),
+                               np.asarray(want.power_j),
+                               rtol=3e-6, atol=1e-18)
+
+
+def test_dispersive_stream_checkpoint_and_snapshots(tmp_path):
+    """Streaming-tier dispersive runs checkpoint/resume and produce the
+    same snapshot cadence as the xla tier (chunk boundaries restore the
+    canonical layout)."""
+    import glob
+    import os
+
+    p = _box(8, 1e-12, 16)
+    dm = water_debye_load(p)
+    out = str(tmp_path / "ck")
+    full = run_simulation(p, materials=dm, write_snapshots=False,
+                          backend="xla", log=lambda s: None)
+    run_simulation(p, materials=dm, out_dir=out, write_snapshots=False,
+                   checkpoint_every=8, backend="pallas_stream",
+                   log=lambda s: None)
+    for f in glob.glob(out + "/ckpt*.npz"):
+        if int(os.path.basename(f)[4:-4]) > 8:
+            os.remove(f)
+    resumed = run_simulation(p, materials=dm, out_dir=out,
+                             write_snapshots=False, resume=True,
+                             backend="pallas_stream", log=lambda s: None)
+    for c in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(resumed.state, c)),
+            np.asarray(getattr(full.state, c)),
+            rtol=0, atol=5e-7,
+        )
+
+
+def test_dispersive_fused_checkpoint_interop(tmp_path):
+    """A fast-tier dispersive checkpoint (AdeState P extracted to the
+    canonical pol_* layout) resumes on the xla tier and vice versa."""
+    import glob
+    import os
+
+    p = _box(8, 1e-12, 16)
+    dm = water_debye_load(p)
+    out = str(tmp_path / "ck")
+    full = run_simulation(p, materials=dm, write_snapshots=False,
+                          backend="xla", log=lambda s: None)
+    run_simulation(p, materials=dm, out_dir=out, write_snapshots=False,
+                   checkpoint_every=8, backend="pallas_fused",
+                   log=lambda s: None)
+    for f in glob.glob(out + "/ckpt*.npz"):
+        if int(os.path.basename(f)[4:-4]) > 8:
+            os.remove(f)
+    resumed = run_simulation(p, materials=dm, out_dir=out,
+                             write_snapshots=False, resume=True,
+                             backend="xla", log=lambda s: None)
+    for c in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(resumed.state, c)),
+            np.asarray(getattr(full.state, c)),
+            rtol=0, atol=5e-7,
+        )
+
+
+def test_dispersive_fused_gates():
+    """Validation mode / fp64 keep the xla ADE scan with a notice."""
+    notices = []
+    p = _box(8, 1e-12, 8, mode=Mode.VALIDATION)
+    dm = _uniform_debye(p)
+    run_simulation(p, materials=dm, write_snapshots=False,
+                   backend="pallas_fused", log=notices.append)
+    assert any("xla ADE scan" in s for s in notices)
 
 
 def test_dispersive_sar_energy_balance():
