@@ -122,69 +122,170 @@ def bench(n=256, steps=1000, dtype="float32", backend=None, warmup_steps=50):
     return result
 
 
-def _composed_one(name, n, steps, dtype, run_kwargs, materials_fn=None,
-                  source_kw=None):
-    """One composed-path row measured through the REAL run_simulation
-    wiring (the same composition a user's CLI flags produce): run twice —
-    the first call compiles (persistent cache) — and report the second's
-    throughput.  The repeat varies the source frequency by 1 ppb (same
-    shapes, fresh values) so a remote-tunnel result cache cannot serve it."""
-    import dataclasses
-
-    from fdtd_tpu.runner import run_simulation
-
+def _bench_params(n, steps, dtype):
     dx = 0.001
-    mcells = None
-    for rep in range(2):
-        src = SourceConfig(**(source_kw or {}))
-        src = dataclasses.replace(
-            src, frequency=src.frequency * (1.0 + 1e-9 * rep)
-        )
-        p = Params(
-            length=n * dx, width=n * dx, height=n * dx, spatial_step=dx,
-            time_step=1e-12, simulation_time=(steps - 0.5) * 1e-12,
-            sampling_rate=10**9, mode=Mode.COMPUTATION, dtype=dtype,
-            source=src,
-        )
-        mats = materials_fn(p) if materials_fn else None
-        res = run_simulation(
-            p, out_dir="/tmp/fdtd_bench_scratch", materials=mats,
-            write_snapshots=False, log=lambda s: None, **run_kwargs,
-        )
-        mcells = res.mcells_per_s
-    return round(mcells, 1)
+    return Params(
+        length=n * dx, width=n * dx, height=n * dx, spatial_step=dx,
+        time_step=1e-12, simulation_time=(steps - 0.5) * 1e-12,
+        sampling_rate=10**9, mode=Mode.COMPUTATION, dtype=dtype,
+        source=SourceConfig(),
+    )
+
+
+def _time_runner(n, steps, make_state, run_once, reps=3):
+    """bench()'s methodology for an arbitrary chunk runner: compile +
+    warm once, then the best of ``reps`` runs with fresh donated states
+    and per-rep-unique drive values (a remote-tunnel result cache cannot
+    serve a repeat), each forced through a device->host read."""
+    out = run_once(make_state(), 0.0)
+    _ = float(np.asarray(out).ravel()[12345])
+    best = float("inf")
+    for rep in range(reps):
+        st = make_state()
+        t0 = time.perf_counter()
+        out = run_once(st, 1e-7 * (rep + 1))
+        _ = float(np.asarray(out).ravel()[12345])
+        best = min(best, time.perf_counter() - t0)
+    return round(n**3 * steps / best / 1e6, 1)
 
 
 def composed_rows(n=256, steps=240):
     """The composed-path figures (VERDICT r3 #5): heating (lossy+SAR),
-    open boundary (--pml), steady-state DFT, and the 512^3 grid — so a
-    regression in the paths the product story lives on is driver-captured,
-    not STATUS-claimed.  Failures are recorded per row, never hidden."""
-    from fdtd_tpu.ops.cpml import PMLConfig
-    from fdtd_tpu.dft import DftConfig
-    from fdtd_tpu.state import water_block
+    the physically-correct dispersive heating chain, open boundary
+    (--pml), steady-state DFT, and the 512^3 grid — timed on the same
+    chunk runners run_simulation wires for those flags, with the same
+    tight-loop methodology as the headline (run_simulation's per-call
+    jit TRACING, ~1 s host work, would otherwise drown the fast paths).
+    Failures are recorded per row, never hidden."""
+    import jax
 
-    wb = lambda p: water_block(p)
-    rows = {
-        "heating_sar_bf16": dict(n=n, dtype="bfloat16", materials_fn=wb,
-                                 run_kwargs=dict(accumulate_power=True)),
-        "heating_sar_fp32": dict(n=n, dtype="float32", materials_fn=wb,
-                                 run_kwargs=dict(accumulate_power=True)),
-        "pml10_fp32": dict(n=n, dtype="float32",
-                           run_kwargs=dict(pml=PMLConfig(cells=10))),
-        "dft_fp32": dict(n=n, dtype="float32", run_kwargs=dict(
-            dft=DftConfig((2.45e10,)))),
-        "grid512_fp32": dict(n=512, dtype="float32", run_kwargs={}),
-    }
+    from fdtd_tpu.ops.cpml import PMLConfig
+    from fdtd_tpu.ops.cpml_fast import make_pml_fast_chunk_runner
+    from fdtd_tpu.ops.cpml import init_psi
+    from fdtd_tpu.dft import DftConfig, dft_weights, zero_dft_acc
+    from fdtd_tpu.ops.pallas_fused import stripped_zeros
+    from fdtd_tpu.ops.pallas_stream import make_stream_dft_chunk_runner
+    from fdtd_tpu.runner import resolve_backend
+    from fdtd_tpu.state import update_coefs, water_block
+    from fdtd_tpu.step import backend_adapters, zero_power_acc
+
     out = {}
-    for name, cfg in rows.items():
+
+    def row(name, fn):
         try:
-            out[name + "_mcells_per_s"] = _composed_one(
-                name, cfg["n"], steps, cfg["dtype"], cfg["run_kwargs"],
-                materials_fn=cfg.get("materials_fn"),
-            )
+            out[name + "_mcells_per_s"] = fn()
         except Exception as e:  # record, don't hide
             out[name + "_error"] = f"{type(e).__name__}: {e}"
+
+    def heating(dtype):
+        def fn():
+            p = _bench_params(n, steps, dtype)
+            mats = water_block(p)
+            backend = resolve_backend(p, "auto", mats, True,
+                                      log=lambda s: None)
+            run = make_chunk_runner(p, mats, backend=backend,
+                                    accumulate_power=True)
+            prep, _ = backend_adapters(p, backend, mats)
+            xs = scan_inputs(p, np.arange(steps) * p.time_step)
+
+            def run_once(st, eps):
+                st, _acc = run(st, (xs[0], xs[1] + eps), zero_power_acc(p))
+                return st.ex
+
+            return _time_runner(
+                n, steps, lambda: jax.block_until_ready(prep(zeros(p))),
+                run_once)
+
+        return fn
+
+    row("heating_sar_bf16", heating("bfloat16"))
+    row("heating_sar_fp32", heating("float32"))
+
+    def dispersive_row():
+        from fdtd_tpu.ops.dispersive import water_debye_load
+        from fdtd_tpu.ops.pallas_dispersive import (
+            make_ade_state,
+            make_dispersive_chunk_runner_fast,
+        )
+
+        p = _bench_params(n, steps, "bfloat16")
+        dm = water_debye_load(p, sigma_ion25=0.3)
+        run = make_dispersive_chunk_runner_fast(p, dm,
+                                                accumulate_power=True,
+                                                log=lambda s: None)
+        xs = scan_inputs(p, np.arange(steps) * p.time_step)
+        box = {"ade": make_ade_state(p, dm, True)}
+
+        def make_state():
+            import dataclasses as _dc
+
+            ade = box["ade"]
+            ade = _dc.replace(
+                ade,
+                px=jax.jit(lambda a: a * 0)(ade.px),
+                py=jax.jit(lambda a: a * 0)(ade.py),
+                pz=jax.jit(lambda a: a * 0)(ade.pz),
+            )
+            st = jax.jit(lambda: stripped_zeros(p))()
+            return jax.block_until_ready((st, ade))
+
+        def run_once(carry, eps):
+            carry, _acc = run(carry, (xs[0], xs[1] + eps),
+                              zero_power_acc(p))
+            box["ade"] = carry[1]  # coef buffers pass through donation
+            return carry[0].ex
+
+        return _time_runner(n, steps, make_state, run_once)
+
+    row("dispersive_sar_bf16", dispersive_row)
+
+    def pml_row():
+        p = _bench_params(n, steps, "float32")
+        pml = PMLConfig(cells=10)
+        run = make_pml_fast_chunk_runner(p, pml, None, False)
+        prep, _ = backend_adapters(p, "pallas_fused")
+        xs = scan_inputs(p, np.arange(steps) * p.time_step)
+
+        def make_state():
+            return jax.block_until_ready(
+                (prep(zeros(p)), init_psi(p, pml)))
+
+        def run_once(carry, eps):
+            carry, _pw = run(carry, (xs[0], xs[1] + eps), None)
+            return carry[0].ex
+
+        return _time_runner(n, steps, make_state, run_once)
+
+    row("pml10_fp32", pml_row)
+
+    def dft_row():
+        p = _bench_params(n, steps, "float32")
+        dftc = DftConfig((2.45e10,))
+        run = make_stream_dft_chunk_runner(p, update_coefs(p, None), dftc)
+        ts = np.arange(steps) * p.time_step
+        xs_t, xs_a = scan_inputs(p, ts)
+        cw, sw = dft_weights(dftc, ts)
+
+        def run_once(st, eps):
+            st, _pw, _dacc, _ = run(st, (xs_t, xs_a + eps, cw, sw), None,
+                                    zero_dft_acc(p, dftc))
+            return st.ex
+
+        return _time_runner(
+            n, steps,
+            lambda: jax.block_until_ready(
+                jax.jit(lambda: stripped_zeros(p))()),
+            run_once)
+
+    row("dft_fp32", dft_row)
+
+    try:
+        r512 = bench(n=512, steps=max(120, steps // 2))
+        out["grid512_fp32_mcells_per_s"] = r512["value"]
+        if "bench_error" in r512:
+            out["grid512_fp32_error"] = r512["bench_error"]
+    except Exception as e:
+        out["grid512_fp32_error"] = f"{type(e).__name__}: {e}"
     return out
 
 

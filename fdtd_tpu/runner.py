@@ -238,12 +238,9 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
     if monitors:
         # per-step monitors under sharding: the jnp shard_map scan is
         # the only per-step-state path; GSPMD partitions the cell-mean
-        # slices (same arithmetic as single-chip _e_cell_means)
-        if pml is not None:
-            raise ValueError(
-                "per-step monitors (--dft/--probe) under --pml --shard "
-                "are not supported yet (drop one of the three)"
-            )
+        # slices (same arithmetic as single-chip _e_cell_means).  r4:
+        # the monitors x PML x shard triple composes — psi12 joins the
+        # monitored scan carry exactly as in the unmonitored PML path.
         if backend not in ("auto", "xla"):
             log(
                 f"notice: per-step monitors (--dft/--probe) under --shard "
@@ -251,7 +248,7 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
             )
         backend = "xla"
 
-    if pml is not None:
+    if pml is not None and not monitors:
         # CPML x spatial sharding.  Fast path (r3): per-shard two-pass
         # Pallas kernels + XLA slab psi corrections between the passes
         # (parallel/sharded_pml_fast.py) — auto on a 1-D TPU mesh,
@@ -408,38 +405,61 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
 
         if monitors:
             from .monitors import apply_monitors
-            from .parallel.sharded_step import make_sharded_step
+            from .parallel.sharded_step import embed_psi12, make_sharded_step
 
             if probes is not None:
                 probes.validate(p)
             cells = probes.cells if probes is not None else None
             sharded_step = make_sharded_step(
-                p, mesh, materials, accumulate_power=accumulate_power
+                p, mesh, materials, pml=pml,
+                accumulate_power=accumulate_power
             )
+            with_pml = pml is not None
 
             @jax.jit
-            def run_mon(s, xs, acc, dacc):
+            def run_mon(carry0, xs, acc, dacc):
                 def body(carry, x):
-                    s, a, d = carry
+                    (s, psi), a, d = carry
                     if dft is not None:
                         amp, cw, sw = x
                         weights = (cw, sw)
                     else:
                         amp, weights = x, None
-                    if accumulate_power:
-                        s, a = sharded_step(amp, s, a)
+                    extras = ((psi,) if with_pml else ()) + (
+                        (a,) if accumulate_power else ())
+                    outs = sharded_step(amp, s, *extras)
+                    if with_pml or accumulate_power:
+                        s = outs[0]
+                        rest = list(outs[1:])
+                        if with_pml:
+                            psi = rest.pop(0)
+                        if accumulate_power:
+                            a = rest.pop(0)
                     else:
-                        s = sharded_step(amp, s)
+                        s = outs
                     d, ys = apply_monitors(p, s, weights, dft, cells, d)
-                    return (s, a, d), ys
+                    return ((s, psi), a, d), ys
 
-                (s, acc, dacc), ys = jax.lax.scan(body, (s, acc, dacc), xs)
-                return s, acc, dacc, ys
+                (carry0, acc, dacc), ys = jax.lax.scan(
+                    body, (carry0, acc, dacc), xs)
+                return carry0, acc, dacc, ys
 
             dft_box, probe_chunks = _monitor_boxes(p, dft)
             K, J, I = p.maxk, p.maxj, p.maxi
             Kp, Jp, Ip = padded_divisible_shape(p, mesh)
             fsh = field_sharding(mesh)
+
+            if with_pml:
+                # the monitors x PML x shard triple (r4): psi12 joins the
+                # monitored scan carry; prep/restore and checkpoint-psi
+                # follow the unmonitored sharded PML path's conventions
+                def prep(s, resumed_psi=None):  # noqa: F811
+                    psi12 = (embed_psi12(p, pml, resumed_psi, mesh)
+                             if resumed_psi is not None
+                             else sharded_step.zero_psi())
+                    return (pad_state_for_mesh(p, s, mesh), psi12)
+
+                restore = lambda carry: unpad_state(p, carry[0])  # noqa: F811
 
             def run_chunk(st, chunk, power):
                 xs = jnp.asarray(chunk[1])
@@ -452,9 +472,11 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
                                 ((0, Kp - K), (0, Jp - J), (0, Ip - I))),
                         fsh,
                     )
-                st, acc, dft_box["acc"], ys = run_mon(
-                    st, xs, acc, dft_box["acc"]
+                carry = st if with_pml else (st, None)
+                carry, acc, dft_box["acc"], ys = run_mon(
+                    carry, xs, acc, dft_box["acc"]
                 )
+                st = carry if with_pml else carry[0]
                 if ys is not None:
                     probe_chunks.append(np.asarray(ys))
                 if accumulate_power:
@@ -593,13 +615,6 @@ def run_simulation(
     probes=None,
 ) -> RunResult:
     p.validate()
-    if dft is not None or probes is not None:
-        what = "--dft" if dft is not None else "--probe"
-        if resume or checkpoint_every:
-            raise ValueError(
-                f"monitor accumulators ({what}) do not ride checkpoints; "
-                "run without --resume/--checkpoint-every"
-            )
     ts = time_values(p)
     xs_t, xs_a = scan_inputs(p, ts)
     if dft is not None:
@@ -823,22 +838,48 @@ def run_simulation(
     else:
         if dft is not None or probes is not None:
             from .monitors import make_monitored_chunk_runner
+            from .ops.pallas_stream import pick_plan as _stream_plan
+            from .state import update_coefs as _uc2
 
-            # group-stepped kernels have no per-step states at all; the
-            # single-step pallas paths do, but the monitored scan would
-            # pay a full stripped->canonical restore per step (cell
-            # means need the canonical layout) — worse than running xla
-            # outright.  One rule: monitors run the xla scan.
-            if backend not in ("auto", "xla"):
-                log(
-                    f"notice: per-step monitors (--dft/--probe) run "
-                    f"the xla scan (backend {backend!r} ignored)"
-                )
-            backend = "xla"
-            run_mon = make_monitored_chunk_runner(
-                p, materials, backend, dft=dft, probes=probes,
-                accumulate_power=accumulate_power,
+            # r4 (VERDICT r3 #2): pure-DFT monitoring rides the streaming
+            # kernel — per-frequency phasor bands accumulate in-kernel
+            # like the SAR band, so extracting the steady-state phasor no
+            # longer costs the ~20x xla cliff.  Probes (tiny per-step
+            # reads) and fields='eh' genuinely need per-step states and
+            # keep the xla scan.
+            stream_dft = (
+                dft is not None
+                and probes is None
+                and dft.fields == "e"
+                and p.mode == Mode.COMPUTATION
+                and backend in ("auto", "pallas_stream")
+                and (_on_tpu() or backend == "pallas_stream")
+                and _stream_plan(p, _uc2(p, materials),
+                                 sar=accumulate_power,
+                                 dft_nf=dft.nf) is not None
             )
+            if stream_dft:
+                from .ops.pallas_stream import make_stream_dft_chunk_runner
+
+                backend = "pallas_stream"
+                run_mon = make_stream_dft_chunk_runner(
+                    p, _uc2(p, materials), dft,
+                    accumulate_power=accumulate_power,
+                )
+            else:
+                # group-stepped kernels have no per-step states; probes/
+                # 'eh' monitors run the xla scan
+                if backend not in ("auto", "xla") and not stream_dft:
+                    log(
+                        f"notice: per-step monitors (--probe/--dft eh/"
+                        f"validation) run the xla scan (backend "
+                        f"{backend!r} ignored)"
+                    )
+                backend = "xla"
+                run_mon = make_monitored_chunk_runner(
+                    p, materials, backend, dft=dft, probes=probes,
+                    accumulate_power=accumulate_power,
+                )
             dft_box, probe_chunks = _monitor_boxes(p, dft)
             run_chunk = _monitored_run_chunk(run_mon, dft_box, probe_chunks)
         else:
@@ -853,11 +894,43 @@ def run_simulation(
 
     resumed_psi = None
     resumed_pol = None
+    resumed_dft = False
     if resume:
         ck = latest_checkpoint(out_dir)
         if ck:
             state, it_done, _t, ck_power = load_checkpoint(ck, p)
             start_step = it_done
+            if dft is not None or probes is not None:
+                # monitor accumulators ride checkpoints (r4): the DFT
+                # running sums resume as aux arrays like psi/pol; probe
+                # rows recorded so far reload so the final series covers
+                # the whole schedule
+                from .io.checkpoint import load_aux
+
+                aux_m = load_aux(ck)
+                if dft is not None:
+                    if "dft_re" in aux_m and "dft_im" in aux_m:
+                        dft_box["acc"] = (
+                            jnp.asarray(aux_m["dft_re"]),
+                            jnp.asarray(aux_m["dft_im"]),
+                        )
+                        resumed_dft = True
+                    else:
+                        log(
+                            "WARNING: checkpoint has no DFT accumulators; "
+                            "the phasor sums restart from zero (spectra "
+                            "cover only the resumed steps)"
+                        )
+                if probes is not None:
+                    if "probe_rows" in aux_m:
+                        rows = np.asarray(aux_m["probe_rows"], np.float32)
+                        if rows.shape[0]:
+                            probe_chunks.append(rows)
+                    else:
+                        log(
+                            "WARNING: checkpoint has no probe rows; the "
+                            "series covers only the resumed steps"
+                        )
             if dispersive:
                 from .io.checkpoint import load_aux
 
@@ -1082,11 +1155,20 @@ def run_simulation(
         if checkpoint_every and pos % checkpoint_every == 0:
             # async: the worker thread does the device->host copy + write
             # while the next chunk runs (see io.checkpoint.CheckpointWriter)
-            aux = None
+            aux = {}
+            if dft is not None:
+                re_a, im_a = dft_box["acc"]
+                aux["dft_re"] = re_a
+                aux["dft_im"] = im_a
+            if probes is not None:
+                aux["probe_rows"] = (
+                    np.concatenate(probe_chunks, axis=0)
+                    if probe_chunks
+                    else np.zeros((0, len(probes.cells), 6), np.float32))
             if pml is not None:
                 psi = psi_canon(state)
-                aux = {f"psi_{n}": getattr(psi, n)
-                       for n in type(psi).__dataclass_fields__}
+                aux.update({f"psi_{n}": getattr(psi, n)
+                            for n in type(psi).__dataclass_fields__})
             elif dispersive:
                 # canonical (K1, J1, I1) polarization layout whatever the
                 # carry holds (xla tuple, sharded padded tuple, fast-path
@@ -1100,8 +1182,9 @@ def run_simulation(
                     if disp_sharded:
                         K1_, J1_, I1_ = p.padded_shape
                         pol = tuple(a[:K1_, :J1_, :I1_] for a in pol)
-                aux = dict(zip(("pol_x", "pol_y", "pol_z"), pol))
-            ckpt_writer.submit(full, pos, t_now, power=power, aux=aux)
+                aux.update(zip(("pol_x", "pol_y", "pol_z"), pol))
+            ckpt_writer.submit(full, pos, t_now, power=power,
+                               aux=aux or None)
 
     state = restore(state)
     jax.block_until_ready(state.ex)
@@ -1120,18 +1203,24 @@ def run_simulation(
     if dft is not None:
         from .dft import finalize
 
-        dft_result = finalize(dft, dft_box["acc"], steps_done,
+        # a resumed accumulator covers the WHOLE schedule (the running
+        # sums rode the checkpoint), so normalize by n, not steps_done
+        dft_result = finalize(dft, dft_box["acc"],
+                              n if resumed_dft else steps_done,
                               time_step=p.time_step)
     probe_result = None
     if probes is not None:
         from .monitors import ProbeResult
 
+        values = (np.concatenate(probe_chunks, axis=0)
+                  if probe_chunks else
+                  np.zeros((0, len(probes.cells), 6), np.float32))
         probe_result = ProbeResult(
             cells=probes.cells,
-            times=np.asarray(ts, np.float64),
-            values=(np.concatenate(probe_chunks, axis=0)
-                    if probe_chunks else
-                    np.zeros((0, len(probes.cells), 6), np.float32)),
+            # align times to the recorded rows (a resume without stored
+            # probe rows covers only the resumed tail)
+            times=np.asarray(ts, np.float64)[n - values.shape[0]:],
+            values=values,
         )
     return RunResult(state, n, wall, mcells, power, warnings,
                      dft=dft_result, probes=probe_result)

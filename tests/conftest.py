@@ -43,6 +43,7 @@ _SLOW = {
     ("test_pml.py", "test_pml_shard"),
     ("test_dispersive.py", "test_dispersive_stream_"),
     ("test_dispersive.py", "test_dispersive_sharded_"),
+    ("test_dft.py", "test_dft_stream_kernel_"),
 }
 
 

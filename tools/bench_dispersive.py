@@ -57,23 +57,37 @@ run = make_dispersive_chunk_runner_fast(p, dm, accumulate_power=sar,
 ts = np.arange(steps, dtype=np.float64) * p.time_step
 xs = scan_inputs(p, ts)
 
+# The 18+ embedded coefficient maps are ~GBs of host->device transfer
+# (minutes through the axon tunnel), so build the AdeState ONCE; the
+# donating runner passes the constant maps through unchanged, and each
+# rep rebuilds only the (tiny to build) zero fields/P from the RETURNED
+# AdeState's live coefficient buffers.
+import dataclasses
 
-def make_state():
+
+def fresh_carry(prev_ade):
     st = jax.jit(lambda: stripped_zeros(p))()
-    ade = make_ade_state(p, dm, sar)
+    z = jax.jit(lambda a: a * 0)(prev_ade.px)
+    ade = dataclasses.replace(
+        prev_ade, px=z,
+        py=jax.jit(lambda a: a * 0)(prev_ade.py),
+        pz=jax.jit(lambda a: a * 0)(prev_ade.pz),
+    )
     return jax.block_until_ready((st, ade))
 
 
 acc0 = (lambda: zero_power_acc(p)) if sar else (lambda: None)
-out, _ = run(make_state(), xs, acc0())
+carry0 = (jax.jit(lambda: stripped_zeros(p))(), make_ade_state(p, dm, sar))
+jax.block_until_ready(carry0[0])
+out, _ = run(carry0, xs, acc0())
 _ = float(np.asarray(out[0].ex.ravel()[12345]))
 
 best = float("inf")
 for rep in range(3):
     xs_u = (xs[0], xs[1] + 1e-7 * (rep + 1))
-    st = make_state()
+    carry = fresh_carry(out[1])
     t0 = time.perf_counter()
-    out, acc = run(st, xs_u, acc0())
+    out, acc = run(carry, xs_u, acc0())
     _ = float(np.asarray(out[0].ex.ravel()[12345]))
     best = min(best, time.perf_counter() - t0)
 
