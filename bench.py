@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"))
+jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
@@ -149,151 +149,205 @@ def _time_runner(n, steps, make_state, run_once, reps=3):
     return round(n**3 * steps / best / 1e6, 1)
 
 
-def composed_rows(n=256, steps=240):
-    """The composed-path figures (VERDICT r3 #5): heating (lossy+SAR),
-    the physically-correct dispersive heating chain, open boundary
-    (--pml), steady-state DFT, and the 512^3 grid — timed on the same
-    chunk runners run_simulation wires for those flags, with the same
-    tight-loop methodology as the headline (run_simulation's per-call
-    jit TRACING, ~1 s host work, would otherwise drown the fast paths).
-    Failures are recorded per row, never hidden."""
+def _row_heating(n, steps, dtype):
     import jax
 
-    from fdtd_tpu.ops.cpml import PMLConfig
+    from fdtd_tpu.runner import resolve_backend
+    from fdtd_tpu.state import water_block
+    from fdtd_tpu.step import backend_adapters, zero_power_acc
+
+    p = _bench_params(n, steps, dtype)
+    mats = water_block(p)
+    backend = resolve_backend(p, "auto", mats, True, log=lambda s: None)
+    run = make_chunk_runner(p, mats, backend=backend,
+                            accumulate_power=True)
+    prep, _ = backend_adapters(p, backend, mats)
+    xs = scan_inputs(p, np.arange(steps) * p.time_step)
+
+    def run_once(st, eps):
+        st, _acc = run(st, (xs[0], xs[1] + eps), zero_power_acc(p))
+        return st.ex
+
+    return _time_runner(
+        n, steps, lambda: jax.block_until_ready(prep(zeros(p))),
+        run_once)
+
+
+def _row_dispersive(n, steps, dtype):
+    import dataclasses as _dc
+
+    import jax
+
+    from fdtd_tpu.ops.dispersive import water_debye_load
+    from fdtd_tpu.ops.pallas_dispersive import (
+        make_ade_state,
+        make_dispersive_chunk_runner_fast,
+    )
+    from fdtd_tpu.ops.pallas_fused import stripped_zeros
+    from fdtd_tpu.step import zero_power_acc
+
+    p = _bench_params(n, steps, dtype)
+    dm = water_debye_load(p, sigma_ion25=0.3)
+    run = make_dispersive_chunk_runner_fast(p, dm, accumulate_power=True,
+                                            log=lambda s: None)
+    xs = scan_inputs(p, np.arange(steps) * p.time_step)
+    box = {"ade": make_ade_state(p, dm, True)}
+
+    def make_state():
+        ade = box["ade"]
+        ade = _dc.replace(
+            ade,
+            px=jax.jit(lambda a: a * 0)(ade.px),
+            py=jax.jit(lambda a: a * 0)(ade.py),
+            pz=jax.jit(lambda a: a * 0)(ade.pz),
+        )
+        st = jax.jit(lambda: stripped_zeros(p))()
+        return jax.block_until_ready((st, ade))
+
+    def run_once(carry, eps):
+        carry, _acc = run(carry, (xs[0], xs[1] + eps), zero_power_acc(p))
+        box["ade"] = carry[1]  # coef buffers pass through donation
+        return carry[0].ex
+
+    return _time_runner(n, steps, make_state, run_once)
+
+
+def _row_pml(n, steps, dtype):
+    import jax
+
+    from fdtd_tpu.ops.cpml import PMLConfig, init_psi
     from fdtd_tpu.ops.cpml_fast import make_pml_fast_chunk_runner
-    from fdtd_tpu.ops.cpml import init_psi
+    from fdtd_tpu.step import backend_adapters
+
+    p = _bench_params(n, steps, dtype)
+    pml = PMLConfig(cells=10)
+    run = make_pml_fast_chunk_runner(p, pml, None, False)
+    prep, _ = backend_adapters(p, "pallas_fused")
+    xs = scan_inputs(p, np.arange(steps) * p.time_step)
+
+    def make_state():
+        return jax.block_until_ready((prep(zeros(p)), init_psi(p, pml)))
+
+    def run_once(carry, eps):
+        carry, _pw = run(carry, (xs[0], xs[1] + eps), None)
+        return carry[0].ex
+
+    return _time_runner(n, steps, make_state, run_once)
+
+
+def _row_dft(n, steps, dtype):
+    import jax
+
     from fdtd_tpu.dft import DftConfig, dft_weights, zero_dft_acc
     from fdtd_tpu.ops.pallas_fused import stripped_zeros
     from fdtd_tpu.ops.pallas_stream import make_stream_dft_chunk_runner
-    from fdtd_tpu.runner import resolve_backend
-    from fdtd_tpu.state import update_coefs, water_block
-    from fdtd_tpu.step import backend_adapters, zero_power_acc
+    from fdtd_tpu.state import update_coefs
+
+    p = _bench_params(n, steps, dtype)
+    dftc = DftConfig((2.45e10,))
+    run = make_stream_dft_chunk_runner(p, update_coefs(p, None), dftc)
+    ts = np.arange(steps) * p.time_step
+    xs_t, xs_a = scan_inputs(p, ts)
+    cw, sw = dft_weights(dftc, ts)
+
+    def run_once(st, eps):
+        st, _pw, _dacc, _ = run(st, (xs_t, xs_a + eps, cw, sw), None,
+                                zero_dft_acc(p, dftc))
+        return st.ex
+
+    return _time_runner(
+        n, steps,
+        lambda: jax.block_until_ready(jax.jit(lambda: stripped_zeros(p))()),
+        run_once)
+
+
+def _row_grid512(n, steps, dtype):
+    return bench(n=512, steps=max(120, steps // 2))["value"]
+
+
+def _row_headline(n, steps, dtype):
+    # full result dict (metric/value/wall/fallback notice), not a float
+    return bench(n=n, steps=int(os.environ.get("FDTD_BENCH_STEPS", "1000")),
+                 dtype=dtype)
+
+
+# name -> (fn, dtype); each runs in its OWN subprocess, INCLUDING the
+# headline: a parent that has run anything on the device keeps a live
+# client, and two clients sharing the tunnel degrade each other 5-30x
+# (measured: heating fp32 27.6 G alone -> 0.95 G next to an idle-but-
+# attached parent) and stretch compiles past any sane row timeout
+ROW_FNS = {
+    "headline": (_row_headline, None),
+    "aux_bfloat16": (_row_headline, "bfloat16"),
+    "heating_sar_bf16": (_row_heating, "bfloat16"),
+    "heating_sar_fp32": (_row_heating, "float32"),
+    "pml10_fp32": (_row_pml, "float32"),
+    "dft_fp32": (_row_dft, "float32"),
+    "dispersive_sar_bf16": (_row_dispersive, "bfloat16"),
+    "grid512_fp32": (_row_grid512, "float32"),
+}
+
+
+def run_row(name, n, steps):
+    fn, dtype = ROW_FNS[name]
+    if dtype is None:
+        dtype = os.environ.get("FDTD_BENCH_DTYPE", "float32")
+    return fn(n, steps, dtype)
+
+
+def run_all_rows(n=256, steps=240):
+    """Every benchmark figure — the headline, the bf16 aux point, and the
+    composed-path rows (VERDICT r3 #5: heating lossy+SAR, the physically
+    correct dispersive chain, open boundary --pml, steady-state DFT,
+    512^3) — each timed on the same chunk runner run_simulation wires for
+    those flags, with the headline's tight-loop methodology, in a FRESH
+    SUBPROCESS per row (see ROW_FNS).  The parent never touches the
+    device.  Failures/skips are recorded per row, never hidden."""
+    import subprocess
 
     out = {}
-    # wall budget for the whole composed section: compiles through the
-    # remote tunnel are slow, and a driver-killed bench that never prints
-    # is worse than one with a few rows marked skipped
-    budget_s = float(os.environ.get("FDTD_BENCH_BUDGET_S", "900"))
+    # wall budget for the composed section: compiles through the remote
+    # tunnel are slow, and a driver-killed bench that never prints is
+    # worse than one with a few rows marked skipped.  The headline and
+    # aux rows are exempt — they are the driver's primary artifact.
+    budget_s = float(os.environ.get("FDTD_BENCH_BUDGET_S", "1500"))
     t_start = time.time()
-
-    def row(name, fn):
-        if time.time() - t_start > budget_s:
+    for name in ROW_FNS:
+        primary = name in ("headline", "aux_bfloat16")
+        left = budget_s - (time.time() - t_start)
+        if not primary and left < 60:
             out[name + "_error"] = "skipped: composed-bench budget spent"
-            return
+            continue
         try:
-            out[name + "_mcells_per_s"] = fn()
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--row", name,
+                 str(n), str(steps)],
+                capture_output=True, text=True,
+                timeout=900 if primary else min(left, 720),
+            )
+            last = (proc.stdout.strip().splitlines() or [""])[-1]
+            if proc.returncode == 0 and last:
+                val = json.loads(last)
+                if name == "headline":
+                    out.update(val)
+                elif name == "aux_bfloat16":
+                    out["aux_bfloat16_mcells_per_s"] = val["value"]
+                    if "bench_error" in val:
+                        out["aux_error"] = val["bench_error"]
+                else:
+                    out[name + "_mcells_per_s"] = val
+            else:
+                out[name + "_error"] = (proc.stderr or proc.stdout
+                                        ).strip()[-200:]
+        except subprocess.TimeoutExpired:
+            out[name + "_error"] = "row subprocess timed out"
         except Exception as e:  # record, don't hide
             out[name + "_error"] = f"{type(e).__name__}: {e}"
-
-    def heating(dtype):
-        def fn():
-            p = _bench_params(n, steps, dtype)
-            mats = water_block(p)
-            backend = resolve_backend(p, "auto", mats, True,
-                                      log=lambda s: None)
-            run = make_chunk_runner(p, mats, backend=backend,
-                                    accumulate_power=True)
-            prep, _ = backend_adapters(p, backend, mats)
-            xs = scan_inputs(p, np.arange(steps) * p.time_step)
-
-            def run_once(st, eps):
-                st, _acc = run(st, (xs[0], xs[1] + eps), zero_power_acc(p))
-                return st.ex
-
-            return _time_runner(
-                n, steps, lambda: jax.block_until_ready(prep(zeros(p))),
-                run_once)
-
-        return fn
-
-    row("heating_sar_bf16", heating("bfloat16"))
-    row("heating_sar_fp32", heating("float32"))
-
-    def dispersive_row():
-        from fdtd_tpu.ops.dispersive import water_debye_load
-        from fdtd_tpu.ops.pallas_dispersive import (
-            make_ade_state,
-            make_dispersive_chunk_runner_fast,
-        )
-
-        p = _bench_params(n, steps, "bfloat16")
-        dm = water_debye_load(p, sigma_ion25=0.3)
-        run = make_dispersive_chunk_runner_fast(p, dm,
-                                                accumulate_power=True,
-                                                log=lambda s: None)
-        xs = scan_inputs(p, np.arange(steps) * p.time_step)
-        box = {"ade": make_ade_state(p, dm, True)}
-
-        def make_state():
-            import dataclasses as _dc
-
-            ade = box["ade"]
-            ade = _dc.replace(
-                ade,
-                px=jax.jit(lambda a: a * 0)(ade.px),
-                py=jax.jit(lambda a: a * 0)(ade.py),
-                pz=jax.jit(lambda a: a * 0)(ade.pz),
-            )
-            st = jax.jit(lambda: stripped_zeros(p))()
-            return jax.block_until_ready((st, ade))
-
-        def run_once(carry, eps):
-            carry, _acc = run(carry, (xs[0], xs[1] + eps),
-                              zero_power_acc(p))
-            box["ade"] = carry[1]  # coef buffers pass through donation
-            return carry[0].ex
-
-        return _time_runner(n, steps, make_state, run_once)
-
-    def pml_row():
-        p = _bench_params(n, steps, "float32")
-        pml = PMLConfig(cells=10)
-        run = make_pml_fast_chunk_runner(p, pml, None, False)
-        prep, _ = backend_adapters(p, "pallas_fused")
-        xs = scan_inputs(p, np.arange(steps) * p.time_step)
-
-        def make_state():
-            return jax.block_until_ready(
-                (prep(zeros(p)), init_psi(p, pml)))
-
-        def run_once(carry, eps):
-            carry, _pw = run(carry, (xs[0], xs[1] + eps), None)
-            return carry[0].ex
-
-        return _time_runner(n, steps, make_state, run_once)
-
-    row("pml10_fp32", pml_row)
-
-    def dft_row():
-        p = _bench_params(n, steps, "float32")
-        dftc = DftConfig((2.45e10,))
-        run = make_stream_dft_chunk_runner(p, update_coefs(p, None), dftc)
-        ts = np.arange(steps) * p.time_step
-        xs_t, xs_a = scan_inputs(p, ts)
-        cw, sw = dft_weights(dftc, ts)
-
-        def run_once(st, eps):
-            st, _pw, _dacc, _ = run(st, (xs_t, xs_a + eps, cw, sw), None,
-                                    zero_dft_acc(p, dftc))
-            return st.ex
-
-        return _time_runner(
-            n, steps,
-            lambda: jax.block_until_ready(
-                jax.jit(lambda: stripped_zeros(p))()),
-            run_once)
-
-    row("dft_fp32", dft_row)
-
-    row("dispersive_sar_bf16", dispersive_row)
-
-    try:
-        r512 = bench(n=512, steps=max(120, steps // 2))
-        out["grid512_fp32_mcells_per_s"] = r512["value"]
-        if "bench_error" in r512:
-            out["grid512_fp32_error"] = r512["bench_error"]
-    except Exception as e:
-        out["grid512_fp32_error"] = f"{type(e).__name__}: {e}"
+    if "metric" not in out:  # headline row died: still emit the schema
+        out.setdefault("metric", "yee_mcells_per_s_256cubed")
+        out.setdefault("value", None)
+        out.setdefault("unit", "Mcells/s")
+        out.setdefault("vs_baseline", None)
     return out
 
 
@@ -337,23 +391,32 @@ def _probe_device(attempts=3, timeout_s=120):
 
 
 if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--row":
+        # row subprocess mode: print ONE JSON line (float or result dict)
+        name = sys.argv[2]
+        n_r = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+        steps_r = int(sys.argv[4]) if len(sys.argv) > 4 else 240
+        print(json.dumps(run_row(name, n_r, steps_r)))
+        sys.exit(0)
     _probe_device()
     n = int(os.environ.get("FDTD_BENCH_N", "256"))
-    steps = int(os.environ.get("FDTD_BENCH_STEPS", "1000"))
-    dtype = os.environ.get("FDTD_BENCH_DTYPE", "float32")
-    result = bench(n=n, steps=steps, dtype=dtype)
-    # secondary data point: bf16 storage (fp32 in-kernel compute) — the
-    # serving-precision figure; headline metric stays fp32 for a like-for-
-    # like accuracy story vs the fp64 C reference
-    aux = os.environ.get("FDTD_BENCH_AUX", "bfloat16")
-    if aux and aux != dtype:
-        try:
-            r2 = bench(n=n, steps=steps, dtype=aux)
-            result[f"aux_{aux}_mcells_per_s"] = r2["value"]
-        except Exception as e:  # record, don't hide (ADVICE r2)
-            result["aux_error"] = f"{type(e).__name__}: {e}"
-    # composed-path rows (heating/PML/DFT/512^3) — VERDICT r3 #5; skip
-    # with FDTD_BENCH_COMPOSED=0 for a headline-only quick run
     if os.environ.get("FDTD_BENCH_COMPOSED", "1") != "0":
-        result.update(composed_rows(n=n))
+        # full artifact: every row (headline included) in its own
+        # subprocess so each gets the device to itself — see ROW_FNS
+        result = run_all_rows(n=n)
+    else:
+        # headline-only quick run, in-process
+        steps = int(os.environ.get("FDTD_BENCH_STEPS", "1000"))
+        dtype = os.environ.get("FDTD_BENCH_DTYPE", "float32")
+        result = bench(n=n, steps=steps, dtype=dtype)
+        # secondary data point: bf16 storage (fp32 in-kernel compute) —
+        # the serving-precision figure; headline metric stays fp32 for a
+        # like-for-like accuracy story vs the fp64 C reference
+        aux = os.environ.get("FDTD_BENCH_AUX", "bfloat16")
+        if aux and aux != dtype:
+            try:
+                r2 = bench(n=n, steps=steps, dtype=aux)
+                result[f"aux_{aux}_mcells_per_s"] = r2["value"]
+            except Exception as e:  # record, don't hide (ADVICE r2)
+                result["aux_error"] = f"{type(e).__name__}: {e}"
     print(json.dumps(result))
