@@ -136,15 +136,20 @@ def _time_runner(n, steps, make_state, run_once, reps=3):
     """bench()'s methodology for an arbitrary chunk runner: compile +
     warm once, then the best of ``reps`` runs with fresh donated states
     and per-rep-unique drive values (a remote-tunnel result cache cannot
-    serve a repeat), each forced through a device->host read."""
+    serve a repeat), each forced through a device->host read.
+
+    The read must ravel/index ON DEVICE and transfer one element — an
+    ``np.asarray(out)`` of the full field costs 33-67 MB through the
+    remote tunnel (~1 s), which at 240-step rows misreported the 33.6 G
+    heating kernel as 4.1 G."""
     out = run_once(make_state(), 0.0)
-    _ = float(np.asarray(out).ravel()[12345])
+    _ = float(np.asarray(out.ravel()[12345]))
     best = float("inf")
     for rep in range(reps):
         st = make_state()
         t0 = time.perf_counter()
         out = run_once(st, 1e-7 * (rep + 1))
-        _ = float(np.asarray(out).ravel()[12345])
+        _ = float(np.asarray(out.ravel()[12345]))
         best = min(best, time.perf_counter() - t0)
     return round(n**3 * steps / best / 1e6, 1)
 
@@ -295,7 +300,7 @@ def run_row(name, n, steps):
     return fn(n, steps, dtype)
 
 
-def run_all_rows(n=256, steps=240):
+def run_all_rows(n=256, steps=600):
     """Every benchmark figure — the headline, the bf16 aux point, and the
     composed-path rows (VERDICT r3 #5: heating lossy+SAR, the physically
     correct dispersive chain, open boundary --pml, steady-state DFT,
@@ -395,7 +400,7 @@ if __name__ == "__main__":
         # row subprocess mode: print ONE JSON line (float or result dict)
         name = sys.argv[2]
         n_r = int(sys.argv[3]) if len(sys.argv) > 3 else 256
-        steps_r = int(sys.argv[4]) if len(sys.argv) > 4 else 240
+        steps_r = int(sys.argv[4]) if len(sys.argv) > 4 else 600
         print(json.dumps(run_row(name, n_r, steps_r)))
         sys.exit(0)
     _probe_device()

@@ -120,6 +120,27 @@ def fast_pml_supported(p: Params, cfg: PMLConfig,
     return slab_factor_constants(p, cfg, coefs) is not None
 
 
+def _slab_add(arr, ks, js, is_, val, dt):
+    """``arr[ks, js, is_] += val`` via slice + add + dynamic_update_slice.
+
+    A static-slice ``.at[].add`` lowers to an XLA *scatter* at the HLO
+    level; the explicit slice/add/DUS form keeps the identical
+    per-element arithmetic (same values, same dtype, same add order —
+    bit-equal) and lowers to copies.  Measured on v5e at 256^3: this
+    rewrite did NOT move the composition rate (1.31 G before and after)
+    — the real tax is tile-granularity RMW on the minor-axis slabs (a
+    10-lane i-slab slice touches full (8, 128) tiles, ~13x traffic
+    inflation, and the first update per target copies the whole field)
+    — so the shipped fast path applies the corrections *inside* the
+    two-pass kernels (:mod:`fdtd_tpu.ops.cpml_kernel`) where the field
+    tiles are already in VMEM.  This XLA form remains the fallback
+    composition for the sharded path and the correctness oracle."""
+    cur = lax.slice(arr, (ks.start, js.start, is_.start),
+                    (ks.stop, js.stop, is_.stop))
+    return lax.dynamic_update_slice(
+        arr, (cur + val).astype(dt), (ks.start, js.start, is_.start))
+
+
 def _sget(p: Params, bulks: dict, st: StrippedState, name, sl):
     """Read the canonical slice ``sl`` from the stripped layout.
 
@@ -195,14 +216,17 @@ def make_stripped_cpml_corrections(p: Params, cfg: PMLConfig,
                 ksl = slice(ks.start + D, ks.stop + D)
                 val = (sign * f * part).astype(dt)
                 if is_.stop <= I:
-                    fields[target] = fields[target].at[ksl, js, is_].add(val)
+                    fields[target] = _slab_add(
+                        fields[target], ksl, js, is_, val, dt)
                 else:
                     # the target slab spans the i = maxi strip column (Hx)
                     w = I - is_.start
-                    fields[target] = fields[target].at[
-                        ksl, js, is_.start : I
-                    ].add(val[:, :, :w])
-                    hx_s = hx_s.at[ksl, js, :].add(val[:, :, w:])
+                    fields[target] = _slab_add(
+                        fields[target], ksl, js, slice(is_.start, I),
+                        val[:, :, :w], dt)
+                    hx_s = _slab_add(hx_s, ksl, js,
+                                     slice(0, hx_s.shape[2]),
+                                     val[:, :, w:], dt)
         return (
             dataclasses.replace(st, hx_s=hx_s, **fields),
             dataclasses.replace(psi, **ups),

@@ -68,6 +68,11 @@ from .pallas_temporal import (
 
 TS = 8  # steps per sweep == tile rows (output lands exactly one block back)
 
+# perf-probe ONLY (tools/probe_stream_vpu.py): skip every update mask in
+# the vacuum level body to measure the mask share of the VPU budget.
+# WRONG numerics (padding/PEC rows corrupt) — never set outside the probe.
+_PROBE_UNMASKED = False
+
 
 def stream_vmem_estimate(p: Params, s: int = TS, lossy: bool = False,
                          sar: bool = False, nj: int = 1,
@@ -461,23 +466,28 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
                 inc_hz = jnp.concatenate(
                     [inc_hz[:, :, : Ib - W],
                      inc_hz[:, :, Ib - W :] + chz_w[c0 : c0 + tk]], axis=2)
-        if patch is not None:
-            # exclusion only on the k == 0 plane (QUIRKS #4 semantics)
-            not_p = ~((kv == 0) & mrow[None])
-            m_hx = k_lt_K & jm_j & not_p
-            m_hz = (kv < K + 1) & jm_j & not_p
-        else:
-            m_hx = k_lt_K & jm_j
-            m_hz = (kv < K + 1) & jm_j
-        m_hy = jnp.broadcast_to(k_lt_K, hx_p.shape)
         if het:
             co2 = slice(s - m, s - m + tk)  # this level's H rows
             fhx, fhy, fhz = hfxw[co2], hfyw[co2], hfzw[co2]
         else:
             fhx = fhy = fhz = f_h
-        hx_n = jnp.where(m_hx, hx_p + fhx * inc_hx, hx_p)
-        hy_n = jnp.where(m_hy, hy_p + fhy * inc_hy, hy_p)
-        hz_n = jnp.where(m_hz, hz_p + fhz * inc_hz, hz_p)
+        if _PROBE_UNMASKED and not lossy and not sar and not dft_nf:
+            hx_n = hx_p + fhx * inc_hx
+            hy_n = hy_p + fhy * inc_hy
+            hz_n = hz_p + fhz * inc_hz
+        else:
+            if patch is not None:
+                # exclusion only on the k == 0 plane (QUIRKS #4 semantics)
+                not_p = ~((kv == 0) & mrow[None])
+                m_hx = k_lt_K & jm_j & not_p
+                m_hz = (kv < K + 1) & jm_j & not_p
+            else:
+                m_hx = k_lt_K & jm_j
+                m_hz = (kv < K + 1) & jm_j
+            m_hy = jnp.broadcast_to(k_lt_K, hx_p.shape)
+            hx_n = jnp.where(m_hx, hx_p + fhx * inc_hx, hx_p)
+            hy_n = jnp.where(m_hy, hy_p + fhy * inc_hy, hy_p)
+            hz_n = jnp.where(m_hz, hz_p + fhz * inc_hz, hz_p)
 
         # ---- E^m on the same rows (needs own-level H tail at o_m - 1) ----
         hx_x = jnp.concatenate([t_hx[m][None], hx_n], axis=0)
@@ -490,13 +500,20 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
         hz_mx = jnp.roll(hz0, 1, axis=2)
         hy_mx = jnp.roll(hy0, 1, axis=2)
         hx_my = jnp.roll(hx0, 1, axis=1)
+        curl_x = (hz0 - hz_my) - (hy0 - hy_m1)
+        curl_y = (hx0 - hx_m1) - (hz0 - hz_mx)
+        curl_z = (hy0 - hy_mx) - (hx0 - hx_my)
+        if _PROBE_UNMASKED and not lossy and not sar and not dft_nf:
+            ex_n = ex_e[:tk] + f_e * curl_x
+            ey_n = ey_e[:tk] + f_e * curl_y
+            ez_n = ez_e[:tk] + f_e * curl_z
+            cur_ex, cur_ey, cur_ez = ex_n, ey_n, ez_n
+            cur_hx, cur_hy, cur_hz = hx_n, hy_n, hz_n
+            continue
         k_in = (kv >= 1) & k_lt_K
         m_ex = k_in & jm_ex
         m_ey = k_in & jm_ey
         m_ez = k_lt_K & jm_ez
-        curl_x = (hz0 - hz_my) - (hy0 - hy_m1)
-        curl_y = (hx0 - hx_m1) - (hz0 - hz_mx)
-        curl_z = (hy0 - hy_mx) - (hx0 - hx_my)
         if lossy:
             co = slice(s - m, s - m + tk)  # this level's rows in the window
             ex_n = jnp.where(m_ex, caxw[co] * ex_e[:tk] + cbxw[co] * curl_x,
