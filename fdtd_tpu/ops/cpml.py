@@ -127,20 +127,24 @@ def _profile(pos: np.ndarray, extent: int, p: Params, cfg: PMLConfig):
 
 # The 12 correction terms: (name, target, sign, pml_axis, src, e_pass).
 # H terms difference src at +1 along the pml axis; E terms at -1.  Per
-# target the +axis term precedes the -axis term — the sharded
-# composition (parallel/sharded_step.py) applies its adds in the same
-# order so corner cells round identically.
+# target the j/i-axis terms precede the k-axis term — every path (xla,
+# sharded psi12, the Pallas compositions) applies its adds in _TERMS
+# order so corner cells round identically, and the in-kernel tier
+# (ops/cpml_kernel.py) applies j/i corrections inside the two-pass
+# kernels with the k corrections after, which only matches this order.
+# (Where a target has two non-k terms, the +axis term keeps its
+# original precedence over the -axis term.)
 _TERMS = (
-    ("hx_z", "hx", +1, 0, "ey", False),
     ("hx_y", "hx", -1, 1, "ez", False),
+    ("hx_z", "hx", +1, 0, "ey", False),
     ("hy_x", "hy", +1, 2, "ez", False),
     ("hy_z", "hy", -1, 0, "ex", False),
     ("hz_y", "hz", +1, 1, "ex", False),
     ("hz_x", "hz", -1, 2, "ey", False),
     ("ex_y", "ex", +1, 1, "hz", True),
     ("ex_z", "ex", -1, 0, "hy", True),
-    ("ey_z", "ey", +1, 0, "hx", True),
     ("ey_x", "ey", -1, 2, "hz", True),
+    ("ey_z", "ey", +1, 0, "hx", True),
     ("ez_x", "ez", +1, 2, "hy", True),
     ("ez_y", "ez", -1, 1, "hx", True),
 )

@@ -536,8 +536,28 @@ def make_sharded_pml_fast_step(p: Params, mesh: Mesh, cfg: PMLConfig,
     )
 
     def strip_correct(st, psi_sz, psi_sy):
-        """hx_z / hx_y on the i=maxi Hx strip (replicated canonical)."""
+        """hx_y then hx_z on the i=maxi Hx strip (replicated canonical) —
+        the per-target ``_TERMS`` add order (j/i term before the k term)."""
         hx_s = st.hx_s
+        # hx_y: diff along j from the frozen Ez strip
+        sign, _axis, lo_sl, hi_sl, b, c = strip_terms["hx_y"]
+        ez2 = st.ez_s[:, :, :1]
+
+        def jwin(sl, d):
+            j0, j1 = sl[1].start + d, sl[1].stop + d
+            return ez2[D : D + K, j0:j1]
+
+        diff = jnp.concatenate(
+            [jwin(lo_sl, 1) - jwin(lo_sl, 0),
+             jwin(hi_sl, 1) - jwin(hi_sl, 0)], axis=1)
+        psi_sy = b * psi_sy + c * diff
+        f = fac["hx_y"]
+        for sl, part in zip(
+            (lo_sl, hi_sl),
+            (psi_sy[:, :npml], psi_sy[:, npml:]),
+        ):
+            hx_s = hx_s.at[D : D + K, sl[1]].add(
+                (sign * f * part).astype(dtype))
         # hx_z: diff along k from the frozen Ey strip
         sign, _axis, lo_sl, hi_sl, b, c = strip_terms["hx_z"]
         ey2 = st.ey_s[:, :, :1]
@@ -558,25 +578,6 @@ def make_sharded_pml_fast_step(p: Params, mesh: Mesh, cfg: PMLConfig,
             hx_s = hx_s.at[
                 sl[0].start + D : sl[0].stop + D, :J
             ].add((sign * f * part).astype(dtype))
-        # hx_y: diff along j from the frozen Ez strip
-        sign, _axis, lo_sl, hi_sl, b, c = strip_terms["hx_y"]
-        ez2 = st.ez_s[:, :, :1]
-
-        def jwin(sl, d):
-            j0, j1 = sl[1].start + d, sl[1].stop + d
-            return ez2[D : D + K, j0:j1]
-
-        diff = jnp.concatenate(
-            [jwin(lo_sl, 1) - jwin(lo_sl, 0),
-             jwin(hi_sl, 1) - jwin(hi_sl, 0)], axis=1)
-        psi_sy = b * psi_sy + c * diff
-        f = fac["hx_y"]
-        for sl, part in zip(
-            (lo_sl, hi_sl),
-            (psi_sy[:, :npml], psi_sy[:, npml:]),
-        ):
-            hx_s = hx_s.at[D : D + K, sl[1]].add(
-                (sign * f * part).astype(dtype))
         return hx_s, psi_sz, psi_sy
 
     def step(carry, x):

@@ -267,19 +267,20 @@ def make_sharded_step(p: Params, mesh: Mesh, materials=None, pml=None,
             # CPML H-pass correction (same additive kappa=1 form and
             # ordering as ops.cpml.h_correct: psi from the exact same
             # differences, f*psi added over the same component regions)
-            p_hx_z, p_hx_y, p_hy_x, p_hy_z, p_hz_y, p_hz_x = psi12[:6]
-            p_hx_z = bz_h * p_hx_z + cz_h * (ey_pz - ey)
+            p_hx_y, p_hx_z, p_hy_x, p_hy_z, p_hz_y, p_hz_x = psi12[:6]
             p_hx_y = by_h * p_hx_y + cy_h * (ez_py - ez)
+            p_hx_z = bz_h * p_hx_z + cz_h * (ey_pz - ey)
             p_hy_x = bx_h * p_hy_x + cx_h * (ez_px - ez)
             p_hy_z = bz_h * p_hy_z + cz_h * (ex_pz - ex)
             p_hz_y = by_h * p_hz_y + cy_h * (ex_py - ex)
             p_hz_x = bx_h * p_hz_x + cx_h * (ey_px - ey)
-            # two sequential adds per component (+axis term first), the
-            # exact rounding order of the slab-restricted single-chip
-            # path (ops.cpml._TERMS) — outside the slabs psi == 0 and
-            # x + f*0 is exact, so non-slab cells are bit-untouched
-            hx = jnp.where(m_hx, hx + fhx * p_hx_z, hx)
+            # two sequential adds per component (j/i-axis term first),
+            # the exact rounding order of the slab-restricted
+            # single-chip path (ops.cpml._TERMS) — outside the slabs
+            # psi == 0 and x + f*0 is exact, so non-slab cells are
+            # bit-untouched
             hx = jnp.where(m_hx, hx - fhx * p_hx_y, hx)
+            hx = jnp.where(m_hx, hx + fhx * p_hx_z, hx)
             hy = jnp.where(m_hy, hy + fhy * p_hy_x, hy)
             hy = jnp.where(m_hy, hy - fhy * p_hy_z, hy)
             hz = jnp.where(m_hz, hz + fhz * p_hz_y, hz)
@@ -314,11 +315,11 @@ def make_sharded_step(p: Params, mesh: Mesh, materials=None, pml=None,
         if pml is not None:
             # CPML E-pass correction (ops.cpml.e_correct): psi from the
             # post-H-update differences, cb*psi added under the E masks
-            p_ex_y, p_ex_z, p_ey_z, p_ey_x, p_ez_x, p_ez_y = psi12[6:]
+            p_ex_y, p_ex_z, p_ey_x, p_ey_z, p_ez_x, p_ez_y = psi12[6:]
             p_ex_y = by_e * p_ex_y + cy_e * (hz - hz_my)
             p_ex_z = bz_e * p_ex_z + cz_e * (hy - hy_mz)
-            p_ey_z = bz_e * p_ey_z + cz_e * (hx - hx_mz)
             p_ey_x = bx_e * p_ey_x + cx_e * (hz - hz_mx)
+            p_ey_z = bz_e * p_ey_z + cz_e * (hx - hx_mz)
             p_ez_x = bx_e * p_ez_x + cx_e * (hy - hy_mx)
             p_ez_y = by_e * p_ez_y + cy_e * (hx - hx_my)
             gx_cb = cbx if lossy else f_e
@@ -327,8 +328,8 @@ def make_sharded_step(p: Params, mesh: Mesh, materials=None, pml=None,
             # same sequential-add rounding order as ops.cpml._TERMS
             ex = jnp.where(m_ex, ex + gx_cb * p_ex_y, ex)
             ex = jnp.where(m_ex, ex - gx_cb * p_ex_z, ex)
-            ey = jnp.where(m_ey, ey + gy_cb * p_ey_z, ey)
             ey = jnp.where(m_ey, ey - gy_cb * p_ey_x, ey)
+            ey = jnp.where(m_ey, ey + gy_cb * p_ey_z, ey)
             ez = jnp.where(m_ez, ez + gz_cb * p_ez_x, ez)
             ez = jnp.where(m_ez, ez - gz_cb * p_ez_y, ez)
 
@@ -351,8 +352,8 @@ def make_sharded_step(p: Params, mesh: Mesh, materials=None, pml=None,
 
         out = [ex, ey, ez, hx, hy, hz]
         if pml is not None:
-            out += [p_hx_z, p_hx_y, p_hy_x, p_hy_z, p_hz_y, p_hz_x,
-                    p_ex_y, p_ex_z, p_ey_z, p_ey_x, p_ez_x, p_ez_y]
+            out += [p_hx_y, p_hx_z, p_hy_x, p_hy_z, p_hz_y, p_hz_x,
+                    p_ex_y, p_ex_z, p_ey_x, p_ey_z, p_ez_x, p_ez_y]
         if accumulate_power:
             out.append(acc)
         return tuple(out) if len(out) > 6 else (ex, ey, ez, hx, hy, hz)
