@@ -17,8 +17,14 @@ so the bf16 residual is VPU, and the question is *which* VPU work:
    DOUBLES vs s=8.  If the s=8 rate is ~the s=4 rate, DMA is not the
    binding resource at s=8 (VPU is); if s=8 is ~2x s=4, it's DMA-bound.
 
-Usage: python tools/probe_stream_vpu.py [n] (default 256; vacuum
-computation mode, the aux-bf16 headline config)
+Usage: python tools/probe_stream_vpu.py [n] [row-substring] (default
+256, all rows; vacuum computation mode, the aux-bf16 headline config).
+Pass a row-substring to run a single row — shared tunnel clients
+degrade multi-row processes (see bench.py), so clean absolute numbers
+come from one row per process:
+
+    for r in "base bf16 s=8" "unmasked bf16 s=8" "base bf16 s=4"; do
+        python tools/probe_stream_vpu.py 256 "$r"; done
 """
 
 import os
@@ -78,6 +84,7 @@ def rate(n, steps, dtype, s=None, unmasked=False):
 
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    sel = sys.argv[2] if len(sys.argv) > 2 else None
     steps = 240
     bpc = {"bfloat16": 6, "float32": 12}  # in-place B/cell/step at s=8
     for name, kw in (
@@ -88,6 +95,8 @@ def main():
         ("base fp32 s=8", dict(dtype="float32")),
         ("unmasked fp32 s=8", dict(dtype="float32", unmasked=True)),
     ):
+        if sel is not None and sel not in name:
+            continue
         try:
             g = rate(n, steps, **kw)
             scale = 2 if kw.get("s") == 4 else 1
