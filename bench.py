@@ -218,20 +218,26 @@ def _row_dispersive(n, steps, dtype):
 
 
 def _row_pml(n, steps, dtype):
+    """The --pml default composition: the in-kernel psi tier (r5,
+    ops/cpml_kernel.py) — what run_simulation dispatches for
+    backend=auto on TPU."""
     import jax
 
-    from fdtd_tpu.ops.cpml import PMLConfig, init_psi
-    from fdtd_tpu.ops.cpml_fast import make_pml_fast_chunk_runner
+    from fdtd_tpu.ops.cpml import PMLConfig
+    from fdtd_tpu.ops.cpml_kernel import (
+        make_pml_kernel_chunk_runner,
+        pack_psi,
+    )
     from fdtd_tpu.step import backend_adapters
 
     p = _bench_params(n, steps, dtype)
     pml = PMLConfig(cells=10)
-    run = make_pml_fast_chunk_runner(p, pml, None, False)
+    run = make_pml_kernel_chunk_runner(p, pml, None, False)
     prep, _ = backend_adapters(p, "pallas_fused")
     xs = scan_inputs(p, np.arange(steps) * p.time_step)
 
     def make_state():
-        return jax.block_until_ready((prep(zeros(p)), init_psi(p, pml)))
+        return jax.block_until_ready((prep(zeros(p)), pack_psi(p, pml, None)))
 
     def run_once(carry, eps):
         carry, _pw = run(carry, (xs[0], xs[1] + eps), None)
@@ -287,8 +293,10 @@ ROW_FNS = {
     "heating_sar_bf16": (_row_heating, "bfloat16"),
     "heating_sar_fp32": (_row_heating, "float32"),
     "pml10_fp32": (_row_pml, "float32"),
+    "pml10_bf16": (_row_pml, "bfloat16"),
     "dft_fp32": (_row_dft, "float32"),
     "dispersive_sar_bf16": (_row_dispersive, "bfloat16"),
+    "dispersive_sar_fp32": (_row_dispersive, "float32"),
     "grid512_fp32": (_row_grid512, "float32"),
 }
 

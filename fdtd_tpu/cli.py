@@ -153,7 +153,7 @@ def _parse_load_center(args) -> tuple:
     return (cx, cy)
 
 
-def _run_coupled_cli(args, p, load_mask=None) -> int:
+def _run_coupled_cli(args, p, load_mask=None, dft_cfg=None) -> int:
     """--coupled N: the two-way EM <-> thermal driver (fdtd_tpu/coupled.py)."""
     import json
     import os
@@ -220,6 +220,29 @@ def _run_coupled_cli(args, p, load_mask=None) -> int:
             write_vtr(os.path.join(args.out, f"temperature_{it:02d}.vtr"),
                       coords, variables)
 
+    on_interval_dft = None
+    if dft_cfg is not None and not args.no_output:
+        os.makedirs(args.out, exist_ok=True)
+        coords_d = grid.node_coords(p)
+
+        def on_interval_dft(it, dres, sigma_cells, theta):
+            # per-interval phasor maps (r5, VERDICT r4 #7): how the
+            # steady-state pattern shifts as the load heats — load
+            # dft_iNN_MM.vtr as a time series next to temperature_NN.vtr
+            comps = ("ex", "ey", "ez", "hx", "hy", "hz")
+            for fi, f in enumerate(dft_cfg.frequencies):
+                variables = {"e_mag": dres.magnitude(fi),
+                             "cw_power_w_m3": dres.cw_power(sigma_cells,
+                                                            fi)}
+                for ci in range(dres.phasors.shape[1]):
+                    ph = dres.phasors[fi, ci]
+                    variables[f"{comps[ci]}_re"] = np.real(ph)
+                    variables[f"{comps[ci]}_im"] = np.imag(ph)
+                write_vtr(
+                    os.path.join(args.out, f"dft_i{it:02d}_{fi:02d}.vtr"),
+                    coords_d, variables,
+                )
+
     try:
         res = run_coupled(
             p,
@@ -237,6 +260,8 @@ def _run_coupled_cli(args, p, load_mask=None) -> int:
             pml=_pml_config(args.pml),
             out_dir=args.out,
             on_interval=on_interval,
+            dft=dft_cfg,
+            on_interval_dft=on_interval_dft,
             # --checkpoint-every under --coupled means interval-level
             # checkpointing (any N > 0): each EM interval restarts from a
             # zero field, so there is no meaningful intra-interval state
@@ -425,12 +450,13 @@ def main(argv=None) -> int:
             return 1
 
     if args.coupled:
-        if dft_cfg is not None or probe_set is not None:
-            print("error: --dft/--probe do not compose with --coupled "
-                  "(run the diagnostics on a fixed-material run)",
-                  file=sys.stderr)
+        if probe_set is not None:
+            print("error: --probe does not compose with --coupled "
+                  "(per-step probe series mix the intervals' different "
+                  "dielectric problems; run probes on a fixed-material "
+                  "run)", file=sys.stderr)
             return 1
-        return _run_coupled_cli(args, p, load_mask)
+        return _run_coupled_cli(args, p, load_mask, dft_cfg=dft_cfg)
 
     print("Initializing fields")
     if p.mode == Mode.VALIDATION:

@@ -180,6 +180,8 @@ def run_coupled(
     out_dir: str = "r",
     log: Callable[[str], None] = print,
     on_interval: Callable | None = None,
+    dft=None,
+    on_interval_dft: Callable | None = None,
     geometry=None,
     rpm: float = 0.0,
     axis_center: tuple[float, float] = (0.5, 0.5),
@@ -212,6 +214,23 @@ def run_coupled(
     load's CO-ROTATING MATERIAL frame (heat integrates there); rotate
     by ``theta`` via :func:`fdtd_tpu.turntable.rotate_field` to get the
     lab-frame map comparable with lab-frame SAR/DFT fields.
+
+    ``dft`` (r5, VERDICT r4 #7): a :class:`~fdtd_tpu.dft.DftConfig`
+    adds per-interval phasor extraction to every EM solve — how the
+    steady-state hot-spot pattern shifts as the load heats.  The
+    accumulators reset each interval by construction (each interval's
+    dielectrics differ, so cross-interval sums would mix normalizations
+    of different physical problems).  Each interval's summary gains
+    ``cw_absorbed_w``: the cycle-averaged CW power the phasors predict,
+    sum(1/2 sigma |E_hat|^2) dx^3 per frequency — at the drive
+    frequency this converges to ``raw_absorbed_w`` (the SAR integral
+    rate) as the interval reaches steady state, an energy-consistency
+    check between the frequency- and time-domain accounts.
+    ``on_interval_dft(it, dft_result, sigma_cells, theta)`` is called
+    after each interval's EM solve with the finalized
+    :class:`~fdtd_tpu.dft.DftResult` and the interval's lab-frame
+    conductivity map (for 1/2 sigma |E|^2 maps) — e.g. to write
+    per-interval phasor ``.vtr`` files.
 
     ``geometry``/``rpm``/``axis_center``: turntable rotation.  With a
     :class:`~fdtd_tpu.turntable.LoadGeometry` and ``rpm`` != 0, each
@@ -311,6 +330,7 @@ def run_coupled(
             accumulate_power=True,
             shard=shard,
             pml=pml,
+            dft=dft,
             log=log,
         )
         t_em = res.iterations * p.time_step
@@ -355,6 +375,17 @@ def run_coupled(
                 "thermal_steps": tr.steps,
             }
         )
+        if dft is not None and res.dft is not None:
+            # the energy-consistency number: CW power predicted by this
+            # interval's phasors vs raw_absorbed_w (the SAR rate) — they
+            # converge as the interval reaches CW steady state
+            summaries[-1]["cw_absorbed_w"] = [
+                float(res.dft.cw_power(mats.sigma, fi).sum())
+                * p.spatial_step**3
+                for fi in range(len(dft.frequencies))
+            ]
+            if on_interval_dft is not None:
+                on_interval_dft(it, res.dft, mats.sigma, theta)
         if checkpoint:
             _save_coupled_ckpt(out_dir, R, it + 1, summaries)
         if on_interval is not None:

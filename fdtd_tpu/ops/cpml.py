@@ -134,6 +134,11 @@ def _profile(pos: np.ndarray, extent: int, p: Params, cfg: PMLConfig):
 # kernels with the k corrections after, which only matches this order.
 # (Where a target has two non-k terms, the +axis term keeps its
 # original precedence over the -axis term.)
+# Compat note (r5 reorder): moving the j/i adds ahead of the k add
+# changes corner-cell ROUNDING vs pre-r5 builds — a checkpoint written
+# by an older build resumes fine (psi is name-keyed, layout unchanged)
+# but is no longer bit-equal to that build's uninterrupted run; within
+# one build, resume stays bit-exact (pinned in test_pml).
 _TERMS = (
     ("hx_y", "hx", -1, 1, "ez", False),
     ("hx_z", "hx", +1, 0, "ey", False),

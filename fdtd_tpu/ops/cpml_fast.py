@@ -164,13 +164,20 @@ def _sget(p: Params, bulks: dict, st: StrippedState, name, sl):
 
 
 def make_stripped_cpml_corrections(p: Params, cfg: PMLConfig,
-                                   coefs: UpdateCoefs, dtype=None):
-    """(h_correct, e_correct) on ``(StrippedState, PsiState)``.
+                                   coefs: UpdateCoefs, dtype=None,
+                                   terms: tuple[str, ...] | None = None):
+    """(h_correct, e_correct) on ``(StrippedState, psi)``.
 
     Same per-element arithmetic, term order, and add order as
     :func:`fdtd_tpu.ops.cpml.make_cpml_corrections` — only the array
     layout differs — so the composition bit-matches the xla PML path
-    wherever the kernels bit-match the jnp curl path."""
+    wherever the kernels bit-match the jnp curl path.
+
+    ``terms`` restricts the correction to a subset of the 12 _TERMS
+    names (default all); the in-kernel tier (:mod:`fdtd_tpu.ops.
+    cpml_kernel`) uses this for the four k-axis terms it applies
+    *after* its passes — ``psi`` then only needs attributes for the
+    filtered names (any dataclass works)."""
     _check_cfg(p, cfg)
     dt = jnp.dtype(dtype or p.dtype)
     npml = cfg.cells
@@ -184,7 +191,7 @@ def make_stripped_cpml_corrections(p: Params, cfg: PMLConfig,
     fac = {n: dt.type(v) for n, v in fac.items()}
     I = p.maxi
 
-    def _apply(st: StrippedState, psi: PsiState, e_pass: bool):
+    def _apply(st: StrippedState, psi, e_pass: bool):
         # sources are never targets within a pass (H pass reads E, E pass
         # reads the just-updated H), so entry-time source reads are exact
         bulks = {n: getattr(st, n) for n in ("ex", "ey", "ez", "hx", "hy", "hz")}
@@ -192,7 +199,8 @@ def make_stripped_cpml_corrections(p: Params, cfg: PMLConfig,
         hx_s = st.hx_s
         ups = {}
         for name, target, sign, axis, src, _e in [
-            t for t in _TERMS if t[5] == e_pass
+            t for t in _TERMS
+            if t[5] == e_pass and (terms is None or t[0] in terms)
         ]:
             lo_sl, hi_sl, _sign, _axis, _src, _tg, b, c = plan[name]
             if e_pass:
@@ -232,10 +240,10 @@ def make_stripped_cpml_corrections(p: Params, cfg: PMLConfig,
             dataclasses.replace(psi, **ups),
         )
 
-    def h_correct(st: StrippedState, psi: PsiState):
+    def h_correct(st: StrippedState, psi):
         return _apply(st, psi, e_pass=False)
 
-    def e_correct(st: StrippedState, psi: PsiState):
+    def e_correct(st: StrippedState, psi):
         return _apply(st, psi, e_pass=True)
 
     return h_correct, e_correct

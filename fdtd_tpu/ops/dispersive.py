@@ -272,6 +272,108 @@ def work_cell_means(p: Params, wx, wy, wz):
     return mx + my + mz
 
 
+def make_dispersive_pml_step(p: Params, dm: DebyeMaterials, cfg,
+                             accumulate_power: bool = False):
+    """One ADE leapfrog step with CPML open boundaries (r5, VERDICT r4
+    #4): ``step(s, P, psi, amp) -> (s, P, psi[, (wx, wy, wz)])``.
+
+    The composition is *algebraically exact* for any Debye load, not
+    just loads clear of the absorber: CPML with kappa = 1 adds
+    ``psi`` to the curl, and the ADE E update is linear in the curl
+    with coefficient ``cb``, so correction-after-update gives E the
+    exact ``cb psi`` increment (the same argument as the lossy
+    composition, :mod:`fdtd_tpu.ops.cpml`) — *plus* the trapezoidal P
+    recursion P' = k1 P + k2 (E' + E) must see the corrected E', so P
+    gains ``k2 (cb psi)`` after ``e_correct`` (an exact no-op wherever
+    k2 = 0, i.e. everywhere when the load keeps clear of the slabs).
+    The E-pass correction factors are the ADE ``cb`` maps themselves
+    (:func:`debye_coefs`), sliced per slab edge by
+    :func:`fdtd_tpu.ops.cpml.make_cpml_corrections`.
+
+    One caveat worth pinning: with ``accumulate_power`` the work
+    densities are computed inside :func:`update_e_ade` from the
+    pre-correction E' — exact whenever the lossy/dispersive cells keep
+    clear of the absorber (sigma = k2 = 0 on slab rows), the physically
+    meaningful configuration.
+    """
+    from ..params import Mode
+    from ..source import apply_source, make_source_plan
+    from ..state import UpdateCoefs
+    from . import curl
+    from .cpml import make_cpml_corrections
+
+    dc = debye_coefs(p, dm)
+    hcoefs = UpdateCoefs(1.0, 1.0, 1.0, 0.0, 0.0, 0.0, dc.h_factor, None)
+    corr_coefs = UpdateCoefs(1.0, 1.0, 1.0,
+                             dc.cb["x"], dc.cb["y"], dc.cb["z"],
+                             dc.h_factor, None)
+    h_correct, e_correct = make_cpml_corrections(p, cfg, corr_coefs)
+    plan = make_source_plan(p) if p.mode == Mode.COMPUTATION else None
+
+    def step(s, P, psi, amp):
+        if plan is not None:
+            s = apply_source(plan, s, amp)
+        s = curl.update_h(p, s, hcoefs)
+        s, psi = h_correct(s, psi)
+        if plan is not None:
+            s = apply_source(plan, s, amp)
+        out = update_e_ade(p, s, P, dc, with_work=accumulate_power)
+        s, P = out[0], out[1]
+        pre = (s.ex, s.ey, s.ez)
+        s, psi = e_correct(s, psi)
+        P = tuple(
+            (pc + dc.k2[c] * (getattr(s, "e" + c) - ec)).astype(pc.dtype)
+            for pc, c, ec in zip(P, ("x", "y", "z"), pre)
+        )
+        if accumulate_power:
+            return s, P, psi, out[2]
+        return s, P, psi
+
+    return step
+
+
+def make_dispersive_pml_chunk_runner(p: Params, dm: DebyeMaterials, cfg,
+                                     dft=None, probes=None,
+                                     accumulate_power: bool = False):
+    """``run((s, P, psi), xs, power, dft_acc) -> ((s, P, psi), power,
+    dft_acc, probe_ys)`` — the open-boundary dispersive runner (xla
+    tier; same monitored-chunk contract as
+    :func:`make_dispersive_chunk_runner`, psi joins the carry).  This
+    unlocks the antenna/applicator class of problems: a Debye load
+    radiating through the absorber, with the true-dissipation --sar
+    and the full monitor set available."""
+    import jax
+
+    from ..monitors import apply_monitors, split_monitor_inputs
+
+    step = make_dispersive_pml_step(p, dm, cfg, accumulate_power)
+    if probes is not None:
+        probes.validate(p)
+    cells = probes.cells if probes is not None else None
+    dt_step = p.time_step
+
+    @jax.jit
+    def run(carry, xs, power_acc, dft_acc):
+        def body(c, x):
+            (s, P, psi), acc, dacc = c
+            (_t, amp), weights = split_monitor_inputs(x, dft)
+            if accumulate_power:
+                s, P, psi, (wx, wy, wz) = step(s, P, psi, amp)
+                inc = work_cell_means(p, wx, wy, wz)
+                acc = acc + (inc * dt_step).astype(acc.dtype)
+            else:
+                s, P, psi = step(s, P, psi, amp)
+            dacc, ys = apply_monitors(p, s, weights, dft, cells, dacc)
+            return ((s, P, psi), acc, dacc), ys
+
+        ((s, P, psi), acc, dacc), ys = jax.lax.scan(
+            body, (carry, power_acc, dft_acc), xs
+        )
+        return (s, P, psi), acc, dacc, ys
+
+    return run
+
+
 def make_dispersive_chunk_runner(p: Params, dm: DebyeMaterials,
                                  dft=None, probes=None,
                                  accumulate_power: bool = False):

@@ -650,14 +650,18 @@ def _kernel(p: Params, f_h, f_e, patch, Ib, W, s, use_corr, lossy, sar,
 
     if dft_nf:
         # phasor-accumulator emit: same schedule as the SAR band (cell
-        # block g-2 completes at step g; single-chip only)
+        # block g-2 completes at step g).  Sharded (r5): g=2's cell block
+        # is the NEIGHBOR's top cells — halo-ramp contributions are
+        # invalid, so the first own emit is g=3 and g<3 zeroes the
+        # (cropped-away) bottom halo dacc block, exactly the SAR calculus
         demit = jnp.stack([bnd[:tk] for bnd in dbands])
+        dg0 = 3 if shard else 2
 
-        @pl.when((g >= 2) & (g <= nk + 1))
+        @pl.when((g >= dg0) & (g <= nk + 1))
         def _emit_dacc():
             odacc[:] = daccin_ref[:] + demit
 
-        @pl.when(g < 2)
+        @pl.when(g < dg0)
         def _emit_dacc_dead():
             odacc[:] = jnp.zeros(odacc.shape, jnp.float32)
 
@@ -1325,7 +1329,8 @@ def make_stream_dft_chunk_runner(p: Params, coefs: UpdateCoefs, dft,
 
 
 def pick_shard_plan(p: Params, coefs: UpdateCoefs, Klp: int,
-                    sar: bool = False) -> tuple[int, int] | None:
+                    sar: bool = False,
+                    dft_nf: int = 0) -> tuple[int, int] | None:
     """(steps-per-sweep, j-tiles) for the SHARDED streaming pipeline.
 
     The per-shard sweep runs over [D - s, D + Klp + s): the dead slab and
@@ -1358,15 +1363,16 @@ def pick_shard_plan(p: Params, coefs: UpdateCoefs, Klp: int,
             continue
         for nj in (1, 2, 3, 4, 6, 8, 12, 16):
             if nj > 1:
-                if s > HJ:
-                    continue
+                if s > HJ or dft_nf:
+                    continue  # in-kernel DFT is full-plane only
                 tj, _ = jt_extents(p, nj)
                 if tj <= 2 * HJ or (nj - 1) * tj >= J1:
                     continue  # degenerate tiling (tiny grids / over-split)
             if (
                 stream_vmem_estimate(p, s=s, lossy=lossy, sar=sar, nj=nj,
-                                     het=het)
-                <= VMEM_BUDGET - (0 if sar else 6 * 1024 * 1024)
+                                     het=het, dft_nf=dft_nf)
+                <= VMEM_BUDGET
+                - (0 if sar or dft_nf else 6 * 1024 * 1024)
             ):
                 return s, nj
     return None
@@ -1433,7 +1439,7 @@ def pick_shard_2d_s(p: Params, coefs: UpdateCoefs, Klp: int,
 def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
                             Klp: int, s: int, interpret: bool, nj: int = 1,
                             sar: bool = False, J_rows: int | None = None,
-                            joff2: bool = False):
+                            joff2: bool = False, dft_nf: int = 0):
     """Streaming sweep pallas_call on a per-shard slab (see pick_shard_plan).
 
     Same caller contract as build_stream_call (koff carries the shard's
@@ -1478,15 +1484,21 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
 
     if nj > 1:
         assert not joff2, "j-tiling and 2-D j sharding are exclusive"
+        assert dft_nf == 0, "sharded in-kernel DFT is full-plane only"
         return _build_stream_shard_call_jt(
             p, S_sh, s, interpret, nj, J1, Ib, W, tk, b0, nb, dtype,
             compute_dtype, lossy, f_h, f_e, patch, use_corr, nd, sar, het)
+    if dft_nf:
+        assert not joff2, "sharded in-kernel DFT needs a 1-D z mesh"
+        assert p.mode == Mode.COMPUTATION, "in-kernel DFT: computation mode"
 
     bulk_shape = jax.ShapeDtypeStruct((S_sh, J1, Ib), dtype)
     acc_shape = jax.ShapeDtypeStruct((S_sh, J1, Ib), jnp.float32)
-    # SAR: one extra drain step emits the final own acc block (the acc
-    # trails the fields by one more block in the skewed schedule)
-    grid = (nb + (1 if sar else 0),)
+    dacc_shape = jax.ShapeDtypeStruct((6 * dft_nf, S_sh, J1, Ib),
+                                      jnp.float32)
+    # SAR/DFT: one extra drain step emits the final own acc block (the
+    # accumulators trail the fields by one more block in the schedule)
+    grid = (nb + (1 if sar or dft_nf else 0),)
 
     in_blk = pl.BlockSpec(
         (tk, J1, Ib), lambda g: (jnp.minimum(g, nb - 1) + b0, 0, 0),
@@ -1531,6 +1543,15 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
         lambda g: (jnp.clip(g - 2, 0, nb - 1) + b0, 0, 0),
         memory_space=pltpu.VMEM,
     )
+    # in-kernel DFT (r5, sharded): per-sweep weights in SMEM + the
+    # stacked 4-D phasor accumulator tiles on the SAR acc schedule
+    wts_smem = pl.BlockSpec((s, 2 * dft_nf), lambda g: (0, 0),
+                            memory_space=pltpu.SMEM)
+    dacc_blk = pl.BlockSpec(
+        (6 * dft_nf, tk, J1, Ib),
+        lambda g: (0, jnp.clip(g - 2, 0, nb - 1) + b0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
     in_specs = (
         [smem] + [in_blk] * 6
         + ([c_win] * 2 if use_corr else [])
@@ -1538,6 +1559,7 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
         + ([coef_win] * 6 if lossy else [])
         + ([coef_win] * 3 if het else [])
         + ([sg_blk, acc_blk] if sar else [])
+        + ([wts_smem, dacc_blk] if dft_nf else [])
     )
     n_in = len(in_specs)
     # in-place (r3): same race-free argument as the single-chip sweep —
@@ -1552,21 +1574,28 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
                and _os.environ.get("FDTD_STREAM_INPLACE", "1") != "0")
     aliases = {i + 1: i for i in range(6)} if inplace else {}
     if sar and not interpret:
-        aliases[n_in - 1] = 6
+        aliases[n_in - (3 if dft_nf else 1)] = 6
+    if dft_nf and not interpret:
+        aliases[n_in - 1] = 6 + (1 if sar else 0)
     tail = pltpu.VMEM((s + 1, J1, Ib), compute_dtype)
     scratch = [tail] * 6 + (
         [pltpu.VMEM((3 * tk, J1, Ib), jnp.float32),
          pltpu.VMEM((2 * tk, J1, Ib), jnp.float32)]
         if sar else []
+    ) + (
+        [pltpu.VMEM((6 * dft_nf, 3 * tk, J1, Ib), jnp.float32)]
+        if dft_nf else []
     )
     inner = pl.pallas_call(
         functools.partial(_kernel, p, f_h, f_e, patch, Ib, W, s, use_corr,
                           lossy, sar, p.time_step, dwin, nb - 1, True, None,
-                          False, het, joff2, 0),
+                          False, het, joff2, dft_nf),
         grid=grid,
         in_specs=in_specs,
-        out_specs=[out_blk] * 6 + ([acc_blk] if sar else []),
-        out_shape=(bulk_shape,) * 6 + ((acc_shape,) if sar else ()),
+        out_specs=[out_blk] * 6 + ([acc_blk] if sar else [])
+        + ([dacc_blk] if dft_nf else []),
+        out_shape=(bulk_shape,) * 6 + ((acc_shape,) if sar else ())
+        + ((dacc_shape,) if dft_nf else ()),
         input_output_aliases=aliases,
         scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET),
@@ -1574,7 +1603,7 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
     )
 
     def call(koff, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2, *coef6,
-             hf=(), sigma=None, acc=None):
+             hf=(), sigma=None, acc=None, wts=None, dacc=None):
         args = [koff, ex, ey, ez, hx, hy, hz]
         if use_corr:
             args += [chy, chz]
@@ -1590,6 +1619,8 @@ def build_stream_shard_call(p: Params, coefs: UpdateCoefs, S_sh: int,
             args += list(hf)
         if sar:
             args += [sigma, acc]
+        if dft_nf:
+            args += [wts, dacc]
         return inner(*args)
 
     return call, nd

@@ -1779,3 +1779,304 @@ def make_sharded_stream_runner(p: Params, mesh: Mesh,
         return st
 
     return run
+
+
+def make_sharded_e_means(p: Params, mesh: Mesh):
+    """``means(st) -> (3, n*Klp, J, I) sharded E cell means`` (component
+    order Ex, Ey, Ez) for the odd-trailing-step DFT accumulation under
+    1-D z sharding — the same 4-edge stencil, halo exchange, and
+    strip-column splicing as :func:`make_sharded_power_inc`, without the
+    sigma weighting (generalizing `main.c:550-560`'s cell aggregation)."""
+    n = mesh.shape["z"]
+    S_c, J1p, Ib, K1, Klp, S_sh = _geometry(p, n)
+    K, J, I = p.maxk, p.maxj, p.maxi
+    strip_pad = max(0, D + n * Klp + 1 - S_c)
+    up = [(i, i - 1) for i in range(1, n)]
+
+    def body(ex, ey, ez, eys, ezs):
+        r = lax.axis_index("z")
+        for name in ("ex", "ey"):
+            a = ex if name == "ex" else ey
+            first = lax.slice_in_dim(a, D, D + 1, axis=0)
+            h = lax.ppermute(first, "z", up) if n > 1 else jnp.zeros_like(first)
+            a = lax.dynamic_update_slice_in_dim(a, h, D + Klp, axis=0)
+            ex, ey = (a, ey) if name == "ex" else (ex, a)
+        at = jnp.float64 if ex.dtype == jnp.float64 else jnp.float32
+        k0 = D + r * Klp
+        exl = ex[D : D + Klp + 1, : J + 1, :I].astype(at)
+        eyl = jnp.concatenate(
+            [ey[D : D + Klp + 1, :J, :],
+             lax.dynamic_slice_in_dim(eys, k0, Klp + 1, axis=0)[:, :J]],
+            axis=2,
+        ).astype(at)
+        ezl = jnp.concatenate(
+            [ez[D : D + Klp, : J + 1, :],
+             lax.dynamic_slice_in_dim(ezs, k0, Klp, axis=0)[:, : J + 1]],
+            axis=2,
+        ).astype(at)
+        Kl = Klp
+        mean_ex = 0.25 * (exl[:Kl, :J, :I] + exl[1 : Kl + 1, :J, :I]
+                          + exl[:Kl, 1 : J + 1, :I]
+                          + exl[1 : Kl + 1, 1 : J + 1, :I])
+        mean_ey = 0.25 * (eyl[:Kl, :J, :I] + eyl[:Kl, :J, 1 : I + 1]
+                          + eyl[1 : Kl + 1, :J, :I]
+                          + eyl[1 : Kl + 1, :J, 1 : I + 1])
+        mean_ez = 0.25 * (ezl[:Kl, :J, :I] + ezl[:Kl, 1 : J + 1, :I]
+                          + ezl[:Kl, :J, 1 : I + 1]
+                          + ezl[:Kl, 1 : J + 1, 1 : I + 1])
+        return jnp.stack([mean_ex, mean_ey, mean_ez])
+
+    bspec = P("z", None, None)
+    rspec = P(None, None, None)
+    smap = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(bspec,) * 3 + (rspec,) * 2,
+        out_specs=P(None, "z", None, None),
+        check_vma=False,
+    )
+
+    def means(st: ShardedFastState):
+        eys = jnp.pad(st.ey_s, ((0, strip_pad), (0, 0), (0, 0)))
+        ezs = jnp.pad(st.ez_s, ((0, strip_pad), (0, 0), (0, 0)))
+        return smap(st.ex, st.ey, st.ez, eys, ezs)
+
+    return means
+
+
+def sharded_stream_dft_supported(p: Params, n: int, dft, materials=None,
+                                 sar: bool = False) -> bool:
+    """True when the in-kernel DFT rides the sharded streaming wavefront
+    (r5, VERDICT r4 #3): fields='e', computation mode, 1-D z mesh, and a
+    full-plane per-shard plan that fits VMEM with the phasor bands."""
+    from ..ops.pallas_stream import pick_shard_plan
+
+    if dft is None or dft.fields != "e" or p.mode != Mode.COMPUTATION:
+        return False
+    coefs = update_coefs(p, materials)
+    Klp = _geometry(p, n)[4]
+    plan = pick_shard_plan(p, coefs, Klp, sar=sar, dft_nf=dft.nf)
+    return plan is not None and plan[1] == 1
+
+
+def make_sharded_stream_dft_runner(p: Params, mesh: Mesh, dft,
+                                   interpret: bool | None = None,
+                                   materials=None,
+                                   accumulate_power: bool = False):
+    """Monitored sharded streaming runner (r5, VERDICT r4 #3):
+    ``run(st, (ts, amps, cw, sw), power, dft_acc) ->
+    (st, power, dft_acc, None)`` — the monitored-chunk contract, with
+    the per-frequency phasor bands accumulating IN-KERNEL per shard and
+    per-shard output (no rank-0 gather; the bottleneck description.pdf
+    section 5 names).  ``dft_acc``/``power`` are canonical at chunk
+    boundaries (checkpoint-compatible with single-chip runs); they ride
+    the sweeps in sharded slab layouts.  Odd trailing steps run the
+    single-step sharded kernel with the canonical accumulation via
+    :func:`make_sharded_e_means`."""
+    from jax.sharding import NamedSharding
+    from ..ops.pallas_stream import build_stream_shard_call, pick_shard_plan
+    from ..source import make_source_plan
+
+    nf = dft.nf
+    assert dft.fields == "e", "in-kernel DFT carries E phasors only"
+    coefs = update_coefs(p, materials)
+    if interpret is None:
+        dd = jax.config.jax_default_device
+        interpret = (dd.platform != "tpu") if dd is not None \
+            else (jax.default_backend() != "tpu")
+    n = mesh.shape["z"]
+    S_c, J1p, Ib, K1, Klp, S_sh = _geometry(p, n)
+    plan_ = pick_shard_plan(p, coefs, Klp, sar=accumulate_power, dft_nf=nf)
+    if plan_ is None or plan_[1] != 1:
+        raise NotImplementedError(
+            "no VMEM-feasible sharded streaming DFT plan for this config"
+        )
+    s = plan_[0]
+    lossy = not isinstance(coefs.ca_x, (int, float))
+    het = coefs.heterogeneous_mu
+    call, nd = build_stream_shard_call(p, coefs, S_sh, Klp, s, interpret,
+                                       nj=1, sar=accumulate_power,
+                                       dft_nf=nf)
+    single_step = make_sharded_fast_step(p, mesh, interpret, materials)
+    e_means = make_sharded_e_means(p, mesh)
+    inc_fn = (make_sharded_power_inc(p, mesh, materials)
+              if accumulate_power else None)
+
+    K, J, I = p.maxk, p.maxj, p.maxi
+    dtype = jnp.dtype(p.dtype)
+    compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
+    f_h = compute_dtype.type(coefs.h_factor)
+    dt_step = p.time_step
+    plan = make_source_plan(p)  # computation mode (asserted by the call)
+
+    up = [(i, i - 1) for i in range(1, n)]
+    down = [(i, i + 1) for i in range(n - 1)]
+
+    def exchange(a):
+        if n == 1:
+            return a
+        top_band = lax.slice_in_dim(a, D, D + s, axis=0)
+        bot_band = lax.slice_in_dim(a, D + Klp - s, D + Klp, axis=0)
+        from_next = lax.ppermute(top_band, "z", up)
+        from_prev = lax.ppermute(bot_band, "z", down)
+        a = lax.dynamic_update_slice_in_dim(a, from_prev, D - s, axis=0)
+        a = lax.dynamic_update_slice_in_dim(a, from_next, D + Klp, axis=0)
+        return a
+
+    def shard_body(ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2, wts, dacc,
+                   *rest):
+        r = lax.axis_index("z")
+        koff2 = (r * Klp - s).astype(jnp.int32).reshape(1, 1)
+        ex, ey, ez = exchange(ex), exchange(ey), exchange(ez)
+        hx, hy, hz = exchange(hx), exchange(hy), exchange(hz)
+        if accumulate_power:
+            sg, acc = rest[-2:]
+            rest = rest[:-2]
+        if het:
+            hf3 = rest[-3:]
+            rest = rest[:-3]
+        else:
+            hf3 = ()
+        if accumulate_power:
+            return call(koff2, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2,
+                        *rest, hf=hf3, sigma=sg, acc=acc, wts=wts,
+                        dacc=dacc)
+        return call(koff2, ex, ey, ez, hx, hy, hz, chy, chz, de2, dh2,
+                    *rest, hf=hf3, wts=wts, dacc=dacc)
+
+    bspec = P("z", None, None)
+    rspec = P(None, None, None)
+    dspec = P(None, "z", None, None)
+    ncf = 6 if lossy else 0
+    nhf = 3 if het else 0
+    nsar = 2 if accumulate_power else 0
+    smap = jax.shard_map(
+        shard_body,
+        mesh=mesh,
+        in_specs=(bspec,) * 8 + (rspec, rspec, P(None, None), dspec)
+        + (bspec,) * (ncf + nhf + nsar),
+        out_specs=(bspec,) * (6 + (1 if accumulate_power else 0))
+        + (dspec,),
+        check_vma=False,
+    )
+
+    import numpy as _np
+
+    zero_drv = _np.zeros((nd, J1p, Ib), dtype)
+
+    def drive_patch(amp):
+        amp_j = jnp.asarray(amp)
+        prof_row = jnp.asarray(plan.profile, dtype=jnp.result_type(amp_j))
+        row = amp_j * prof_row
+        rows, ni = plan.j1 - plan.j0, len(plan.profile)
+        return jnp.broadcast_to(row[None, :], (rows, ni))
+
+    dacc_csh = NamedSharding(mesh, dspec)
+    acc_csh = NamedSharding(mesh, bspec)
+    wsc = jax.lax.with_sharding_constraint
+
+    def embed_dacc(acc):
+        """Canonical (re, im) (nf, 3, K, J, I) -> (6nf, n*S_sh, J1p, Ib)
+        sharded slab layout (slot (fi*3+ci)*2 + {0: re, 1: im})."""
+        re, im = acc
+        inter = jnp.stack([jnp.asarray(re, jnp.float32),
+                           jnp.asarray(im, jnp.float32)], axis=2)
+        inter = inter.reshape(6 * nf, K, J, I)
+        a = jnp.zeros((6 * nf, n * Klp, J1p, Ib), jnp.float32)
+        a = a.at[:, :K, :J, :I].set(inter)
+        a = a.reshape(6 * nf, n, Klp, J1p, Ib)
+        out = jnp.zeros((6 * nf, n, S_sh, J1p, Ib), jnp.float32)
+        out = out.at[:, :, D : D + Klp].set(a)
+        return wsc(out.reshape(6 * nf, n * S_sh, J1p, Ib), dacc_csh)
+
+    def crop_dacc(dacc_sl):
+        a = dacc_sl.reshape(6 * nf, n, S_sh, J1p, Ib)[:, :, D : D + Klp,
+                                                      :J, :I]
+        a = a.reshape(6 * nf, n * Klp, J, I)[:, :K]
+        a = a.reshape(nf, 3, 2, K, J, I)
+        return a[:, :, 0], a[:, :, 1]
+
+    def embed_pw(acc):
+        a = jnp.pad(jnp.asarray(acc, jnp.float32),
+                    ((0, n * Klp - K), (0, 0), (0, 0)))
+        a = a.reshape(n, Klp, J, I)
+        out = jnp.zeros((n, S_sh, J1p, Ib), jnp.float32)
+        out = out.at[:, D : D + Klp, :J, :I].set(a)
+        return wsc(out.reshape(n * S_sh, J1p, Ib), acc_csh)
+
+    def crop_pw(sl):
+        a = sl.reshape(n, S_sh, J1p, Ib)[:, D : D + Klp, :J, :I]
+        return a.reshape(n * Klp, J, I)[:K]
+
+    def advance(st, acc, dacc, xs_group):
+        ts_g, amps_g, cw_g, sw_g = xs_group
+        zero_drv_t = jnp.asarray(zero_drv)
+        pv1 = drive_patch(amps_g[0])
+        zero = jnp.zeros_like(pv1).astype(dtype)
+        sl = (D, slice(plan.j0, plan.j1), slice(plan.i0, plan.i1))
+        st = dataclasses.replace(
+            st,
+            ez=st.ez.at[sl].set(pv1.astype(dtype)),
+            ex=st.ex.at[sl].set(zero),
+            hz=st.hz.at[sl].set(zero),
+            hx=st.hx.at[sl].set((-plan.inv_z_te * pv1).astype(dtype)),
+        )
+        pvs = jnp.stack([drive_patch(amps_g[m]) for m in range(1, s)])
+        sl2 = (slice(0, nd), slice(plan.j0, plan.j1),
+               slice(plan.i0, plan.i1))
+        de2 = zero_drv_t.at[sl2].set(pvs.astype(dtype))
+        dh2 = zero_drv_t.at[sl2].set((-plan.inv_z_te * pvs).astype(dtype))
+        wts = jnp.concatenate([cw_g, sw_g], axis=1)  # (s, 2*nf)
+        cf = ((st.ca_x, st.ca_y, st.ca_z, st.cb_x, st.cb_y, st.cb_z)
+              if lossy else ())
+        if het:
+            cf = cf + (st.hf_x, st.hf_y, st.hf_z)
+        if accumulate_power:
+            cf = cf + (st.sigma_c, acc)
+        outs = smap(st.ex, st.ey, st.ez, st.hx, st.hy, st.hz,
+                    st.corr_hy, st.corr_hz, de2, dh2, wts, dacc, *cf)
+        if accumulate_power:
+            ex, ey, ez, hx, hy, hz, acc, dacc = outs
+        else:
+            ex, ey, ez, hx, hy, hz, dacc = outs
+        hx_s = _advance_hx_strip(p, st, f_h, het, n_steps=s)
+        st = dataclasses.replace(st, ex=ex, ey=ey, ez=ez, hx=hx, hy=hy,
+                                 hz=hz, hx_s=hx_s)
+        return st, acc, dacc
+
+    @jax.jit
+    def run(st, xs, power_acc, dft_acc):
+        ts, amps, cw, sw = xs
+        nsteps = ts.shape[0]
+        n_grp = nsteps // s
+        dacc_sl = embed_dacc(dft_acc)
+        acc_sl = embed_pw(power_acc) if accumulate_power else None
+        if n_grp:
+            gxs = (ts[: s * n_grp].reshape(n_grp, s),
+                   amps[: s * n_grp].reshape(n_grp, s),
+                   cw[: s * n_grp].reshape(n_grp, s, nf),
+                   sw[: s * n_grp].reshape(n_grp, s, nf))
+
+            def body(c, x):
+                st, acc, dacc = c
+                return advance(st, acc, dacc, x), None
+
+            (st, acc_sl, dacc_sl), _ = lax.scan(
+                body, (st, acc_sl, dacc_sl), gxs)
+        dft_acc = crop_dacc(dacc_sl)
+        if accumulate_power:
+            power_acc = crop_pw(acc_sl)
+        for r in range(nsteps % s):
+            idx = s * n_grp + r
+            st = single_step(st, (ts[idx], amps[idx]))
+            me = e_means(st)[:, :K].astype(jnp.float32)  # (3, K, J, I)
+            re, im = dft_acc
+            re = re + cw[idx][:, None, None, None, None] * me[None]
+            im = im - sw[idx][:, None, None, None, None] * me[None]
+            dft_acc = (re, im)
+            if accumulate_power:
+                power_acc = power_acc + (
+                    inc_fn(st)[:K] * dt_step).astype(power_acc.dtype)
+        return st, power_acc, dft_acc, None
+
+    return run

@@ -926,6 +926,23 @@ def dryrun(n_devices: int, devices=None) -> None:
     assert res.dft is not None
     assert res.probes.values.shape == (res.iterations, 1, 6)
 
+    # sharded in-kernel DFT (r5, VERDICT r4 #3): --dft --shard rides the
+    # sharded streaming wavefront when the plan admits it — the phasor
+    # bands accumulate per shard; through the real run_simulation wiring
+    from .sharded_fast import sharded_stream_dft_supported
+
+    dftc = DftConfig((p.source.frequency,))
+    if p.mode == Mode.COMPUTATION and sharded_stream_dft_supported(
+            p, n_devices, dftc):
+        with tempfile.TemporaryDirectory() as td:
+            res_kd = run_simulation(
+                p, out_dir=td, write_snapshots=False,
+                backend="pallas_stream", shard=str(n_devices), dft=dftc,
+                log=lambda s: None,
+            )
+        assert res_kd.dft is not None
+        assert bool(jnp.all(jnp.isfinite(jnp.asarray(res_kd.dft.phasors))))
+
     # dispersive ADE x sharding (r4): P rides the shard_map scan carry,
     # the SAR accumulator collects the TRUE Debye work — through the real
     # run_simulation wiring (prep/restore, padded P, acc pad/crop)

@@ -236,15 +236,55 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
 
     monitors = dft is not None or probes is not None
     if monitors:
-        # per-step monitors under sharding: the jnp shard_map scan is
-        # the only per-step-state path; GSPMD partitions the cell-mean
+        # r5 (VERDICT r4 #3): pure-DFT monitoring rides the SHARDED
+        # streaming kernel — per-frequency phasor bands accumulate
+        # in-kernel per shard (sharded_fast.make_sharded_stream_dft_runner;
+        # no rank-0 gather — the bottleneck description.pdf section 5
+        # names), same gates as single-chip: fields='e', computation
+        # mode, closed cavity, full-plane per-shard plan, 1-D z mesh.
+        stream_dft = (
+            dft is not None
+            and probes is None
+            and dft.fields == "e"
+            and p.mode == Mode.COMPUTATION
+            and pml is None
+            and ny == 1
+            and backend in ("auto", "pallas_stream")
+            and (devs[0].platform == "tpu" or backend == "pallas_stream")
+            and sf.sharded_stream_dft_supported(p, nz, dft, materials,
+                                                sar=accumulate_power)
+        )
+        if stream_dft:
+            coefs_d = (update_coefs(p, materials)
+                       if materials is not None else None)
+            prep = lambda s: sf.to_sharded_fast(p, s, mesh, coefs=coefs_d)
+            restore = lambda st: sf.from_sharded_fast(p, st, mesh)
+            run_sh = sf.make_sharded_stream_dft_runner(
+                p, mesh, dft, interpret=interp, materials=materials,
+                accumulate_power=accumulate_power,
+            )
+            dft_box, probe_chunks = _monitor_boxes(p, dft)
+
+            def run_chunk(st, chunk, power):
+                st, power, dft_box["acc"], _ys = run_sh(
+                    st, tuple(jnp.asarray(c) for c in chunk), power,
+                    dft_box["acc"],
+                )
+                return st, power
+
+            run_chunk.dft_box = dft_box
+            run_chunk.probe_chunks = probe_chunks
+            return prep, restore, run_chunk
+        # other per-step monitors under sharding: the jnp shard_map scan
+        # is the only per-step-state path; GSPMD partitions the cell-mean
         # slices (same arithmetic as single-chip _e_cell_means).  r4:
         # the monitors x PML x shard triple composes — psi12 joins the
         # monitored scan carry exactly as in the unmonitored PML path.
         if backend not in ("auto", "xla"):
             log(
-                f"notice: per-step monitors (--dft/--probe) under --shard "
-                f"run the xla shard_map path (backend {backend!r} ignored)"
+                f"notice: per-step monitors (--dft/--probe/--dft-fields "
+                f"eh) under --shard run the xla shard_map path "
+                f"(backend {backend!r} ignored)"
             )
         backend = "xla"
 
@@ -649,17 +689,35 @@ def run_simulation(
     dispersive = isinstance(materials, DebyeMaterials)
     disp_sharded = dispersive and shard is not None
     disp_fast = False
+    disp_stream_dft = False
+    pml_kernel_tier = False  # set by the single-chip PML dispatch below
     if dispersive:
         # ADE single-pole Debye dispersion (ops/dispersive.py): the three
         # polarization arrays ride the chunk carry as (state, P); --sar
         # accumulates the TRUE Debye dissipation E.dP/dt + sigma E_mid^2
         # (not sigma|E|^2, which misses the dielectric loss entirely)
-        if pml is not None:
+        if pml is not None and disp_sharded:
             raise ValueError(
-                "dispersive media run in the closed cavity for now "
-                "(no --pml)"
+                "dispersive media with --pml run single-chip for now "
+                "(no --shard)"
             )
-        if disp_sharded:
+        if pml is not None:
+            # r5 (VERDICT r4 #4): the open-boundary dispersive chain —
+            # ADE + CPML on the xla tier, with the full monitor set and
+            # the true-dissipation --sar (ops/dispersive.
+            # make_dispersive_pml_step documents the exact algebra)
+            if backend not in ("auto", "xla"):
+                log(
+                    f"notice: dispersive media under --pml run the xla "
+                    f"ADE+CPML scan (backend {backend!r} ignored)"
+                )
+            from .ops.dispersive import make_dispersive_pml_chunk_runner
+
+            run_disp = make_dispersive_pml_chunk_runner(
+                p, materials, pml, dft=dft, probes=probes,
+                accumulate_power=accumulate_power,
+            )
+        elif disp_sharded:
             # r4: P shards with the fields in the shard_map scan
             # (parallel/sharded_step.make_sharded_dispersive_step); the
             # monitored-chunk contract matches the single-chip ADE scan
@@ -714,18 +772,44 @@ def run_simulation(
                                                         dacc)
                     return carry, acc[:_K, :_J, :_I], dacc, ys
         else:
-            from .ops.pallas_dispersive import dispersive_fused_supported
+            from .ops.pallas_dispersive import (
+                dispersive_fused_supported,
+                dispersive_stream_dft_supported,
+            )
 
             monitors_on = dft is not None or probes is not None
+            # r5 (VERDICT r4 #6): pure-DFT monitoring inside a Debye load
+            # rides the streaming ADE sweep — the phasor bands and the
+            # ADE pipeline share the rolling-band mechanism
+            disp_stream_dft = (
+                monitors_on
+                and probes is None
+                and dft is not None
+                and dft.fields == "e"
+                and dispersive_fused_supported(p)
+                and backend in ("auto", "pallas_stream")
+                and (_on_tpu() or backend == "pallas_stream")
+                and dispersive_stream_dft_supported(
+                    p, dft, sar=accumulate_power)
+            )
             disp_fast = (
-                not monitors_on
+                (not monitors_on or disp_stream_dft)
                 and dispersive_fused_supported(p)
                 and backend != "xla"
                 and (_on_tpu() or backend in ("pallas", "pallas_fused",
                                               "pallas_temporal",
                                               "pallas_stream"))
             )
-            if disp_fast:
+            if disp_stream_dft:
+                from .ops.pallas_dispersive import (
+                    make_dispersive_stream_dft_chunk_runner,
+                )
+
+                run_disp = make_dispersive_stream_dft_chunk_runner(
+                    p, materials, dft,
+                    accumulate_power=accumulate_power,
+                )
+            elif disp_fast:
                 # r4: the physically-correct heating chain on the Pallas
                 # tier — streaming ADE when a plan fits, else the
                 # two-pass ADE kernel (ops/pallas_dispersive.py)
@@ -746,9 +830,9 @@ def run_simulation(
                     )
                 elif backend not in ("auto", "xla"):
                     log(
-                        f"notice: dispersive media with per-step monitors "
-                        f"run the xla ADE scan (backend {backend!r} "
-                        "ignored)"
+                        f"notice: dispersive media with probes/'eh' "
+                        f"monitors run the xla ADE scan (backend "
+                        f"{backend!r} ignored)"
                     )
                 from .ops.dispersive import make_dispersive_chunk_runner
 
@@ -756,7 +840,7 @@ def run_simulation(
                     p, materials, dft=dft, probes=probes,
                     accumulate_power=accumulate_power,
                 )
-        if disp_sharded or not disp_fast:
+        if disp_sharded or not disp_fast or disp_stream_dft:
             dft_box, probe_chunks = _monitor_boxes(p, dft)
             run_chunk = _monitored_run_chunk(run_disp, dft_box,
                                              probe_chunks)
@@ -774,10 +858,23 @@ def run_simulation(
         # xla remains the ground-truth/fp64 path.
         from .ops.cpml import make_pml_chunk_runner
         from .ops.cpml_fast import fast_pml_supported, make_pml_fast_chunk_runner
+        from .ops.cpml_kernel import (
+            kernel_pml_supported,
+            make_pml_kernel_chunk_runner,
+        )
 
         if accumulate_power and materials is None:
             raise ValueError("--sar needs lossy materials (e.g. --water-block)")
         fast_ok = fast_pml_supported(p, pml, materials)
+        # r5: the psi recursion rides INSIDE the two-pass kernels
+        # (ops/cpml_kernel.py) wherever it can — the XLA slab-correction
+        # composition (ops/cpml_fast.py) measured 1.31 G vs the kernels'
+        # 7.82 G (DESIGN.md "PML tax attribution"); FDTD_PML_KERNEL=0
+        # forces the r3 composition for A/B measurement.
+        kern_ok = (
+            kernel_pml_supported(p, pml, materials)
+            and os.environ.get("FDTD_PML_KERNEL", "1") != "0"
+        )
         if dft is not None or probes is not None:
             # per-step monitors need per-step states: the xla PML scan
             # (open-boundary DFT patterns / ring-down Q probes)
@@ -806,8 +903,13 @@ def run_simulation(
                 )
                 backend = "xla"
         if backend == "pallas_fused":
-            run_pml = make_pml_fast_chunk_runner(
-                p, pml, materials, accumulate_power
+            pml_kernel_tier = kern_ok
+            run_pml = (
+                make_pml_kernel_chunk_runner(p, pml, materials,
+                                             accumulate_power)
+                if kern_ok
+                else make_pml_fast_chunk_runner(p, pml, materials,
+                                                accumulate_power)
             )
 
             def run_chunk(carry, chunk, power):
@@ -1022,6 +1124,17 @@ def run_simulation(
                 return (pad_state_for_mesh(p, s, disp_mesh), _pad_pol(P3))
 
             restore = jax.jit(lambda carry: unpad_state(p, carry[0]))
+        elif pml is not None:
+            from .ops.cpml import init_psi
+
+            prep = lambda s: (
+                s,
+                resumed_pol if resumed_pol is not None
+                else zero_polarization(p),
+                resumed_psi if resumed_psi is not None
+                else init_psi(p, pml),
+            )
+            restore = jax.jit(lambda carry: carry[0])
         else:
             prep = lambda s: (s, resumed_pol if resumed_pol is not None
                               else zero_polarization(p))
@@ -1032,8 +1145,15 @@ def run_simulation(
         # identity adapters on the xla path; stripped-layout conversion
         # (with embedded material coefficients) on the Pallas fast path
         prep_s, restore_s = backend_adapters(p, backend, materials)
-        prep = lambda s: (prep_s(s), resumed_psi if resumed_psi is not None
-                          else init_psi(p, pml))
+        if pml_kernel_tier:
+            # in-kernel tier: psi rides as the packed layout; checkpoints
+            # stay canonical via pack/unpack (bit-exact round trip)
+            from .ops.cpml_kernel import pack_psi as _pack_psi
+
+            prep = lambda s: (prep_s(s), _pack_psi(p, pml, resumed_psi))
+        else:
+            prep = lambda s: (prep_s(s), resumed_psi if resumed_psi is not None
+                              else init_psi(p, pml))
         restore = jax.jit(lambda carry: restore_s(carry[0]))
     elif shard is not None:
         if pml is not None:
@@ -1061,6 +1181,14 @@ def run_simulation(
                 from .parallel.sharded_step import extract_psi12
 
                 psi_canon = jax.jit(lambda c: extract_psi12(p, pml, c[1]))
+        elif pml_kernel_tier:
+            # in-kernel tier: the carry holds the packed psi layout;
+            # checkpoints stay canonical (cross-tier/topology interop)
+            from .ops.cpml_kernel import unpack_psi
+
+            psi_canon = jax.jit(lambda c: unpack_psi(p, pml, c[1]))
+        elif dispersive:
+            psi_canon = lambda c: c[2]  # carry is (state, P, psi)
         else:
             psi_canon = lambda c: c[1]
 
@@ -1169,7 +1297,7 @@ def run_simulation(
                 psi = psi_canon(state)
                 aux.update({f"psi_{n}": getattr(psi, n)
                             for n in type(psi).__dataclass_fields__})
-            elif dispersive:
+            if dispersive:
                 # canonical (K1, J1, I1) polarization layout whatever the
                 # carry holds (xla tuple, sharded padded tuple, fast-path
                 # AdeState) — checkpoints interoperate across tiers

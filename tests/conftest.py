@@ -44,6 +44,7 @@ _SLOW = {
     ("test_dispersive.py", "test_dispersive_stream_"),
     ("test_dispersive.py", "test_dispersive_sharded_"),
     ("test_dft.py", "test_dft_stream_kernel_"),
+    ("test_dft.py", "test_dft_sharded_stream_"),
 }
 
 

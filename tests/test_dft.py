@@ -6,6 +6,8 @@ periods must return the cell-centered spatial pattern as a (near-)real
 phasor, with the other components near zero.
 """
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -340,3 +342,65 @@ def test_dft_stream_gating_probes_and_eh_keep_xla():
                    dft=DftConfig((p.source.frequency,), fields="eh"),
                    log=notices2.append)
     assert any("xla scan" in s for s in notices2)
+
+
+@pytest.mark.parametrize("lossy_sar", [False, True])
+def test_dft_sharded_stream_kernel_matches_xla(lossy_sar):
+    """Sharded in-kernel DFT (r5, VERDICT r4 #3): --dft --shard rides the
+    sharded streaming wavefront — per-frequency phasor bands accumulate
+    in-kernel PER SHARD (no rank-0 gather, the bottleneck
+    description.pdf section 5 names; cf. the export path
+    `main.c:550-598`) and match the monitored xla shard_map scan and the
+    single-chip xla accumulation at the fp32 ulp level, including two
+    frequencies, a lossy load with in-kernel SAR, and odd trailing
+    steps through the single-step + sharded-cell-mean path."""
+    p = _comp_box(12, 22)  # 5 sweeps of 4 + 2 odd steps at the DFT plan
+    mats = water_block(p) if lossy_sar else None
+    dftc = DftConfig((p.source.frequency, 1.5e10))
+    want = run_simulation(p, materials=mats, write_snapshots=False,
+                          backend="xla", dft=dftc,
+                          accumulate_power=lossy_sar, log=lambda s: None)
+    got = run_simulation(p, materials=mats, write_snapshots=False,
+                         backend="pallas_stream", shard="2", dft=dftc,
+                         accumulate_power=lossy_sar, log=lambda s: None)
+    # the monitored jnp shard_map scan (the r4 path the kernel replaces)
+    ref_sh = run_simulation(p, materials=mats, write_snapshots=False,
+                            backend="xla", shard="2", dft=dftc,
+                            accumulate_power=lossy_sar, log=lambda s: None)
+    scale = np.abs(want.dft.phasors).max()
+    np.testing.assert_allclose(got.dft.phasors, want.dft.phasors,
+                               rtol=0, atol=2e-6 * scale)
+    np.testing.assert_allclose(got.dft.phasors, ref_sh.dft.phasors,
+                               rtol=0, atol=2e-6 * scale)
+    for c in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got.state, c)),
+            np.asarray(getattr(want.state, c)),
+            rtol=0, atol=5e-7, err_msg=c,
+        )
+    if lossy_sar:
+        np.testing.assert_allclose(np.asarray(got.power_j),
+                                   np.asarray(want.power_j),
+                                   rtol=3e-5, atol=1e-20)
+
+
+def test_dft_sharded_stream_checkpoint_resumes_canonical(tmp_path):
+    """The sharded in-kernel DFT accumulators checkpoint in the CANONICAL
+    (nf, nc, K, J, I) layout: a run interrupted mid-schedule resumes —
+    on a DIFFERENT topology (single-chip xla) — to the uninterrupted
+    sharded phasors (cross-topology interop, the r4 monitor-checkpoint
+    guarantee extended to the kernel tier)."""
+    p = _comp_box(12, 20)
+    dftc = DftConfig((p.source.frequency,))
+    full = run_simulation(p, write_snapshots=False, backend="pallas_stream",
+                          shard="2", dft=dftc, log=lambda s: None)
+    p_half = dataclasses.replace(p, simulation_time=9.5e-12)
+    run_simulation(p_half, out_dir=str(tmp_path), write_snapshots=False,
+                   backend="pallas_stream", shard="2", dft=dftc,
+                   checkpoint_every=10, log=lambda s: None)
+    res = run_simulation(p, out_dir=str(tmp_path), write_snapshots=False,
+                         backend="xla", dft=dftc, resume=True,
+                         log=lambda s: None)
+    scale = np.abs(full.dft.phasors).max()
+    np.testing.assert_allclose(res.dft.phasors, full.dft.phasors,
+                               rtol=0, atol=2e-6 * scale)

@@ -146,8 +146,9 @@ def test_dispersive_guards_and_cli(tmp_path):
     dm = water_debye_load(p)
     from fdtd_tpu.ops.cpml import PMLConfig
 
-    with pytest.raises(ValueError, match="closed cavity"):
-        run_simulation(p, materials=dm, pml=PMLConfig(cells=2),
+    # dispersive x PML composes since r5 (single-chip); sharded stays gated
+    with pytest.raises(ValueError, match="no --shard"):
+        run_simulation(p, materials=dm, pml=PMLConfig(cells=2), shard="2",
                        write_snapshots=False, log=lambda s: None)
     # monitors compose
     res = run_simulation(p, materials=dm, write_snapshots=False,
@@ -482,3 +483,288 @@ def test_dispersive_sar_energy_balance():
     # agreement pins that the accumulator measures real physics, not a
     # mislabeled quantity (sigma|E|^2 alone would be ~3x off here).
     np.testing.assert_allclose(dissipated, lost, rtol=0.15)
+
+
+# ---------------------------------------------------------------------------
+# Dispersive x PML (r5, VERDICT r4 #4): the ADE chain through the open
+# boundary — ops/dispersive.make_dispersive_pml_step documents why the
+# composition is algebraically exact (E gains cb*psi; P gains k2*cb*psi).
+
+
+def _center_debye(p, eps_inf=1.0, d_eps=4.0, tau=3e-12, half=3):
+    """A Debye cube at the cavity center, clear of the absorber."""
+    K, J, I = p.maxk, p.maxj, p.maxi
+    de = np.zeros((K, J, I))
+    tu = np.full((K, J, I), tau)
+    c = (K // 2, J // 2, I // 2)
+    de[c[0]-half:c[0]+half, c[1]-half:c[1]+half, c[2]-half:c[2]+half] = d_eps
+    return DebyeMaterials(
+        base=Materials(eps_r=np.full((K, J, I), eps_inf), sigma=None),
+        d_eps=de, tau=tu,
+    )
+
+
+def test_dispersive_pml_deps_zero_matches_lossy_pml():
+    """d_eps = 0: the ADE+CPML composition reduces to the lossy CPML
+    path (same algebra, different coefficient expressions -> tight
+    allclose, not bit-equal)."""
+    p = _box(12, 1e-12, 30, dtype="float64")
+    from fdtd_tpu.ops.cpml import PMLConfig
+
+    cfg = PMLConfig(cells=3)
+    plain = water_block(p)
+    dm = DebyeMaterials(
+        base=plain,
+        d_eps=np.zeros((p.maxk, p.maxj, p.maxi)),
+        tau=np.zeros((p.maxk, p.maxj, p.maxi)),
+    )
+    want = run_simulation(p, materials=plain, pml=cfg, backend="xla",
+                          write_snapshots=False, log=lambda s: None)
+    got = run_simulation(p, materials=dm, pml=cfg, backend="xla",
+                         write_snapshots=False, log=lambda s: None)
+    for c in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got.state, c)),
+            np.asarray(getattr(want.state, c)),
+            rtol=1e-12, atol=1e-16, err_msg=c,
+        )
+
+
+def test_dispersive_pml_inert_until_wave_arrives():
+    """With the pulse confined to the interior, psi stays identically
+    zero and the ADE+CPML run is BIT-equal to the closed-cavity ADE run
+    (the correction is exactly inert outside the slabs; the k2*dE P fix
+    adds exact zeros)."""
+    import dataclasses as _dc
+
+    import jax.numpy as jnp
+
+    from fdtd_tpu.ops.cpml import PMLConfig, init_psi
+    from fdtd_tpu.ops.dispersive import (
+        make_dispersive_chunk_runner,
+        make_dispersive_pml_chunk_runner,
+        zero_polarization,
+    )
+    from fdtd_tpu.state import zeros
+    from fdtd_tpu.step import scan_inputs
+    from fdtd_tpu.params import time_values
+    from tests.test_pml import _solenoidal_pulse
+
+    steps = 6
+    p = _box(40, 1e-12, steps, mode=Mode.VALIDATION, dtype="float64")
+    cfg = PMLConfig(cells=8)
+    dm = _center_debye(p)
+    s0 = _solenoidal_pulse(p, radius=1.5, cutoff=5.0)
+    xs = scan_inputs(p, time_values(p)[:steps])
+    P0 = zero_polarization(p)
+
+    run_c = make_dispersive_chunk_runner(p, dm)
+    (want, _), _, _, _ = run_c((s0, P0), xs, None, None)
+
+    run_o = make_dispersive_pml_chunk_runner(p, dm, cfg)
+    (got, _, psi), _, _, _ = run_o((s0, P0, init_psi(p, cfg)), xs,
+                                   None, None)
+    for c in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(got, c)), np.asarray(getattr(want, c)),
+            err_msg=c,
+        )
+    for name in ("hx_z", "ex_y", "ez_y"):
+        assert float(jnp.abs(getattr(psi, name)).max()) == 0.0, name
+
+
+def test_dispersive_pml_ring_down_bounded_by_each_mechanism():
+    """A Debye cube radiating through the absorber: the combined decay
+    is faster than EITHER mechanism alone — after ~4 transit times the
+    residual energy sits below both the dielectric-only (PEC cavity)
+    and the radiation-only (vacuum PML) runs."""
+    from fdtd_tpu import diagnostics
+    from fdtd_tpu.ops.cpml import PMLConfig, init_psi, make_pml_chunk_runner
+    from fdtd_tpu.ops.dispersive import (
+        make_dispersive_chunk_runner,
+        make_dispersive_pml_chunk_runner,
+        zero_polarization,
+    )
+    from fdtd_tpu.state import zeros
+    from fdtd_tpu.step import scan_inputs
+    from fdtd_tpu.params import time_values
+    from tests.test_pml import _solenoidal_pulse
+
+    n, steps = 32, 400
+    p = _box(n, 1e-12, steps, mode=Mode.VALIDATION)
+    cfg = PMLConfig(cells=8)
+    dm = _center_debye(p, d_eps=6.0, tau=2e-12, half=4)
+    s0 = _solenoidal_pulse(p, radius=3.0)
+    xs = scan_inputs(p, time_values(p)[:steps])
+    P0 = zero_polarization(p)
+
+    def energy(s):
+        return float(diagnostics.e_energy(p, s)) + float(
+            diagnostics.h_energy(p, s))
+
+    e0 = energy(s0)
+    # dielectric only (closed cavity)
+    run_d = make_dispersive_chunk_runner(p, dm)
+    (sd, _), _, _, _ = run_d((s0, P0), xs, None, None)
+    e_diel = energy(sd)
+    # radiation only (vacuum + PML)
+    run_r = make_pml_chunk_runner(p, cfg)
+    (sr, _), _ = run_r((s0, init_psi(p, cfg)), xs, None)
+    e_rad = energy(sr)
+    # both
+    run_b = make_dispersive_pml_chunk_runner(p, dm, cfg)
+    (sb, _, _), _, _, _ = run_b((s0, P0, init_psi(p, cfg)), xs,
+                                None, None)
+    e_both = energy(sb)
+
+    assert e_diel < 0.9 * e0       # the dielectric genuinely absorbs
+    assert e_rad < 1e-3 * e0       # the absorber genuinely absorbs
+    # combined: the open boundary drains what the dielectric alone
+    # cannot (orders below the closed-cavity dispersive run) ...
+    assert e_both < 0.05 * e_diel
+    assert e_both < 1e-3 * e0
+    # ... while the cube only mildly delays the drain (it stores energy
+    # and reflects at its interface, so e_both can sit slightly ABOVE
+    # the pure-vacuum run; measured ratio ~2.1)
+    assert e_both < 5 * e_rad
+    assert np.isfinite(e_both) and e_both > 0
+
+
+def test_dispersive_pml_runner_monitors_sar_and_checkpoint(tmp_path):
+    """run_simulation composes --dispersive --pml with --sar, --dft and
+    --probe; checkpoints carry BOTH pol_* and psi_* aux arrays and the
+    resumed run is bit-equal to the uninterrupted one."""
+    import glob
+    import os
+
+    from fdtd_tpu.dft import DftConfig
+    from fdtd_tpu.io.checkpoint import load_aux
+    from fdtd_tpu.ops.cpml import PMLConfig
+
+    p = _box(10, 1e-12, 16)
+    cfg = PMLConfig(cells=2)
+    dm = water_debye_load(p, lo=(0.35,) * 3, hi=(0.65,) * 3,
+                          sigma_ion25=0.5)
+    res = run_simulation(p, materials=dm, pml=cfg, write_snapshots=False,
+                         accumulate_power=True,
+                         probes=ProbeSet(((5, 5, 5),)),
+                         dft=DftConfig((p.source.frequency,)),
+                         backend="xla", log=lambda s: None)
+    assert res.probes.values.shape[0] == res.iterations
+    assert np.isfinite(res.dft.phasors).all()
+    assert float(np.asarray(res.power_j).max()) > 0.0
+
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    ra = run_simulation(p, materials=dm, pml=cfg, out_dir=out_a,
+                        write_snapshots=False, checkpoint_every=8,
+                        backend="xla", log=lambda s: None)
+    aux = load_aux(sorted(glob.glob(out_a + "/ckpt*.npz"))[0])
+    assert all(f"psi_{n}" in aux for n in ("hx_y", "ez_x"))
+    assert all(n in aux for n in ("pol_x", "pol_y", "pol_z"))
+    run_simulation(p, materials=dm, pml=cfg, out_dir=out_b,
+                   write_snapshots=False, checkpoint_every=8,
+                   backend="xla", log=lambda s: None)
+    for f in glob.glob(out_b + "/ckpt*.npz"):
+        if int(os.path.basename(f)[4:-4]) > 8:
+            os.remove(f)
+    rb = run_simulation(p, materials=dm, pml=cfg, out_dir=out_b,
+                        write_snapshots=False, resume=True,
+                        backend="xla", log=lambda s: None)
+    for c in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ra.state, c)),
+            np.asarray(getattr(rb.state, c)), err_msg=c,
+        )
+
+
+@pytest.mark.parametrize("sar", [False, True])
+def test_dispersive_stream_dft_matches_xla(sar):
+    """In-kernel DFT x dispersive streaming (r5, VERDICT r4 #6): the
+    steady-state phasor INSIDE a Debye load rides the streaming ADE
+    sweep — the phasor bands and the ADE pipeline share the
+    rolling-band mechanism — matching the xla ADE scan's per-step
+    accumulation at the fp32 ulp level, including two frequencies, the
+    TRUE-Debye SAR band, and odd trailing steps through the two-pass
+    ADE tier."""
+    from fdtd_tpu.dft import DftConfig
+    from fdtd_tpu.ops.pallas_dispersive import (
+        dispersive_stream_dft_supported,
+        pick_ade_plan,
+    )
+
+    p = _box(12, 1e-12, 22)  # 5 sweeps of 4 + 2 odd steps
+    dm = water_debye_load(p, lo=(0.25,) * 3, hi=(0.75,) * 3,
+                          sigma_ion25=0.2)
+    dftc = DftConfig((p.source.frequency, 1.5e10))
+    assert pick_ade_plan(p, sar=sar, dft_nf=dftc.nf) == (4, 1)
+    assert dispersive_stream_dft_supported(p, dftc, sar=sar)
+    want = run_simulation(p, materials=dm, write_snapshots=False,
+                          backend="xla", dft=dftc, accumulate_power=sar,
+                          log=lambda s: None)
+    got = run_simulation(p, materials=dm, write_snapshots=False,
+                         backend="pallas_stream", dft=dftc,
+                         accumulate_power=sar, log=lambda s: None)
+    scale = np.abs(want.dft.phasors).max()
+    np.testing.assert_allclose(got.dft.phasors, want.dft.phasors,
+                               rtol=0, atol=2e-6 * scale)
+    for c in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got.state, c)),
+            np.asarray(getattr(want.state, c)),
+            rtol=0, atol=5e-7, err_msg=c,
+        )
+    if sar:
+        assert float(np.abs(np.asarray(want.power_j)).max()) > 0
+        np.testing.assert_allclose(np.asarray(got.power_j),
+                                   np.asarray(want.power_j),
+                                   rtol=3e-6, atol=1e-18)
+
+
+def test_dispersive_stream_dft_gating_probes_and_eh_keep_xla():
+    """Probes and fields='eh' inside a Debye load genuinely need
+    per-step states: the runner keeps the xla ADE scan with a notice."""
+    from fdtd_tpu.dft import DftConfig
+
+    p = _box(10, 1e-12, 12)
+    dm = water_debye_load(p, sigma_ion25=0.2)
+    notices = []
+    res = run_simulation(p, materials=dm, write_snapshots=False,
+                         backend="pallas_stream",
+                         dft=DftConfig((p.source.frequency,)),
+                         probes=ProbeSet(((4, 4, 4),)),
+                         log=notices.append)
+    assert res.probes is not None
+    assert any("xla ADE scan" in s for s in notices)
+    notices2 = []
+    run_simulation(p, materials=dm, write_snapshots=False,
+                   backend="pallas_stream",
+                   dft=DftConfig((p.source.frequency,), fields="eh"),
+                   log=notices2.append)
+    assert any("xla ADE scan" in s for s in notices2)
+
+
+def test_dispersive_stream_dft_checkpoint_resume(tmp_path):
+    """DFT + polarization accumulators ride checkpoints on the
+    dispersive streaming DFT tier: an interrupted run resumes — on the
+    xla ADE scan (cross-tier interop) — to the uninterrupted phasors."""
+    import dataclasses as _dc
+
+    from fdtd_tpu.dft import DftConfig
+
+    p = _box(12, 1e-12, 20)
+    dm = water_debye_load(p, sigma_ion25=0.2)
+    dftc = DftConfig((p.source.frequency,))
+    full = run_simulation(p, materials=dm, write_snapshots=False,
+                          backend="pallas_stream", dft=dftc,
+                          log=lambda s: None)
+    p_half = _dc.replace(p, simulation_time=9.5e-12)
+    run_simulation(p_half, materials=dm, out_dir=str(tmp_path),
+                   write_snapshots=False, backend="pallas_stream",
+                   dft=dftc, checkpoint_every=10, log=lambda s: None)
+    res = run_simulation(p, materials=dm, out_dir=str(tmp_path),
+                         write_snapshots=False, backend="xla", dft=dftc,
+                         resume=True, log=lambda s: None)
+    scale = np.abs(full.dft.phasors).max()
+    np.testing.assert_allclose(res.dft.phasors, full.dft.phasors,
+                               rtol=0, atol=2e-6 * scale)

@@ -87,3 +87,45 @@ def test_bf16_sar_plan_headroom_is_thin_and_feasible():
     # if the estimate drops far below budget the estimator itself changed —
     # re-validate it against a real Mosaic compile before trusting pins
     assert need >= 0.9 * VMEM_BUDGET, (need, VMEM_BUDGET)
+
+
+# ---------------------------------------------------------------------------
+# Open-boundary admission pins (VERDICT r4 #8): the default --pml
+# composition must keep riding the fast tiers.  These are host-side gate
+# checks — if one fails, run_simulation has silently demoted --pml to the
+# xla scan (a ~6x cliff at 256^3, DESIGN.md "PML tax attribution").
+
+
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+@pytest.mark.parametrize("n", [256, 512])
+def test_pml_default_composition_admitted(n, dtype):
+    """The bench/default configs (10-cell CPML, vacuum and an interior
+    water load at 256^3 — the 512^3 load pin stays at vacuum: the
+    512^3 edge-averaging alone costs minutes on a CPU) are admitted by
+    BOTH fast tiers: the r3 slab-correction composition and the r5
+    in-kernel psi tier run_simulation dispatches."""
+    from fdtd_tpu.ops.cpml import PMLConfig
+    from fdtd_tpu.ops.cpml_fast import fast_pml_supported
+    from fdtd_tpu.ops.cpml_kernel import kernel_pml_supported
+    from fdtd_tpu.state import water_block
+
+    cfg = PMLConfig(cells=10)
+    p = _params(n, dtype)
+    cases = [("vacuum", None)]
+    if n == 256:
+        cases.append(
+            ("water", water_block(p, lo=(0.35,) * 3, hi=(0.65,) * 3)))
+    for label, m in cases:
+        assert fast_pml_supported(p, cfg, m), (n, dtype, label)
+        assert kernel_pml_supported(p, cfg, m), (n, dtype, label)
+
+
+@pytest.mark.parametrize("nshard", [2, 4, 8])
+def test_pml_sharded_composition_admitted(nshard):
+    """--pml --shard N keeps the per-shard two-pass tier for the default
+    10-cell absorber at 256^3 over 1-D z meshes up to 8 shards."""
+    from fdtd_tpu.ops.cpml import PMLConfig
+    from fdtd_tpu.parallel.sharded_pml_fast import sharded_pml_fast_supported
+
+    p = _params(256, "float32")
+    assert sharded_pml_fast_supported(p, PMLConfig(cells=10), nshard)

@@ -692,10 +692,11 @@ def test_pml_fast_supported_gates():
     )
 
 
-def test_pml_fast_runner_dispatch(tmp_path):
-    """run_simulation(pml=..., backend="pallas_fused") builds the fast
-    composition (incl. prep/restore through the stripped layout and psi
-    in the carry) and is bit-equal to the xla dispatch at fp32; a
+def test_pml_fast_runner_dispatch(tmp_path, monkeypatch):
+    """run_simulation(pml=..., backend="pallas_fused") dispatches the
+    in-kernel psi tier (ops/cpml_kernel.py, the r5 default — matches
+    xla to fp32 reassociation accuracy); FDTD_PML_KERNEL=0 forces the
+    r3 slab-correction composition, which stays BIT-equal to xla; a
     multi-step-kernel backend request gets a notice and still runs."""
     from fdtd_tpu.runner import run_simulation
 
@@ -712,16 +713,28 @@ def test_pml_fast_runner_dispatch(tmp_path):
                         log=msgs.append)
     assert not msgs  # supported combo: no fallback notice
     for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
-        np.testing.assert_array_equal(
+        # in-kernel psi arithmetic: FMA/reassociation at fp32
+        np.testing.assert_allclose(
             np.asarray(getattr(rb.state, c)), np.asarray(getattr(ra.state, c)),
+            atol=1e-6, rtol=1e-4, err_msg=c,
+        )
+    monkeypatch.setenv("FDTD_PML_KERNEL", "0")
+    rb0 = run_simulation(p, out_dir=str(tmp_path / "f0"), pml=cfg,
+                         backend="pallas_fused", write_snapshots=False,
+                         log=lambda s: None)
+    monkeypatch.delenv("FDTD_PML_KERNEL")
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(rb0.state, c)), np.asarray(getattr(ra.state, c)),
             err_msg=c,
         )
     rc = run_simulation(p, out_dir=str(tmp_path / "t"), pml=cfg,
                         backend="pallas_temporal", write_snapshots=False,
                         log=msgs.append)
     assert any("psi recursion" in m for m in msgs)
-    np.testing.assert_array_equal(np.asarray(rc.state.ey),
-                                  np.asarray(ra.state.ey))
+    np.testing.assert_allclose(np.asarray(rc.state.ey),
+                               np.asarray(ra.state.ey),
+                               atol=1e-6, rtol=1e-4)
 
 
 def test_pml_fast_checkpoint_resume_bit_exact(tmp_path):
@@ -965,3 +978,151 @@ def test_pml_sharded_fast_supported_gates():
     sg[0:3, :, :] = 0.1  # conductive load inside the k-lo slab
     mats = Materials(eps_r=np.ones((K, J, I)), sigma=sg, mu_r=None)
     assert not sharded_pml_fast_supported(p, PMLConfig(cells=5), 2, mats)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel CPML tier (ops/cpml_kernel.py, r5): the 8 j/i-axis psi terms
+# ride INSIDE the two-pass Pallas kernels; only the 4 tile-aligned k-slab
+# terms stay XLA corrections.  DESIGN.md "PML tax attribution" records why
+# (the r3 slab-correction composition measured 1.31 G vs 7.82 G two-pass).
+
+
+@pytest.mark.parametrize("case", ["vacuum", "lossy+sar", "het-mu"])
+def test_pml_kernel_matches_xla(case):
+    """The in-kernel tier matches the xla PML path — fields, psi (through
+    unpack), and the SAR accumulator — to FMA/reassociation accuracy at
+    fp64 (the psi recursion now compiles inside the kernel, so last-bit
+    fusion differs from the standalone XLA expression; measured max rel
+    ~5e-15 over 40 steps)."""
+    from fdtd_tpu.ops.cpml_kernel import (
+        make_pml_kernel_chunk_runner,
+        pack_psi,
+        unpack_psi,
+    )
+    from fdtd_tpu.state import Materials, water_block
+    from fdtd_tpu.step import backend_adapters, zero_power_acc
+
+    n, steps = 24, 40
+    p = dataclasses.replace(_box_params(n, steps, dtype="float64"),
+                            mode=Mode.COMPUTATION)
+    cfg = PMLConfig(cells=5)
+    xs = scan_inputs(p, time_values(p)[:steps])
+    K, J, I = p.maxk, p.maxj, p.maxi
+    mats, sar = None, False
+    if case == "lossy+sar":
+        mats, sar = water_block(p, lo=(0.35,) * 3, hi=(0.65,) * 3), True
+    elif case == "het-mu":
+        er = np.ones((K, J, I))
+        sg = np.zeros((K, J, I))
+        mu = np.ones((K, J, I))
+        c0, c1 = n // 2 - 3, n // 2 + 3  # interior, clear of the slabs
+        er[c0:c1, c0:c1, c0:c1] = 8.0
+        sg[c0:c1, c0:c1, c0:c1] = 0.4
+        mu[c0:c1, c0:c1, c0:c1] = 3.0
+        mats = Materials(eps_r=er, sigma=sg, mu_r=mu)
+
+    pw = zero_power_acc(p) if sar else None
+    run_x = make_pml_chunk_runner(p, cfg, mats, accumulate_power=sar)
+    (want, psi_w), pw_want = run_x((zeros(p), init_psi(p, cfg)), xs, pw)
+
+    prep, restore = backend_adapters(p, "pallas_fused", mats)
+    run_k = make_pml_kernel_chunk_runner(p, cfg, mats, accumulate_power=sar)
+    (st, pp), pw_got = run_k((prep(zeros(p)), pack_psi(p, cfg, None)), xs, pw)
+    got = restore(st)
+    psi_g = unpack_psi(p, cfg, pp)
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(got, c)), np.asarray(getattr(want, c)),
+            atol=1e-14, rtol=1e-12, err_msg=f"{case}/{c}",
+        )
+    engaged = 0
+    for name in type(psi_w).__dataclass_fields__:
+        a = np.asarray(getattr(psi_g, name))
+        b = np.asarray(getattr(psi_w, name))
+        np.testing.assert_allclose(a, b, atol=1e-14, rtol=1e-12,
+                                   err_msg=f"{case}/psi/{name}")
+        engaged += float(np.abs(b).max()) > 0
+    assert engaged == 12  # every psi term genuinely engaged
+    if sar:
+        np.testing.assert_array_equal(
+            np.asarray(pw_got), np.asarray(pw_want), err_msg=case
+        )
+        assert float(np.asarray(pw_want).max()) > 0
+
+
+def test_pml_kernel_psi_pack_roundtrip():
+    """pack_psi/unpack_psi is a BIT-exact round trip on an engaged psi
+    state (checkpoints stay canonical; cross-tier resume interops)."""
+    from fdtd_tpu.ops.cpml_kernel import pack_psi, unpack_psi
+
+    n, steps = 20, 24
+    p = dataclasses.replace(_box_params(n, steps, dtype="float64"),
+                            mode=Mode.COMPUTATION)
+    cfg = PMLConfig(cells=4)
+    xs = scan_inputs(p, time_values(p)[:steps])
+    run_x = make_pml_chunk_runner(p, cfg)
+    (_, psi), _ = run_x((zeros(p), init_psi(p, cfg)), xs, None)
+    rt = unpack_psi(p, cfg, pack_psi(p, cfg, psi))
+    for name in type(psi).__dataclass_fields__:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(rt, name)), np.asarray(getattr(psi, name)),
+            err_msg=name,
+        )
+
+
+def test_pml_kernel_supported_gates():
+    """kernel_pml_supported: everything fast_pml_supported admits plus
+    4*cells <= 128 (the i-axis lane pack must fit one 128-lane tile)."""
+    from fdtd_tpu.ops.cpml_kernel import kernel_pml_supported
+
+    p = _box_params(24, 10, dtype="float32")
+    assert kernel_pml_supported(p, PMLConfig(cells=5))
+    assert kernel_pml_supported(p, PMLConfig(cells=10))
+    # fp64 stays on xla, like the r3 fast composition
+    assert not kernel_pml_supported(
+        _box_params(24, 10, dtype="float64"), PMLConfig(cells=5))
+    # a 33+-cell absorber busts the one-tile lane pack
+    p_big = _box_params(72, 10, dtype="float32")
+    assert not kernel_pml_supported(p_big, PMLConfig(cells=33))
+
+
+def test_pml_kernel_checkpoint_cross_tier_resume(tmp_path, monkeypatch):
+    """A checkpoint written by the in-kernel tier holds the CANONICAL
+    psi layout: resuming it on the xla backend works and matches the
+    uninterrupted kernel-tier run to fp32 accuracy (and the within-tier
+    resume is bit-exact)."""
+    from fdtd_tpu.runner import run_simulation
+
+    n = 20
+    p = dataclasses.replace(_box_params(n, 20, dtype="float32"),
+                            mode=Mode.COMPUTATION, sampling_rate=10)
+    cfg = PMLConfig(cells=4)
+    ra = run_simulation(p, out_dir=str(tmp_path / "full"), pml=cfg,
+                        backend="pallas_fused", write_snapshots=False,
+                        log=lambda s: None)
+    p_half = dataclasses.replace(p, simulation_time=1e-11)
+    run_simulation(p_half, out_dir=str(tmp_path / "part"), pml=cfg,
+                   backend="pallas_fused", checkpoint_every=10,
+                   write_snapshots=False, log=lambda s: None)
+    # within-tier resume: bit-exact
+    rb = run_simulation(p, out_dir=str(tmp_path / "part"), pml=cfg,
+                        backend="pallas_fused", resume=True,
+                        checkpoint_every=10, write_snapshots=False,
+                        log=lambda s: None)
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(rb.state, c)), np.asarray(getattr(ra.state, c)),
+            err_msg=c,
+        )
+    # cross-tier resume: the same checkpoint re-enters the xla scan
+    run_simulation(p_half, out_dir=str(tmp_path / "part2"), pml=cfg,
+                   backend="pallas_fused", checkpoint_every=10,
+                   write_snapshots=False, log=lambda s: None)
+    rx = run_simulation(p, out_dir=str(tmp_path / "part2"), pml=cfg,
+                        backend="xla", resume=True, checkpoint_every=10,
+                        write_snapshots=False, log=lambda s: None)
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(rx.state, c)), np.asarray(getattr(ra.state, c)),
+            atol=1e-6, rtol=1e-4, err_msg=c,
+        )

@@ -95,6 +95,29 @@ def row_pml(n, steps):
     return _time(n, steps, make_state, run_once)
 
 
+def row_kernel(n, steps):
+    from fdtd_tpu.ops.cpml_kernel import (
+        make_pml_kernel_chunk_runner,
+        pack_psi,
+    )
+
+    p = _params(n, steps)
+    cfg = PMLConfig(cells=10)
+    run = make_pml_kernel_chunk_runner(p, cfg, None, False)
+    prep, _ = backend_adapters(p, "pallas_fused")
+    xs = scan_inputs(p, np.arange(steps) * p.time_step)
+
+    def make_state():
+        return jax.block_until_ready(
+            (prep(zeros(p)), pack_psi(p, cfg, None)))
+
+    def run_once(carry, eps):
+        carry, _ = run(carry, (xs[0], xs[1] + eps), None)
+        return carry[0].ex
+
+    return _time(n, steps, make_state, run_once)
+
+
 def row_xla_pml(n, steps):
     p = _params(n, steps)
     cfg = PMLConfig(cells=10)
@@ -114,8 +137,11 @@ def row_xla_pml(n, steps):
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 600
+    sel = sys.argv[3] if len(sys.argv) > 3 else None
     for name, fn in (("twopass", row_twopass), ("pml", row_pml),
-                     ("xla_pml", row_xla_pml)):
+                     ("kernel", row_kernel), ("xla_pml", row_xla_pml)):
+        if sel is not None and sel not in name:
+            continue
         try:
             g, ms = fn(n, steps)
             print(f"{name:10s} {g:6.2f} Gcells/s  ({ms:.3f} ms/step)",
