@@ -272,6 +272,50 @@ def _row_dft(n, steps, dtype):
         run_once)
 
 
+def _row_dispersive_dft(n, steps, dtype):
+    """--dispersive --dft: the steady-state phasor INSIDE a Debye load
+    riding the streaming ADE sweep (r5, VERDICT r4 #6)."""
+    import dataclasses as _dc
+
+    import jax
+
+    from fdtd_tpu.dft import DftConfig, dft_weights, zero_dft_acc
+    from fdtd_tpu.ops.dispersive import water_debye_load
+    from fdtd_tpu.ops.pallas_dispersive import (
+        make_ade_state,
+        make_dispersive_stream_dft_chunk_runner,
+    )
+    from fdtd_tpu.ops.pallas_fused import stripped_zeros
+
+    p = _bench_params(n, steps, dtype)
+    dm = water_debye_load(p, sigma_ion25=0.3)
+    dftc = DftConfig((2.45e10,))
+    run = make_dispersive_stream_dft_chunk_runner(p, dm)
+    ts = np.arange(steps) * p.time_step
+    xs_t, xs_a = scan_inputs(p, ts)
+    cw, sw = dft_weights(dftc, ts)
+    box = {"ade": make_ade_state(p, dm, False)}
+
+    def make_state():
+        ade = box["ade"]
+        ade = _dc.replace(
+            ade,
+            px=jax.jit(lambda a: a * 0)(ade.px),
+            py=jax.jit(lambda a: a * 0)(ade.py),
+            pz=jax.jit(lambda a: a * 0)(ade.pz),
+        )
+        st = jax.jit(lambda: stripped_zeros(p))()
+        return jax.block_until_ready((st, ade))
+
+    def run_once(carry, eps):
+        carry, _pw, _dacc, _ = run(carry, (xs_t, xs_a + eps, cw, sw),
+                                   None, zero_dft_acc(p, dftc))
+        box["ade"] = carry[1]  # coef buffers pass through donation
+        return carry[0].ex
+
+    return _time_runner(n, steps, make_state, run_once)
+
+
 def _row_grid512(n, steps, dtype):
     return bench(n=512, steps=max(120, steps // 2))["value"]
 
@@ -297,6 +341,7 @@ ROW_FNS = {
     "dft_fp32": (_row_dft, "float32"),
     "dispersive_sar_bf16": (_row_dispersive, "bfloat16"),
     "dispersive_sar_fp32": (_row_dispersive, "float32"),
+    "dispersive_dft_fp32": (_row_dispersive_dft, "float32"),
     "grid512_fp32": (_row_grid512, "float32"),
 }
 

@@ -57,6 +57,7 @@ from .pallas_fused import (
     make_inject_source,
     to_stripped,
 )
+from .pallas_temporal import DJ, HJ, jt_extents
 
 COMPS = ("x", "y", "z")
 COEF_NAMES = ("ca", "cb", "cp", "k1", "k2")
@@ -382,7 +383,7 @@ def make_dispersive_fused_step(p: Params, dm: DebyeMaterials,
 
 
 def ade_stream_vmem_estimate(p: Params, s: int, sar: bool,
-                             dft_nf: int = 0) -> int:
+                             dft_nf: int = 0, nj: int = 1) -> int:
     """VMEM model of the streaming ADE sweep: double-buffered field + P
     in/out tiles, 15 coefficient Element windows of (tk+s) rows
     [+3 sigma windows, acc tiles] [+6*nf phasor tiles, r5], persistent
@@ -393,12 +394,20 @@ def ade_stream_vmem_estimate(p: Params, s: int, sar: bool,
     _, J1, Ib = dims(p)
     item = jnp.dtype(p.dtype).itemsize
     Ibp = -(-Ib // 128) * 128
-    row = J1 * Ibp
-    io = 2 * 2 * 9 * s * row * item              # 6 fields + 3 P, in+out
+    if nj > 1:
+        tj, _ = jt_extents(p, nj)
+        rows_w, rows_o = tj + 2 * HJ, tj  # window vs interior rows
+    else:
+        rows_w = rows_o = J1
+    row = rows_w * Ibp
+    row_o = rows_o * Ibp
+    io = 2 * 9 * s * (row + row_o) * item        # 6 fields + 3 P, in+out
     io += 2 * 15 * (2 * s) * row * item          # coef Element windows
+    if nj > 1:
+        io += 2 * 9 * s * HJ * Ibp * item        # halo band windows
     if sar:
         io += 2 * 3 * (2 * s) * row * item       # sigma Element windows
-        io += 2 * 2 * s * row * 4                # acc in/out fp32 tiles
+        io += 2 * s * (row + row_o) * 4          # acc in/out fp32 tiles
     if dft_nf:
         io += 2 * 2 * 6 * dft_nf * s * row * 4   # phasor in/out tiles
     tails = (s + 1) * 9 * row * 4                # field + P fp32 tails
@@ -415,9 +424,13 @@ def pick_ade_plan(p: Params, sar: bool = False, dft_nf: int = 0):
     """Feasible (steps-per-sweep, j-tiles) for the streaming ADE sweep,
     or None (the two-pass tier then serves).  The 15 coefficient windows
     need s <= D/2 = 4 (window start D - 2s >= 0, the same bound as r3's
-    lossy windows); candidates are s in {4, 2}, full-plane only (the
-    j-tiled in-place band splice would need 9 band operands — future
-    work; 256^3 bf16 closes full-plane, fp32 closes at s=2)."""
+    lossy windows); candidates are s in {4, 2} at nj in {1, 2, 4, 8}
+    (r5: the 9-band j-tiled in-place variant — 512^3-class bf16 grids
+    whose full-plane planes bust VMEM now stream instead of silently
+    falling to two-pass; the in-kernel DFT stays full-plane, like
+    pallas_stream's).  256^3 bf16 closes full-plane at s=4, fp32 at
+    s=2; 512^3 fp32 is HBM-infeasible outright (the 15 fp32
+    coefficient maps alone are ~8 GB — see DESIGN.md)."""
     from .pallas_temporal import HBM_BUDGET, VMEM_BUDGET, state_bytes
 
     if not dispersive_fused_supported(p):
@@ -435,13 +448,21 @@ def pick_ade_plan(p: Params, sar: bool = False, dft_nf: int = 0):
     for s in (D // 2, D // 4):
         if D % s or (S - D) % s or (S - D) // s < 2:
             continue
-        if ade_stream_vmem_estimate(p, s, sar, dft_nf) <= VMEM_BUDGET:
-            return s, 1
+        for nj in (1, 2, 4, 8):
+            if nj > 1:
+                if dft_nf or s > HJ:
+                    continue  # in-kernel DFT is full-plane only
+                tj, _ = jt_extents(p, nj)
+                if tj <= 2 * HJ or (nj - 1) * tj >= J1:
+                    continue  # degenerate tiling (tiny grids/over-split)
+            if (ade_stream_vmem_estimate(p, s, sar, dft_nf, nj)
+                    <= VMEM_BUDGET):
+                return s, nj
     return None
 
 
 def _kernel_ade_stream(p: Params, f_h, patch, Ib, s, sar, dt_step, nk,
-                       dft_nf, *refs):
+                       dft_nf, jt, *refs):
     """Streaming ADE sweep step: advance all s levels by tk = s rows.
 
     The skewed pipeline of pallas_stream._kernel with the polarization
@@ -457,10 +478,17 @@ def _kernel_ade_stream(p: Params, f_h, patch, Ib, s, sar, dt_step, nk,
     different grid steps).
 
     refs: koff, 6 field ins, de2, dh2, 3 P ins, 15 coef windows,
-    [3 sigma windows, acc_in], 6 field outs, 3 P outs, [acc out],
-    scratch: 6 field tails, 3 P tails [+ 3 work tails, work band].
+    [3 sigma windows, acc_in], [wts, dacc_in], [9 halo bands (jt)],
+    6 field outs, 3 P outs, [acc out], [dacc out],
+    scratch: 6 field tails, 3 P tails [+ 3 work tails, work band]
+    [+ dft bands].
 
-    Computation mode only (no corr windows), full-plane, single-chip.
+    Computation mode only (no corr windows), single-chip.  ``jt``
+    (r5): j-tiled mode — grid (nj, nk + ofs), tile interior of jt rows;
+    in-place aliasing corrupts each tile's lower j-halo before it runs,
+    so the 9 pre-copied read-only band operands splice the pre-sweep
+    halo rows (pallas_stream._build_stream_call_jt's mechanism, with P
+    joining the fields — the "9 band operands" variant).
     """
     tk = s
     koff_ref = refs[0]
@@ -480,6 +508,9 @@ def _kernel_ade_stream(p: Params, f_h, patch, Ib, s, sar, dt_step, nk,
         # the exact mechanism of pallas_stream._kernel's dft_nf path
         wts_ref, daccin_ref = refs[idx : idx + 2]
         idx += 2
+    if jt is not None:
+        band_ins = refs[idx : idx + 9]
+        idx += 9
     outs = refs[idx : idx + 6]
     pouts = refs[idx + 6 : idx + 9]
     idx += 9
@@ -498,7 +529,13 @@ def _kernel_ade_stream(p: Params, f_h, patch, Ib, s, sar, dt_step, nk,
         dbandr = refs[idx]
         idx += 1
 
-    g = pl.program_id(0)
+    if jt is None:
+        g = pl.program_id(0)
+        joff = 0
+    else:
+        jb = pl.program_id(0)
+        g = pl.program_id(1)
+        joff = jb * jt - HJ  # content-global j of window row 0
     K, J = p.maxk, p.maxj
     L0 = g * tk + koff_ref[0, 0]
 
@@ -518,10 +555,20 @@ def _kernel_ade_stream(p: Params, f_h, patch, Ib, s, sar, dt_step, nk,
 
     st_dt = ins[0].dtype
     cd = jnp.float32 if st_dt == jnp.bfloat16 else st_dt
-    cur_ex, cur_ey, cur_ez, cur_hx, cur_hy, cur_hz = (
-        r[:].astype(cd) for r in ins
-    )
-    cur_px, cur_py, cur_pz = (r[:].astype(cd) for r in pins)
+    if jt is not None:
+        # splice the pre-copied halo band (this tile's pre-sweep lower
+        # halo, overwritten in place by tile jb-1 by the time we run)
+        # over the aliasing-corrupted window rows [0, HJ) — fields AND P
+        cur_ex, cur_ey, cur_ez, cur_hx, cur_hy, cur_hz, \
+            cur_px, cur_py, cur_pz = (
+                jnp.concatenate([bi[:], r[:][:, HJ:]], axis=1).astype(cd)
+                for bi, r in zip(band_ins, tuple(ins) + tuple(pins))
+            )
+    else:
+        cur_ex, cur_ey, cur_ez, cur_hx, cur_hy, cur_hz = (
+            r[:].astype(cd) for r in ins
+        )
+        cur_px, cur_py, cur_pz = (r[:].astype(cd) for r in pins)
     caw = [r[:].astype(cd) for r in coef_refs[0:3]]
     cbw = [r[:].astype(cd) for r in coef_refs[3:6]]
     cpw = [r[:].astype(cd) for r in coef_refs[6:9]]
@@ -536,6 +583,8 @@ def _kernel_ade_stream(p: Params, f_h, patch, Ib, s, sar, dt_step, nk,
     j0, j1, i0, i1 = patch
     plane = cur_ex.shape[1:]
     jrow = jax.lax.broadcasted_iota(jnp.int32, plane, 0)
+    if jt is not None:
+        jrow = jrow + joff  # content-global j (window row 0 = joff)
     lane2 = jax.lax.broadcasted_iota(jnp.int32, plane, 1)
     mrow = (jrow >= j0) & (jrow < j1) & (lane2 >= i0) & (lane2 < i1)
 
@@ -776,13 +825,16 @@ def _kernel_ade_stream(p: Params, f_h, patch, Ib, s, sar, dt_step, nk,
 
     @pl.when(emit_cond)
     def _emit():
+        # j-tiled: emit the tile interior; halo columns are the
+        # recompute wedge (stale beyond their level's validity)
         for o, v in zip(outs, vals):
-            o[:] = v.astype(st_dt)
+            o[:] = (v if jt is None else v[:, HJ : HJ + jt]).astype(st_dt)
         for o, v in zip(pouts, pvals):
-            o[:] = v.astype(st_dt)
+            o[:] = (v if jt is None else v[:, HJ : HJ + jt]).astype(st_dt)
 
     if sar:
-        acc_emit = accband[:tk]
+        acc_emit = (accband[:tk] if jt is None
+                    else accband[:tk, HJ : HJ + jt])
 
         @pl.when((g >= 2) & (g <= nk + 1))
         def _emit_acc():
@@ -800,7 +852,8 @@ def _kernel_ade_stream(p: Params, f_h, patch, Ib, s, sar, dt_step, nk,
 
     if dft_nf:
         # phasor-accumulator emit: same schedule as the SAR band (cell
-        # block g-2 completes at grid step g, one extra drain step)
+        # block g-2 completes at grid step g, one extra drain step);
+        # full-plane only (pick_ade_plan gates dft_nf to nj == 1)
         demit = jnp.stack([bnd[:tk] for bnd in dbands])
 
         @pl.when((g >= 2) & (g <= nk + 1))
@@ -819,8 +872,140 @@ def _kernel_ade_stream(p: Params, f_h, patch, Ib, s, sar, dt_step, nk,
             )
 
 
+def _build_ade_stream_call_jt(p, f_h, interpret, s, sar, nj, S, J1, Ib,
+                              tk, ofs, nk, dtype, compute_dtype, patch,
+                              nd):
+    """j-tiled streaming ADE sweep (r5, VERDICT r4 #5): grid (nj,
+    nk + ofs), k inner — the "9 band operands" in-place variant.
+
+    Operands are (S, Jt, Ib) j-extended arrays (pallas_temporal.
+    jextend); every window is an Element spec of tj + 2*HJ rows
+    starting at jb*tj + DJ - HJ (8-aligned).  Fields AND P alias
+    in-place, so each tile's lower j-halo rows — inside tile jb-1's
+    interior, already overwritten — ride in NINE pre-copied read-only
+    (S, (nj-1)*HJ, Ib) band operands (pallas_stream.
+    _build_stream_call_jt's band mechanism extended to the
+    polarization).  This is what lets 512^3-class dispersive grids
+    stream instead of silently falling to the two-pass tier."""
+    assert s <= HJ, (s, HJ)
+    tj, Jt = jt_extents(p, nj)
+    tjw = tj + 2 * HJ
+
+    bulk_shape = jax.ShapeDtypeStruct((S, Jt, Ib), dtype)
+    acc_shape = jax.ShapeDtypeStruct((S, Jt, Ib), jnp.float32)
+    grid = (nj, nk + ofs + (1 if sar else 0))
+
+    def jstart(jb):
+        return pl.multiple_of(jb * tj + DJ - HJ, 8)
+
+    in_win = pl.BlockSpec(
+        (pl.Element(tk), pl.Element(tjw), pl.Element(Ib)),
+        lambda jb, g: (jnp.where(g < nk, g + ofs, 0) * tk, jstart(jb), 0),
+        memory_space=pltpu.VMEM,
+    )
+    out_win = pl.BlockSpec(
+        (pl.Element(tk), pl.Element(tj), pl.Element(Ib)),
+        lambda jb, g: (
+            jnp.where(g <= nk, g + ofs - 1,
+                      jnp.minimum(g - nk - 1, ofs - 1)) * tk,
+            pl.multiple_of(jb * tj + DJ, 8),
+            0,
+        ),
+        memory_space=pltpu.VMEM,
+    )
+    coef_win = pl.BlockSpec(
+        (pl.Element(tk + s, (0, 2 * s)), pl.Element(tjw), pl.Element(Ib)),
+        lambda jb, g: ((jnp.minimum(g, nk) + ofs) * tk - s, jstart(jb), 0),
+        memory_space=pltpu.VMEM,
+    )
+    drv_spec = pl.BlockSpec(
+        (pl.Element(nd), pl.Element(tjw), pl.Element(Ib)),
+        lambda jb, g: (0, jstart(jb), 0),
+        memory_space=pltpu.VMEM,
+    )
+    smem = pl.BlockSpec((1, 1), lambda jb, g: (0, 0),
+                        memory_space=pltpu.SMEM)
+    band_win = pl.BlockSpec(
+        (pl.Element(tk), pl.Element(HJ), pl.Element(Ib)),
+        lambda jb, g: (
+            jnp.where(g < nk, g + ofs, 0) * tk,
+            jnp.maximum(jb - 1, 0) * HJ,
+            0,
+        ),
+        memory_space=pltpu.VMEM,
+    )
+    sg_win = pl.BlockSpec(
+        (pl.Element(tk + s, (0, 2 * s)), pl.Element(tjw), pl.Element(Ib)),
+        lambda jb, g: ((jnp.minimum(g, nk) + ofs) * tk - s, jstart(jb), 0),
+        memory_space=pltpu.VMEM,
+    )
+    acc_win = pl.BlockSpec(
+        (pl.Element(tk), pl.Element(tj), pl.Element(Ib)),
+        lambda jb, g: (
+            jnp.clip(jnp.where(g < 2, jnp.minimum(g, ofs - 1),
+                               g + ofs - 2),
+                     0, nk + ofs - 1) * tk,
+            pl.multiple_of(jb * tj + DJ, 8),
+            0,
+        ),
+        memory_space=pltpu.VMEM,
+    )
+    in_specs = (
+        [smem] + [in_win] * 6 + [drv_spec] * 2 + [in_win] * 3
+        + [coef_win] * 15
+        + ([sg_win] * 3 + [acc_win] if sar else [])
+        + [band_win] * 9
+    )
+    n_in = len(in_specs)
+    out_specs = [out_win] * 9 + ([acc_win] if sar else [])
+    out_shape = (bulk_shape,) * 9 + ((acc_shape,) if sar else ())
+    aliases = {}
+    if not interpret:
+        aliases.update({i + 1: i for i in range(6)})      # fields
+        aliases.update({i + 9: i + 6 for i in range(3)})  # P
+        if sar:
+            aliases[n_in - 10] = 9
+    tail = pltpu.VMEM((s + 1, tjw, Ib), compute_dtype)
+    scratch = [tail] * 9 + (
+        [pltpu.VMEM((s + 1, tjw, Ib), jnp.float32)] * 3
+        + [pltpu.VMEM((3 * tk, tjw, Ib), jnp.float32)]
+        if sar else []
+    )
+    from .pallas_temporal import VMEM_BUDGET
+
+    inner = pl.pallas_call(
+        functools.partial(_kernel_ade_stream, p, f_h, patch, Ib, s, sar,
+                          p.time_step, nk, 0, tj),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases=aliases,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BUDGET),
+        interpret=interpret,
+    )
+
+    def call(*args):
+        # args: koff, 6 fields, de2, dh2, 3 P, 15 coefs [, 3 sg, acc];
+        # append the 9 pre-copied halo bands (fields then P)
+        nine = args[1:7] + args[9:12]
+        bands = [
+            jnp.concatenate(
+                [jax.lax.slice_in_dim(f, b * tj + DJ - HJ, b * tj + DJ,
+                                      axis=1)
+                 for b in range(1, nj)],
+                axis=1,
+            )
+            for f in nine
+        ]
+        return inner(*args, *bands)
+
+    return call, nd
+
+
 def build_ade_stream_call(p: Params, f_h, interpret: bool, s: int,
-                          sar: bool, dft_nf: int = 0):
+                          sar: bool, dft_nf: int = 0, nj: int = 1):
     """The streaming ADE sweep pallas_call (single-chip, full-plane).
 
     Same block calculus as pallas_stream.build_stream_call: Blocked
@@ -837,13 +1022,18 @@ def build_ade_stream_call(p: Params, f_h, interpret: bool, s: int,
     assert D % tk == 0 and (S - D) % tk == 0
     nk = (S - D) // tk
     dtype = jnp.dtype(p.dtype)
-    bulk_shape = jax.ShapeDtypeStruct((S, J1, Ib), dtype)
-    acc_shape = jax.ShapeDtypeStruct((S, J1, Ib), jnp.float32)
-    dacc_shape = jax.ShapeDtypeStruct((6 * dft_nf, S, J1, Ib), jnp.float32)
     compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
     plan = make_source_plan(p)
     patch = (plan.j0, plan.j1, plan.i0, plan.i1)
     nd = max(s - 1, 1)
+    if nj > 1:
+        assert dft_nf == 0, "j-tiled in-kernel DFT is full-plane only"
+        return _build_ade_stream_call_jt(
+            p, f_h, interpret, s, sar, nj, S, J1, Ib, tk, ofs, nk,
+            dtype, compute_dtype, patch, nd)
+    bulk_shape = jax.ShapeDtypeStruct((S, J1, Ib), dtype)
+    acc_shape = jax.ShapeDtypeStruct((S, J1, Ib), jnp.float32)
+    dacc_shape = jax.ShapeDtypeStruct((6 * dft_nf, S, J1, Ib), jnp.float32)
     grid = (nk + ofs + (1 if sar or dft_nf else 0),)
 
     in_blk = pl.BlockSpec(
@@ -925,7 +1115,7 @@ def build_ade_stream_call(p: Params, f_h, interpret: bool, s: int,
 
     inner = pl.pallas_call(
         functools.partial(_kernel_ade_stream, p, f_h, patch, Ib, s, sar,
-                          p.time_step, nk, dft_nf),
+                          p.time_step, nk, dft_nf, None),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -941,26 +1131,29 @@ def build_ade_stream_call(p: Params, f_h, interpret: bool, s: int,
 def make_dispersive_stream_step(p: Params, dm: DebyeMaterials,
                                 accumulate_power: bool,
                                 interpret: bool, s: int,
-                                dft_nf: int = 0):
+                                dft_nf: int = 0, nj: int = 1):
     """``group_step((st, ade)[, acc_st], xs_group) -> same`` advancing s
     steps per sweep; acc_st is the storage-layout fp32 accumulator
-    (pallas_temporal.embed_power_acc at nj=1).  With ``dft_nf`` the
-    signature extends to ``group_step(st, ade, acc, xs_group, dacc,
+    (pallas_temporal.embed_power_acc at the plan's nj).  With ``dft_nf``
+    the signature extends to ``group_step(st, ade, acc, xs_group, dacc,
     wts) -> (st, ade, acc, dacc)`` — the phasor tiles ride the sweep
-    (r5, VERDICT r4 #6)."""
+    (r5, VERDICT r4 #6).  With ``nj`` > 1 (r5) the state AND AdeState
+    must be j-extended (jextend_ade) before the scan and restored
+    after."""
     dc = debye_coefs(p, dm)
     dtype = jnp.dtype(p.dtype)
     compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
     f_h = compute_dtype.type(float(np.asarray(dc.h_factor)))
     call, nd = build_ade_stream_call(p, f_h, interpret, s,
-                                     accumulate_power, dft_nf)
+                                     accumulate_power, dft_nf, nj)
     plan = make_source_plan(p)
-    inject = make_inject_source(p, plan, dtype)
     f_h32 = jnp.float32(float(np.asarray(dc.h_factor)))
     S, J1, Ib = dims(p)
+    _, Jt = jt_extents(p, nj)
+    dj = DJ if nj > 1 else 0
     K, J = p.maxk, p.maxj
     zoff = np.zeros((1, 1), np.int32)
-    zero_drv = np.zeros((nd, J1, Ib), dtype)
+    zero_drv = np.zeros((nd, Jt if nj > 1 else J1, Ib), dtype)
 
     def drive_patch(amp):
         amp_j = jnp.asarray(amp)
@@ -969,11 +1162,24 @@ def make_dispersive_stream_step(p: Params, dm: DebyeMaterials,
         npj, ni = plan.j1 - plan.j0, len(plan.profile)
         return jnp.broadcast_to(row[None, :], (npj, ni))
 
+    def inject(st: StrippedState, amp) -> StrippedState:
+        pv = drive_patch(amp)
+        zero = jnp.zeros_like(pv).astype(dtype)
+        sl = (D, slice(dj + plan.j0, dj + plan.j1),
+              slice(plan.i0, plan.i1))
+        return dataclasses.replace(
+            st,
+            ez=st.ez.at[sl].set(pv.astype(dtype)),
+            ex=st.ex.at[sl].set(zero),
+            hz=st.hz.at[sl].set(zero),
+            hx=st.hx.at[sl].set((-plan.inv_z_te * pv).astype(dtype)),
+        )
+
     def group_step(st: StrippedState, ade: AdeState, acc, xs_group,
                    dacc=None, wts=None):
         ts_g, amps_g = xs_group
         st = inject(st, amps_g[0])
-        sl = (slice(0, nd), slice(plan.j0, plan.j1),
+        sl = (slice(0, nd), slice(dj + plan.j0, dj + plan.j1),
               slice(plan.i0, plan.i1))
         pvs = jnp.stack([drive_patch(amps_g[m]) for m in range(1, s)]) \
             if s > 1 else jnp.zeros((nd, plan.j1 - plan.j0,
@@ -999,9 +1205,9 @@ def make_dispersive_stream_step(p: Params, dm: DebyeMaterials,
         # Hx strip: s cheap 2-D updates (frozen-strip curl is constant)
         ey_s2 = st.ey_s[:, :, 0]
         ez_s2 = st.ez_s[:, :, 0]
-        sl2 = (slice(D, D + K), slice(0, J))
-        curl = (ey_s2[D + 1 : D + K + 1, :J] - ey_s2[sl2]) - (
-            ez_s2[D : D + K, 1 : J + 1] - ez_s2[sl2]
+        sl2 = (slice(D, D + K), slice(dj, dj + J))
+        curl = (ey_s2[D + 1 : D + K + 1, dj : dj + J] - ey_s2[sl2]) - (
+            ez_s2[D : D + K, dj + 1 : dj + J + 1] - ez_s2[sl2]
         )
         hx_s = st.hx_s
         for _ in range(s):
@@ -1015,7 +1221,23 @@ def make_dispersive_stream_step(p: Params, dm: DebyeMaterials,
         return st, ade, acc
 
     group_step.s = s
+    group_step.nj = nj
     return group_step
+
+
+def jextend_ade(p: Params, ade: AdeState, nj: int) -> AdeState:
+    """Pad every AdeState array into the j-extended layout (the
+    polarization and coefficient maps ride the same j-tiling as the
+    fields — pallas_temporal.jextend's geometry)."""
+    from .pallas_temporal import jextend
+
+    return jextend(p, ade, nj)
+
+
+def jrestore_ade(p: Params, ade: AdeState, nj: int) -> AdeState:
+    from .pallas_temporal import jrestore
+
+    return jrestore(p, ade, nj)
 
 
 def make_dispersive_stream_chunk_runner(p: Params, dm: DebyeMaterials,
@@ -1024,7 +1246,10 @@ def make_dispersive_stream_chunk_runner(p: Params, dm: DebyeMaterials,
     """Jitted ``run((st, ade), (ts, amps), power) -> ((st, ade), power)``
     on the streaming ADE tier: s steps per HBM sweep, odd trailing steps
     on the two-pass ADE kernels (the same driver shape as
-    step.make_chunk_runner's pallas_stream path)."""
+    step.make_chunk_runner's pallas_stream path).  With a j-tiled plan
+    (r5) the state + AdeState round-trip through jextend/jrestore per
+    chunk — chunk boundaries stay canonical full-plane layouts, so
+    checkpoints and snapshots are tiling-agnostic."""
     if interpret is None:
         dd = jax.config.jax_default_device
         interpret = (dd.platform != "tpu") if dd is not None \
@@ -1034,14 +1259,23 @@ def make_dispersive_stream_chunk_runner(p: Params, dm: DebyeMaterials,
         raise NotImplementedError(
             "no VMEM-feasible dispersive streaming plan for this config"
         )
-    s = plan[0]
+    s, nj = plan
+    import os as _os
+
+    s = int(_os.environ.get("FDTD_ADE_S", "0")) or s
+    nj = int(_os.environ.get("FDTD_ADE_NJ", "0")) or nj
     group_step = make_dispersive_stream_step(
-        p, dm, accumulate_power, interpret, s
+        p, dm, accumulate_power, interpret, s, nj=nj
     )
     odd_step = make_dispersive_fused_step(
         p, dm, accumulate_power=accumulate_power, interpret=interpret
     )
-    from .pallas_temporal import crop_power_acc, embed_power_acc
+    from .pallas_temporal import (
+        crop_power_acc,
+        embed_power_acc,
+        jextend,
+        jrestore,
+    )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run(carry, xs, power_acc=None):
@@ -1049,9 +1283,12 @@ def make_dispersive_stream_chunk_runner(p: Params, dm: DebyeMaterials,
         ts, amps = xs
         n = ts.shape[0]
         n_grp = n // s
-        acc_st = (embed_power_acc(p, power_acc, 1)
+        acc_st = (embed_power_acc(p, power_acc, nj)
                   if accumulate_power else None)
         if n_grp:
+            if nj > 1:
+                st = jextend(p, st, nj)
+                ade = jextend_ade(p, ade, nj)
             gts = (ts[: s * n_grp].reshape(n_grp, s),
                    amps[: s * n_grp].reshape(n_grp, s))
 
@@ -1062,8 +1299,11 @@ def make_dispersive_stream_chunk_runner(p: Params, dm: DebyeMaterials,
             (st, ade, acc_st), _ = jax.lax.scan(
                 body, (st, ade, acc_st), gts
             )
+            if nj > 1:
+                st = jrestore(p, st, nj)
+                ade = jrestore_ade(p, ade, nj)
         if accumulate_power:
-            power_acc = crop_power_acc(p, acc_st, 1)
+            power_acc = crop_power_acc(p, acc_st, nj)
         for r in range(n % s):
             idx = s * n_grp + r
             x = (ts[idx], amps[idx])

@@ -129,3 +129,30 @@ def test_pml_sharded_composition_admitted(nshard):
 
     p = _params(256, "float32")
     assert sharded_pml_fast_supported(p, PMLConfig(cells=10), nshard)
+
+
+def test_dispersive_plan_space_pins():
+    """The dispersive streaming tier's plan space (r5, VERDICT r4 #5):
+    256^3 streams in BOTH dtypes (fp32 via the new j-tiled variant —
+    s=4 x nj=2 halves the HBM sweeps vs r4's s=2 full-plane), 512^3
+    bf16 streams j-tiled instead of silently falling to two-pass, and
+    512^3 fp32 is HBM-infeasible BY DESIGN (the 15 fp32 coefficient
+    maps alone are ~8.5 GB; 1.15x headroom over the 14 GB budget fails
+    outright) — if that admission ever flips, the HBM model changed and
+    the kernels must be re-validated on device."""
+    from fdtd_tpu.ops.pallas_dispersive import pick_ade_plan
+
+    cases = {
+        (256, "float32"): (4, 2),
+        (256, "bfloat16"): (4, 1),
+        (512, "bfloat16"): (4, 8),
+        (512, "float32"): None,
+    }
+    for (n, dtype), want in cases.items():
+        p = _params(n, dtype)
+        assert pick_ade_plan(p, sar=True) == want, (n, dtype)
+    # the in-kernel DFT rides full-plane plans only (the phasor tiles
+    # would need j-window band splices of their own — dft x jtile is
+    # gated off, not silently wrong)
+    p = _params(256, "float32")
+    assert pick_ade_plan(p, sar=False, dft_nf=2) == (2, 1)

@@ -84,5 +84,19 @@ timeout 900 python -m fdtd_tpu comp.txt --water-block --coupled 2 --thermal 8 \
 timeout 900 python -m fdtd_tpu comp.txt --pml 3 --dft 2.45e10 --dft-fields eh \
   --probe 10,10,10 --out rdf | grep -E "DFT|Probe" || exit 1
 
+echo "=== r5 surfaces on device ==="
+# in-kernel PML tier (the --pml default; FDTD_PML_KERNEL=0 is the r3 A/B)
+timeout 900 python -m fdtd_tpu comp.txt --pml 3 --out rpk --no-output || exit 1
+# dispersive x PML (ADE + CPML on the xla tier)
+timeout 900 python -m fdtd_tpu comp.txt --water-block --dispersive --pml 3 \
+  --sar --no-output || exit 1
+# steady-state phasor inside the Debye load (streaming ADE + in-kernel DFT)
+timeout 900 python -m fdtd_tpu comp.txt --water-block --dispersive \
+  --dft 2.45e10 --out rdd | grep "DFT" || exit 1
+# per-interval phasors during a cook (coupled x DFT)
+timeout 900 python -m fdtd_tpu comp.txt --water-block --coupled 2 --thermal 8 \
+  --thermal-power 2e3 --dft 2.45e10 --out rcd | grep "drifted" || exit 1
+ls rcd/dft_i00_00.vtr rcd/dft_i01_00.vtr || exit 1
+
 echo "=== bench (fp32 headline + bf16 aux) ==="
 cd /root/repo && timeout 1800 python bench.py
