@@ -272,6 +272,39 @@ def _row_dft(n, steps, dtype):
         run_once)
 
 
+def _row_pml_dft(n, steps, dtype):
+    """--pml --dft: the open-boundary steady-state phasor on the
+    in-kernel CPML tier + the blocked accumulation pass (r5)."""
+    import jax
+
+    from fdtd_tpu.dft import DftConfig, dft_weights, zero_dft_acc
+    from fdtd_tpu.ops.cpml import PMLConfig
+    from fdtd_tpu.ops.cpml_kernel import (
+        make_pml_kernel_dft_chunk_runner,
+        pack_psi,
+    )
+    from fdtd_tpu.step import backend_adapters
+
+    p = _bench_params(n, steps, dtype)
+    pml = PMLConfig(cells=10)
+    dftc = DftConfig((2.45e10,))
+    run = make_pml_kernel_dft_chunk_runner(p, pml, None, dftc)
+    prep, _ = backend_adapters(p, "pallas_fused")
+    ts = np.arange(steps) * p.time_step
+    xs_t, xs_a = scan_inputs(p, ts)
+    cw, sw = dft_weights(dftc, ts)
+
+    def make_state():
+        return jax.block_until_ready((prep(zeros(p)), pack_psi(p, pml, None)))
+
+    def run_once(carry, eps):
+        carry, _pw, _dacc, _ = run(carry, (xs_t, xs_a + eps, cw, sw),
+                                   None, zero_dft_acc(p, dftc))
+        return carry[0].ex
+
+    return _time_runner(n, steps, make_state, run_once)
+
+
 def _row_dispersive_dft(n, steps, dtype):
     """--dispersive --dft: the steady-state phasor INSIDE a Debye load
     riding the streaming ADE sweep (r5, VERDICT r4 #6)."""
@@ -342,6 +375,7 @@ ROW_FNS = {
     "dispersive_sar_bf16": (_row_dispersive, "bfloat16"),
     "dispersive_sar_fp32": (_row_dispersive, "float32"),
     "dispersive_dft_fp32": (_row_dispersive_dft, "float32"),
+    "pml_dft_fp32": (_row_pml_dft, "float32"),
     "grid512_fp32": (_row_grid512, "float32"),
 }
 
@@ -368,7 +402,7 @@ def run_all_rows(n=256, steps=600):
     # tunnel are slow, and a driver-killed bench that never prints is
     # worse than one with a few rows marked skipped.  The headline and
     # aux rows are exempt — they are the driver's primary artifact.
-    budget_s = float(os.environ.get("FDTD_BENCH_BUDGET_S", "1500"))
+    budget_s = float(os.environ.get("FDTD_BENCH_BUDGET_S", "2100"))
     t_start = time.time()
     for name in ROW_FNS:
         primary = name in ("headline", "aux_bfloat16")

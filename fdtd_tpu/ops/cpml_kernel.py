@@ -844,3 +844,100 @@ def make_pml_kernel_chunk_runner(p: Params, cfg: PMLConfig,
         return carry, acc
 
     return run
+
+
+def make_pml_kernel_dft_chunk_runner(p: Params, cfg: PMLConfig,
+                                     materials: Materials | None,
+                                     dft,
+                                     accumulate_power: bool = False,
+                                     interpret: bool | None = None):
+    """Monitored in-kernel CPML runner (r5): the OPEN-BOUNDARY
+    steady-state phasor rides the kernel tier instead of the xla scan
+    (the last monitored composition on the slow path after r4).
+
+    ``run((st, pp), (ts, amps, cw, sw), power, dft_acc) ->
+    ((st, pp), power, dft_acc, None)`` — the monitored-chunk contract.
+    Each step runs :func:`make_pml_kernel_step` (psi in-kernel, k-axis
+    corrections and the hx_y strip applied after the passes — the DFT
+    pass reads the FINAL E of the step, so the absorber-slab phasors
+    are exact), then the blocked accumulation pass
+    (:func:`fdtd_tpu.ops.pallas_stream.build_dft_accum_call`) folds the
+    step's cell means into the stacked phasor accumulator in place.
+    ``dft_acc`` is canonical (re, im) at chunk boundaries (checkpoint-
+    compatible with every other monitored tier).  fields='e',
+    computation mode (the accumulation pass's gate)."""
+    from .. import diagnostics
+    from ..step import _huge_state
+    from .pallas_stream import (
+        build_dft_accum_call,
+        crop_dft_acc,
+        embed_dft_acc,
+    )
+
+    nf = dft.nf
+    assert dft.fields == "e", "in-kernel DFT carries E phasors only"
+    assert p.mode == Mode.COMPUTATION
+    if interpret is None:
+        dd = jax.config.jax_default_device
+        interpret = (
+            (dd.platform != "tpu") if dd is not None
+            else (jax.default_backend() != "tpu")
+        )
+    coefs = update_coefs(p, materials)
+    step = make_pml_kernel_step(p, cfg, coefs, interpret)
+    accum = build_dft_accum_call(p, nf, interpret)
+    dt_step = p.time_step
+    K, J = p.maxk, p.maxj
+
+    def _power_inc(st, acc):
+        sg = st.sigma_c[D : D + K, :J]
+        inc = diagnostics.power_deposition_stripped(p, st, sg)
+        return acc + (inc * dt_step).astype(acc.dtype)
+
+    def _after(carry, acc, dacc, cwv, swv):
+        st = carry[0]
+        wts = jnp.concatenate([cwv, swv])[None, :]
+        dacc = accum(st.ex, st.ey, st.ez, wts, dacc)
+        if accumulate_power:
+            acc = _power_inc(st, acc)
+        return acc, dacc
+
+    if _huge_state(p):
+        @functools.partial(
+            jax.jit,
+            donate_argnums=(0, 1, 2) if accumulate_power else (0, 2),
+        )
+        def one(carry, acc, dacc, t, amp, cwv, swv):
+            carry = step(carry, (t, amp))
+            acc, dacc = _after(carry, acc, dacc, cwv, swv)
+            return carry, acc, dacc
+
+        def run_host(carry, xs, power_acc, dft_acc):
+            ts, amps, cw, sw = (np.asarray(a) for a in xs)
+            dacc = embed_dft_acc(p, dft_acc, nf)
+            for i in range(ts.shape[0]):
+                carry, power_acc, dacc = one(
+                    carry, power_acc, dacc, ts[i], amps[i],
+                    jnp.asarray(cw[i]), jnp.asarray(sw[i]))
+            return carry, power_acc, crop_dft_acc(p, dacc, nf), None
+
+        return run_host
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(carry, xs, power_acc, dft_acc):
+        ts, amps, cw, sw = xs
+        dacc = embed_dft_acc(p, dft_acc, nf)
+
+        def body(c, x):
+            carry, acc, dacc = c
+            t, amp, cwv, swv = x
+            carry = step(carry, (t, amp))
+            acc, dacc = _after(carry, acc, dacc, cwv, swv)
+            return (carry, acc, dacc), None
+
+        (carry, acc, dacc), _ = jax.lax.scan(
+            body, (carry, power_acc, dacc),
+            (ts, amps, jnp.asarray(cw), jnp.asarray(sw)))
+        return carry, acc, crop_dft_acc(p, dacc, nf), None
+
+    return run

@@ -875,15 +875,35 @@ def run_simulation(
             kernel_pml_supported(p, pml, materials)
             and os.environ.get("FDTD_PML_KERNEL", "1") != "0"
         )
+        pml_kernel_dft = False
         if dft is not None or probes is not None:
-            # per-step monitors need per-step states: the xla PML scan
-            # (open-boundary DFT patterns / ring-down Q probes)
-            if backend not in ("auto", "xla"):
-                log(
-                    f"notice: per-step monitors (--dft/--probe) under "
-                    f"--pml run the xla scan (backend {backend!r} ignored)"
-                )
-            backend = "xla"
+            # r5: the OPEN-BOUNDARY steady-state phasor rides the
+            # in-kernel CPML tier — the kernel step has a complete state
+            # after every step (incl. the k corrections), so a blocked
+            # accumulation pass folds the cell means in place
+            # (cpml_kernel.make_pml_kernel_dft_chunk_runner).  Probes
+            # and 'eh' keep the xla PML scan (per-step host reads /
+            # H phasors).
+            pml_kernel_dft = (
+                dft is not None
+                and probes is None
+                and dft.fields == "e"
+                and p.mode == Mode.COMPUTATION
+                and kern_ok
+                and backend in ("auto", "pallas_fused", "pallas")
+                and (_on_tpu() or backend in ("pallas_fused", "pallas"))
+            )
+            if pml_kernel_dft:
+                backend = "pallas_fused"
+            else:
+                # per-step monitors need per-step states: the xla PML
+                # scan (probe series / 'eh' phasors / ring-down Q)
+                if backend not in ("auto", "xla"):
+                    log(
+                        f"notice: probes/'eh' monitors under --pml run "
+                        f"the xla scan (backend {backend!r} ignored)"
+                    )
+                backend = "xla"
         elif backend == "auto":
             backend = "pallas_fused" if (fast_ok and _on_tpu()) else "xla"
         elif backend != "xla":
@@ -902,7 +922,16 @@ def run_simulation(
                     "absorber); using xla"
                 )
                 backend = "xla"
-        if backend == "pallas_fused":
+        if backend == "pallas_fused" and pml_kernel_dft:
+            from .ops.cpml_kernel import make_pml_kernel_dft_chunk_runner
+
+            pml_kernel_tier = True
+            run_mon = make_pml_kernel_dft_chunk_runner(
+                p, pml, materials, dft, accumulate_power=accumulate_power
+            )
+            dft_box, probe_chunks = _monitor_boxes(p, dft)
+            run_chunk = _monitored_run_chunk(run_mon, dft_box, probe_chunks)
+        elif backend == "pallas_fused":
             pml_kernel_tier = kern_ok
             run_pml = (
                 make_pml_kernel_chunk_runner(p, pml, materials,

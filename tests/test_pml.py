@@ -1126,3 +1126,101 @@ def test_pml_kernel_checkpoint_cross_tier_resume(tmp_path, monkeypatch):
             np.asarray(getattr(rx.state, c)), np.asarray(getattr(ra.state, c)),
             atol=1e-6, rtol=1e-4, err_msg=c,
         )
+
+
+@pytest.mark.parametrize("sar", [False, True])
+def test_pml_kernel_dft_matches_xla(sar):
+    """Open-boundary in-kernel DFT (r5): the steady-state phasor rides
+    the in-kernel CPML tier — each step's FINAL E (k corrections and the
+    hx_y strip included) feeds a blocked accumulation pass
+    (pallas_stream.build_dft_accum_call) — matching the xla PML scan's
+    per-step accumulation at the kernel tier's reassociation tolerance,
+    incl. two frequencies and a lossy interior load with SAR."""
+    from fdtd_tpu.dft import DftConfig
+    from fdtd_tpu.runner import run_simulation
+    from fdtd_tpu.state import water_block
+
+    n, steps = 20, 24
+    p = Params(length=n * 1e-3, width=n * 1e-3, height=n * 1e-3,
+               spatial_step=1e-3, time_step=1e-12,
+               simulation_time=(steps - 0.5) * 1e-12, sampling_rate=10**9,
+               mode=Mode.COMPUTATION, dtype="float32")
+    pml = PMLConfig(cells=5)
+    mats = water_block(p, lo=(0.4,) * 3, hi=(0.6,) * 3) if sar else None
+    dftc = DftConfig((p.source.frequency, 1.5e10))
+    want = run_simulation(p, write_snapshots=False, backend="xla", pml=pml,
+                          materials=mats, dft=dftc, accumulate_power=sar,
+                          log=lambda s: None)
+    got = run_simulation(p, write_snapshots=False, backend="pallas_fused",
+                         pml=pml, materials=mats, dft=dftc,
+                         accumulate_power=sar, log=lambda s: None)
+    scale = np.abs(want.dft.phasors).max()
+    np.testing.assert_allclose(got.dft.phasors, want.dft.phasors,
+                               rtol=0, atol=2e-6 * scale)
+    for c in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got.state, c)),
+            np.asarray(getattr(want.state, c)),
+            rtol=0, atol=1e-6, err_msg=c,
+        )
+    if sar:
+        assert float(np.abs(np.asarray(want.power_j)).max()) > 0
+        np.testing.assert_allclose(np.asarray(got.power_j),
+                                   np.asarray(want.power_j),
+                                   rtol=3e-6, atol=1e-26)
+
+
+def test_pml_kernel_dft_gating_probes_and_eh_keep_xla():
+    """Probes and 'eh' under --pml genuinely need per-step states /
+    H phasors: the runner keeps the xla PML scan with a notice."""
+    from fdtd_tpu.dft import DftConfig
+    from fdtd_tpu.monitors import ProbeSet
+    from fdtd_tpu.runner import run_simulation
+
+    n, steps = 16, 10
+    p = Params(length=n * 1e-3, width=n * 1e-3, height=n * 1e-3,
+               spatial_step=1e-3, time_step=1e-12,
+               simulation_time=(steps - 0.5) * 1e-12, sampling_rate=10**9,
+               mode=Mode.COMPUTATION, dtype="float32")
+    pml = PMLConfig(cells=4)
+    notices = []
+    res = run_simulation(p, write_snapshots=False, backend="pallas_fused",
+                         pml=pml, dft=DftConfig((p.source.frequency,)),
+                         probes=ProbeSet(((8, 8, 8),)), log=notices.append)
+    assert res.probes is not None
+    assert any("xla scan" in s for s in notices)
+    notices2 = []
+    run_simulation(p, write_snapshots=False, backend="pallas_fused",
+                   pml=pml,
+                   dft=DftConfig((p.source.frequency,), fields="eh"),
+                   log=notices2.append)
+    assert any("xla scan" in s for s in notices2)
+
+
+def test_pml_kernel_dft_checkpoint_resumes(tmp_path):
+    """DFT accumulators + packed psi ride checkpoints on the kernel-tier
+    open-boundary DFT path: an interrupted run resumes — on the xla PML
+    scan (cross-tier interop through canonical psi + phasor layouts) —
+    to the uninterrupted phasors."""
+    from fdtd_tpu.dft import DftConfig
+    from fdtd_tpu.runner import run_simulation
+
+    n, steps = 16, 20
+    p = Params(length=n * 1e-3, width=n * 1e-3, height=n * 1e-3,
+               spatial_step=1e-3, time_step=1e-12,
+               simulation_time=(steps - 0.5) * 1e-12, sampling_rate=10**9,
+               mode=Mode.COMPUTATION, dtype="float32")
+    pml = PMLConfig(cells=4)
+    dftc = DftConfig((p.source.frequency,))
+    full = run_simulation(p, write_snapshots=False, backend="pallas_fused",
+                          pml=pml, dft=dftc, log=lambda s: None)
+    p_half = dataclasses.replace(p, simulation_time=9.5e-12)
+    run_simulation(p_half, out_dir=str(tmp_path), write_snapshots=False,
+                   backend="pallas_fused", pml=pml, dft=dftc,
+                   checkpoint_every=10, log=lambda s: None)
+    res = run_simulation(p, out_dir=str(tmp_path), write_snapshots=False,
+                         backend="xla", pml=pml, dft=dftc, resume=True,
+                         log=lambda s: None)
+    scale = np.abs(full.dft.phasors).max()
+    np.testing.assert_allclose(res.dft.phasors, full.dft.phasors,
+                               rtol=0, atol=2e-6 * scale)
