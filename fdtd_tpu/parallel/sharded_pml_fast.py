@@ -653,3 +653,76 @@ def make_sharded_pml_fast_runner(p: Params, mesh: Mesh, cfg: PMLConfig,
 
     run.zero_psi = functools.partial(init_psi_sharded, p, cfg, mesh)
     return run
+
+
+def make_sharded_pml_fast_dft_runner(p: Params, mesh: Mesh, cfg: PMLConfig,
+                                     dft,
+                                     materials: Materials | None = None,
+                                     accumulate_power: bool = False,
+                                     interpret: bool | None = None):
+    """Monitored sharded CPML runner (r5): the `--dft --pml --shard`
+    TRIPLE keeps the per-shard two-pass kernels — only the monitor
+    itself runs in jnp (a sharded 4-edge cell-mean map + phasor axpy
+    per step), instead of demoting the whole update to the monitored
+    xla shard_map scan.
+
+    ``run(carry, (ts, amps, cw, sw), power, dft_acc) ->
+    (carry, power, dft_acc, None)`` — the monitored-chunk contract with
+    the (ShardedFastState, psi_pack) carry of
+    :func:`make_sharded_pml_fast_runner`.  ``dft_acc`` is canonical
+    (nf, 3, K, J, I) (re, im) at chunk boundaries (checkpoint interop
+    with every other monitored tier); it rides the scan z-sharded.
+    fields='e' only (no sharded H means)."""
+    from .sharded_fast import make_sharded_e_means, make_sharded_power_inc
+
+    nf = dft.nf
+    assert dft.fields == "e", "sharded in-kernel DFT carries E phasors"
+    coefs = update_coefs(p, materials)
+    step = make_sharded_pml_fast_step(p, mesh, cfg, coefs, interpret)
+    e_means = make_sharded_e_means(p, mesh)
+    inc_fn = (make_sharded_power_inc(p, mesh, materials)
+              if accumulate_power else None)
+    n = mesh.shape["z"]
+    Klp = _geometry(p, n)[4]
+    K, J, I = p.maxk, p.maxj, p.maxi
+    dt = p.time_step
+    dacc_sh = NamedSharding(mesh, P(None, None, "z", None, None))
+    acc_sh = NamedSharding(mesh, P("z", None, None))
+    wsc = jax.lax.with_sharding_constraint
+    pad_k = ((0, 0), (0, 0), (0, n * Klp - K), (0, 0), (0, 0))
+
+    @jax.jit
+    def run(carry, xs, power_acc, dft_acc):
+        ts, amps, cw, sw = xs
+        re0, im0 = dft_acc
+        re = wsc(jnp.pad(jnp.asarray(re0, jnp.float32), pad_k), dacc_sh)
+        im = wsc(jnp.pad(jnp.asarray(im0, jnp.float32), pad_k), dacc_sh)
+        acc = None
+        if accumulate_power:
+            acc = jax.device_put(
+                jnp.pad(jnp.asarray(power_acc),
+                        ((0, n * Klp - K), (0, 0), (0, 0))),
+                acc_sh,
+            )
+
+        def body(c, x):
+            carry, acc, re, im = c
+            t, amp, cwv, swv = x
+            carry = step(carry, (t, amp))
+            me = e_means(carry[0]).astype(jnp.float32)  # (3, n*Klp, J, I)
+            re = re + cwv[:, None, None, None, None] * me[None]
+            im = im - swv[:, None, None, None, None] * me[None]
+            if accumulate_power:
+                acc = acc + (inc_fn(carry[0]) * dt).astype(acc.dtype)
+            return (carry, acc, re, im), None
+
+        (carry, acc, re, im), _ = lax.scan(
+            body, (carry, acc, re, im),
+            (ts, amps, jnp.asarray(cw), jnp.asarray(sw)))
+        dft_acc = (re[:, :, :K], im[:, :, :K])
+        if accumulate_power:
+            power_acc = acc[:K]
+        return carry, power_acc, dft_acc, None
+
+    run.zero_psi = functools.partial(init_psi_sharded, p, cfg, mesh)
+    return run

@@ -943,6 +943,25 @@ def dryrun(n_devices: int, devices=None) -> None:
         assert res_kd.dft is not None
         assert bool(jnp.all(jnp.isfinite(jnp.asarray(res_kd.dft.phasors))))
 
+    # the --dft --pml --shard TRIPLE on the fast tier (r5): per-shard
+    # CPML kernels + the sharded cell-mean/phasor monitor — through the
+    # real run_simulation wiring
+    from ..ops.cpml import PMLConfig as _PC
+    from ..ops.cpml_fast import fast_pml_supported as _fps
+    from . import sharded_pml_fast as _spf
+
+    _cfg3 = _PC(cells=3)
+    if (p.mode == Mode.COMPUTATION and _fps(p, _cfg3, None)
+            and _spf.sharded_pml_fast_supported(p, _cfg3, n_devices)):
+        with tempfile.TemporaryDirectory() as td:
+            res_t = run_simulation(
+                p, out_dir=td, write_snapshots=False,
+                backend="pallas_fused", shard=str(n_devices),
+                pml=_cfg3, dft=dftc, log=lambda s: None,
+            )
+        assert res_t.dft is not None
+        assert bool(jnp.all(jnp.isfinite(jnp.asarray(res_t.dft.phasors))))
+
     # dispersive ADE x sharding (r4): P rides the shard_map scan carry,
     # the SAR accumulator collects the TRUE Debye work — through the real
     # run_simulation wiring (prep/restore, padded P, acc pad/crop)

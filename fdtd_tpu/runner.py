@@ -275,6 +275,59 @@ def _sharded_chunk_runner(p: Params, shard, materials: Materials | None,
             run_chunk.dft_box = dft_box
             run_chunk.probe_chunks = probe_chunks
             return prep, restore, run_chunk
+        # r5: the --dft --pml --shard TRIPLE keeps the per-shard CPML
+        # kernels — only the monitor runs in jnp (sharded cell means +
+        # phasor axpy per step) instead of demoting the whole update to
+        # the monitored xla shard_map scan
+        pml_fast_dft = False
+        if pml is not None and dft is not None and probes is None:
+            from .ops.cpml_fast import fast_pml_supported as _fps
+            from .parallel import sharded_pml_fast as _spf
+
+            pml_fast_dft = (
+                dft.fields == "e"
+                and ny == 1
+                and _fps(p, pml, materials)
+                and _spf.sharded_pml_fast_supported(p, pml, nz, materials)
+                and backend in ("auto", "pallas_fused", "pallas")
+                and (devs[0].platform == "tpu"
+                     or backend in ("pallas_fused", "pallas"))
+            )
+        if pml_fast_dft:
+            from .parallel import sharded_pml_fast as spf
+            from .parallel import sharded_fast as sfm
+            from .state import update_coefs as _ucp
+
+            run_mon = spf.make_sharded_pml_fast_dft_runner(
+                p, mesh, pml, dft, materials=materials,
+                accumulate_power=accumulate_power, interpret=interp,
+            )
+            coefs_f = (_ucp(p, materials)
+                       if materials is not None else None)
+
+            def prep(s, resumed_psi=None):
+                psi = (spf.embed_psi_pack(p, pml, mesh, resumed_psi)
+                       if resumed_psi is not None else run_mon.zero_psi())
+                return (sfm.to_sharded_fast(p, s, mesh, coefs=coefs_f),
+                        psi)
+
+            restore = lambda carry: sfm.from_sharded_fast(p, carry[0],
+                                                          mesh)
+            dft_box, probe_chunks = _monitor_boxes(p, dft)
+
+            def run_chunk(st, chunk, power):
+                st, power, dft_box["acc"], _ys = run_mon(
+                    st, tuple(jnp.asarray(c) for c in chunk), power,
+                    dft_box["acc"],
+                )
+                return st, power
+
+            run_chunk.dft_box = dft_box
+            run_chunk.probe_chunks = probe_chunks
+            run_chunk.psi_canon = (
+                lambda c: spf.extract_psi_pack(p, pml, nz, c[1])
+            )
+            return prep, restore, run_chunk
         # other per-step monitors under sharding: the jnp shard_map scan
         # is the only per-step-state path; GSPMD partitions the cell-mean
         # slices (same arithmetic as single-chip _e_cell_means).  r4:

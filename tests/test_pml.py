@@ -1224,3 +1224,78 @@ def test_pml_kernel_dft_checkpoint_resumes(tmp_path):
     scale = np.abs(full.dft.phasors).max()
     np.testing.assert_allclose(res.dft.phasors, full.dft.phasors,
                                rtol=0, atol=2e-6 * scale)
+
+
+@pytest.mark.parametrize("sar", [False, True])
+def test_pml_shard_fast_dft_matches_xla(sar):
+    """The --dft --pml --shard TRIPLE on the fast tier (r5): per-shard
+    two-pass CPML kernels + a sharded cell-mean/phasor-axpy monitor —
+    instead of demoting the whole update to the monitored xla shard_map
+    scan — matches single-chip xla AND the r4 monitored shard_map path
+    at the fp32 ulp level, SAR included."""
+    from fdtd_tpu.dft import DftConfig
+    from fdtd_tpu.runner import run_simulation
+    from fdtd_tpu.state import water_block
+
+    n, steps = 16, 14
+    p = Params(length=n * 1e-3, width=n * 1e-3, height=n * 1e-3,
+               spatial_step=1e-3, time_step=1e-12,
+               simulation_time=(steps - 0.5) * 1e-12, sampling_rate=10**9,
+               mode=Mode.COMPUTATION, dtype="float32")
+    pml = PMLConfig(cells=3)
+    mats = water_block(p, lo=(0.4,) * 3, hi=(0.6,) * 3) if sar else None
+    dftc = DftConfig((p.source.frequency,))
+    want = run_simulation(p, write_snapshots=False, backend="xla", pml=pml,
+                          materials=mats, dft=dftc, accumulate_power=sar,
+                          log=lambda s: None)
+    got = run_simulation(p, write_snapshots=False, backend="pallas_fused",
+                         shard="2", pml=pml, materials=mats, dft=dftc,
+                         accumulate_power=sar, log=lambda s: None)
+    ref_sh = run_simulation(p, write_snapshots=False, backend="xla",
+                            shard="2", pml=pml, materials=mats, dft=dftc,
+                            accumulate_power=sar, log=lambda s: None)
+    scale = np.abs(want.dft.phasors).max()
+    np.testing.assert_allclose(got.dft.phasors, want.dft.phasors,
+                               rtol=0, atol=2e-6 * scale)
+    np.testing.assert_allclose(got.dft.phasors, ref_sh.dft.phasors,
+                               rtol=0, atol=2e-6 * scale)
+    for c in ("ex", "ey", "ez", "hx", "hy", "hz"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(got.state, c)),
+            np.asarray(getattr(want.state, c)),
+            rtol=0, atol=1e-6, err_msg=c,
+        )
+    if sar:
+        assert float(np.abs(np.asarray(want.power_j)).max()) > 0
+        np.testing.assert_allclose(np.asarray(got.power_j),
+                                   np.asarray(want.power_j),
+                                   rtol=3e-6, atol=1e-27)
+
+
+def test_pml_shard_fast_dft_checkpoint_resumes(tmp_path):
+    """Psi (canonical slab-restricted layout via the pack extraction)
+    and the DFT accumulators both ride checkpoints on the fast triple:
+    an interrupted 2-shard run resumes on single-chip xla to the
+    uninterrupted phasors (cross-topology interop)."""
+    from fdtd_tpu.dft import DftConfig
+    from fdtd_tpu.runner import run_simulation
+
+    n, steps = 16, 20
+    p = Params(length=n * 1e-3, width=n * 1e-3, height=n * 1e-3,
+               spatial_step=1e-3, time_step=1e-12,
+               simulation_time=(steps - 0.5) * 1e-12, sampling_rate=10**9,
+               mode=Mode.COMPUTATION, dtype="float32")
+    pml = PMLConfig(cells=3)
+    dftc = DftConfig((p.source.frequency,))
+    full = run_simulation(p, write_snapshots=False, backend="pallas_fused",
+                          shard="2", pml=pml, dft=dftc, log=lambda s: None)
+    p_half = dataclasses.replace(p, simulation_time=9.5e-12)
+    run_simulation(p_half, out_dir=str(tmp_path), write_snapshots=False,
+                   backend="pallas_fused", shard="2", pml=pml, dft=dftc,
+                   checkpoint_every=10, log=lambda s: None)
+    res = run_simulation(p, out_dir=str(tmp_path), write_snapshots=False,
+                         backend="xla", pml=pml, dft=dftc, resume=True,
+                         log=lambda s: None)
+    scale = np.abs(full.dft.phasors).max()
+    np.testing.assert_allclose(res.dft.phasors, full.dft.phasors,
+                               rtol=0, atol=2e-6 * scale)
