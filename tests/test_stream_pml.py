@@ -1,0 +1,181 @@
+"""Streaming-PML tier (ops/pallas_stream_pml.py, r5).
+
+The CPML psi recursion rides the multi-step streaming wavefront: the
+j/i packs pipeline like fields (per-level retained tails), the four
+k-axis terms ride a full-k embed whose middle blocks redirect to the
+dead block, and per-row (b, c) profiles stream as an Element window.
+Pinned here (fp64, interpret mode — CPU-hermetic): parity vs the xla
+CPML scan at every sweep depth, through odd trailing steps and chunk
+boundaries (the stream<->packed conversions), at reassociation
+tolerance (bit-exact in a single-device CPU env; the 8-virtual-device
+test env compiles the two programs differently); the layout round
+trips exactly; and the support gate admits/rejects the right
+configs.  On-device reassociation-level parity and the measured
+rate live in tools/probe_pml.py + docs/DESIGN.md.
+
+Reference anchor: the open boundary extends the closed PEC cavity of
+main.c:469-500 / description.pdf section 2.1.
+"""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from fdtd_tpu.params import Mode, Params, time_values
+from fdtd_tpu.state import zeros
+from fdtd_tpu.step import backend_adapters, scan_inputs
+from fdtd_tpu.ops.cpml import PMLConfig, init_psi, make_pml_chunk_runner
+
+
+def _comp_params(n, steps, dtype="float64"):
+    return Params(
+        length=n * 1e-3, width=n * 1e-3, height=n * 1e-3,
+        spatial_step=1e-3, time_step=1e-12,
+        simulation_time=steps * 1e-12, sampling_rate=10**9,
+        mode=Mode.COMPUTATION, dtype=dtype,
+    )
+
+
+def _run_xla(p, cfg, xs):
+    run_x = make_pml_chunk_runner(p, cfg, None)
+    (want, psi_w), _ = run_x((zeros(p), init_psi(p, cfg)), xs, None)
+    return want, psi_w
+
+
+def _assert_equal(p, cfg, carry, want, psi_w, tag):
+    # same-arithmetic parity: reassociation-level at fp64 (the xla scan
+    # and the interpret-mode kernel are separately compiled programs;
+    # measured max rel ~6e-13 over 40 steps under the 8-virtual-device
+    # test env, bit-exact in a single-device CPU env) — the kernel-tier
+    # test's tolerances
+    from fdtd_tpu.ops.pallas_stream_pml import unpack_psi_stream
+
+    _, restore = backend_adapters(p, "pallas_fused", None)
+    got = restore(carry[0])
+    psi_g = unpack_psi_stream(p, cfg, carry[1])
+    kw = {"atol": 1e-14, "rtol": 1e-12}
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        a, b = np.asarray(getattr(got, c)), np.asarray(getattr(want, c))
+        np.testing.assert_allclose(a, b, err_msg=f"{tag}/{c}", **kw)
+    engaged = 0
+    for name in type(psi_w).__dataclass_fields__:
+        a = np.asarray(getattr(psi_g, name))
+        b = np.asarray(getattr(psi_w, name))
+        np.testing.assert_allclose(a, b, err_msg=f"{tag}/psi/{name}", **kw)
+        engaged += float(np.abs(b).max()) > 0
+    assert engaged == 12, tag  # every psi term genuinely engaged
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("s", [8, 4, 2])
+def test_stream_pml_matches_xla(s):
+    """Fields AND all 12 psi (through unpack) match the xla CPML scan
+    over 40 steps at every sweep depth, to fp64 reassociation accuracy
+    — the recursion rides the pipeline with the same arithmetic."""
+    from fdtd_tpu.ops.pallas_stream_pml import (
+        make_stream_pml_chunk_runner,
+        pack_psi_stream,
+    )
+
+    n, steps = 24, 40
+    p = _comp_params(n, steps)
+    cfg = PMLConfig(cells=5)
+    xs = scan_inputs(p, time_values(p)[:steps])
+    want, psi_w = _run_xla(p, cfg, xs)
+
+    prep, _ = backend_adapters(p, "pallas_fused", None)
+    run_s = make_stream_pml_chunk_runner(p, cfg, None, interpret=True, s=s)
+    carry, _ = run_s((prep(zeros(p)), pack_psi_stream(p, cfg, None)),
+                     xs, None)
+    _assert_equal(p, cfg, carry, want, psi_w, f"s={s}")
+
+
+@pytest.mark.slow
+def test_stream_pml_odd_tail_and_chunks():
+    """Odd trailing steps (the per-step in-kernel tier through the
+    exact stream<->packed round trip) and chunk boundaries (engaged psi
+    re-entering a fresh sweep) match the uninterrupted xla run:
+    43 = 5*8 + 3 in one call, then the same steps as 20 + 23."""
+    from fdtd_tpu.ops.pallas_stream_pml import (
+        make_stream_pml_chunk_runner,
+        pack_psi_stream,
+    )
+
+    n, steps = 24, 43
+    p = _comp_params(n, steps)
+    cfg = PMLConfig(cells=5)
+    tv = time_values(p)[:steps]
+    want, psi_w = _run_xla(p, cfg, scan_inputs(p, tv))
+
+    prep, _ = backend_adapters(p, "pallas_fused", None)
+    run_s = make_stream_pml_chunk_runner(p, cfg, None, interpret=True, s=8)
+    carry, _ = run_s((prep(zeros(p)), pack_psi_stream(p, cfg, None)),
+                     scan_inputs(p, tv), None)
+    _assert_equal(p, cfg, carry, want, psi_w, "odd-tail")
+
+    carry = (prep(zeros(p)), pack_psi_stream(p, cfg, None))
+    carry, _ = run_s(carry, scan_inputs(p, tv[:20]), None)
+    carry, _ = run_s(carry, scan_inputs(p, tv[20:]), None)
+    _assert_equal(p, cfg, carry, want, psi_w, "chunked")
+
+
+def test_stream_psi_roundtrip_and_conversions():
+    """pack_psi_stream/unpack_psi_stream is a bit-exact round trip on
+    an engaged computation-mode psi state, and the odd-step conversions
+    (stream<->packed) round trip exactly too."""
+    from fdtd_tpu.ops.cpml_kernel import pack_psi
+    from fdtd_tpu.ops.pallas_stream_pml import (
+        pack_psi_stream,
+        packed_to_stream,
+        stream_to_packed,
+        unpack_psi_stream,
+    )
+
+    n, steps = 20, 24
+    p = _comp_params(n, steps)
+    cfg = PMLConfig(cells=5)
+    xs = scan_inputs(p, time_values(p)[:steps])
+    _, psi = _run_xla(p, cfg, xs)
+
+    ps = pack_psi_stream(p, cfg, psi)
+    back = unpack_psi_stream(p, cfg, ps)
+    for name in type(psi).__dataclass_fields__:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(back, name)), np.asarray(getattr(psi, name)),
+            err_msg=name)
+
+    pp = stream_to_packed(p, cfg, ps)
+    want_pp = pack_psi(p, cfg, psi)
+    for f in ("h_j", "h_i", "e_j", "e_i", "hxy_s",
+              "hx_z", "hy_z", "ex_z", "ey_z"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(pp, f)), np.asarray(getattr(want_pp, f)),
+            err_msg=f)
+    ps2 = packed_to_stream(p, cfg, pp)
+    for f in ("kp", "h_j", "h_i", "e_j", "e_i"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ps2, f)), np.asarray(getattr(ps, f)),
+            err_msg=f)
+
+
+def test_stream_pml_supported_gates():
+    """The admission gate: computation-mode vacuum with a clear patch
+    passes; validation mode, lossy overlap-free materials (v1 scope),
+    fp64, and slab-overlapping patches are all rejected."""
+    from fdtd_tpu.state import water_block
+    from fdtd_tpu.ops.pallas_stream_pml import stream_pml_supported
+
+    p = _comp_params(32, 10, dtype="float32")
+    assert stream_pml_supported(p, PMLConfig(cells=5))
+    # validation mode: strips are nonzero — gated out
+    pv = dataclasses.replace(p, mode=Mode.VALIDATION)
+    assert not stream_pml_supported(pv, PMLConfig(cells=5))
+    # v1 scope: lossy media keep the per-step in-kernel tier
+    mats = water_block(p, lo=(0.4,) * 3, hi=(0.6,) * 3)
+    assert not stream_pml_supported(p, PMLConfig(cells=5), mats)
+    # fp64 stays on the xla path (fast_pml_supported)
+    assert not stream_pml_supported(_comp_params(32, 10), PMLConfig(cells=5))
+    # a slab deep enough to reach the source patch is rejected
+    assert not stream_pml_supported(p, PMLConfig(cells=13))

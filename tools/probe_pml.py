@@ -118,6 +118,34 @@ def row_kernel(n, steps):
     return _time(n, steps, make_state, run_once)
 
 
+def row_stream(n, steps):
+    from fdtd_tpu.ops.pallas_stream_pml import (
+        make_stream_pml_chunk_runner,
+        pack_psi_stream,
+        pick_pml_stream_s,
+    )
+
+    p = _params(n, steps)
+    cfg = PMLConfig(cells=10)
+    s = pick_pml_stream_s(p, cfg)
+    if os.environ.get("FDTD_STREAM_PML_S"):
+        s = int(os.environ["FDTD_STREAM_PML_S"])
+    print(f"  (stream plan s={s})", flush=True)
+    run = make_stream_pml_chunk_runner(p, cfg, None, s=s)
+    prep, _ = backend_adapters(p, "pallas_fused")
+    xs = scan_inputs(p, np.arange(steps) * p.time_step)
+
+    def make_state():
+        return jax.block_until_ready(
+            (prep(zeros(p)), pack_psi_stream(p, cfg, None)))
+
+    def run_once(carry, eps):
+        carry, _ = run(carry, (xs[0], xs[1] + eps), None)
+        return carry[0].ex
+
+    return _time(n, steps, make_state, run_once)
+
+
 def row_xla_pml(n, steps):
     p = _params(n, steps)
     cfg = PMLConfig(cells=10)
@@ -139,7 +167,8 @@ def main():
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 600
     sel = sys.argv[3] if len(sys.argv) > 3 else None
     for name, fn in (("twopass", row_twopass), ("pml", row_pml),
-                     ("kernel", row_kernel), ("xla_pml", row_xla_pml)):
+                     ("kernel", row_kernel), ("stream", row_stream),
+                     ("xla_pml", row_xla_pml)):
         if sel is not None and sel not in name:
             continue
         try:
