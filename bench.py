@@ -218,26 +218,37 @@ def _row_dispersive(n, steps, dtype):
 
 
 def _row_pml(n, steps, dtype):
-    """The --pml default composition: the in-kernel psi tier (r5,
-    ops/cpml_kernel.py) — what run_simulation dispatches for
-    backend=auto on TPU."""
+    """The --pml default composition — what run_simulation dispatches
+    for backend=auto on TPU: the streaming-PML tier (r5b,
+    ops/pallas_stream_pml.py) where it is admitted, else the in-kernel
+    two-pass psi tier (r5, ops/cpml_kernel.py)."""
     import jax
 
     from fdtd_tpu.ops.cpml import PMLConfig
-    from fdtd_tpu.ops.cpml_kernel import (
-        make_pml_kernel_chunk_runner,
-        pack_psi,
-    )
+    from fdtd_tpu.ops.pallas_stream_pml import stream_pml_supported
     from fdtd_tpu.step import backend_adapters
 
     p = _bench_params(n, steps, dtype)
     pml = PMLConfig(cells=10)
-    run = make_pml_kernel_chunk_runner(p, pml, None, False)
+    if stream_pml_supported(p, pml):
+        from fdtd_tpu.ops.pallas_stream_pml import (
+            make_stream_pml_chunk_runner,
+            pack_psi_stream as _pack,
+        )
+
+        run = make_stream_pml_chunk_runner(p, pml, None)
+    else:
+        from fdtd_tpu.ops.cpml_kernel import (
+            make_pml_kernel_chunk_runner,
+            pack_psi as _pack,
+        )
+
+        run = make_pml_kernel_chunk_runner(p, pml, None, False)
     prep, _ = backend_adapters(p, "pallas_fused")
     xs = scan_inputs(p, np.arange(steps) * p.time_step)
 
     def make_state():
-        return jax.block_until_ready((prep(zeros(p)), pack_psi(p, pml, None)))
+        return jax.block_until_ready((prep(zeros(p)), _pack(p, pml, None)))
 
     def run_once(carry, eps):
         carry, _pw = run(carry, (xs[0], xs[1] + eps), None)

@@ -41,8 +41,11 @@ Scope (see :func:`stream_pml_supported`): computation mode (the
 frozen boundary strips are identically zero, so every strip-coupled
 psi — hx_y's i = maxi column, the k-terms' strip columns — is
 identically zero and drops out; the hx_s strip advance itself is an
-exact no-op), vacuum media (v1 — lossy needs six more coefficient
-windows), full-plane plans, source patch clear of the j/i slabs
+exact no-op), vacuum or lossy media with homogeneous mu_r (lossy
+streams six ca/cb coefficient windows; slab-constant correction
+factors require materials clear of the absorber, the
+slab_factor_constants gate), full-plane plans, source patch clear of
+the j/i slabs
 (always true for a centered port), grids whose plan fits VMEM
 (256^3-class; 512^3 falls back to the two-pass in-kernel tier).
 
@@ -256,7 +259,8 @@ def _bck_rows(p: Params, cfg: PMLConfig, dt) -> np.ndarray:
     return out
 
 
-def stream_pml_vmem_estimate(p: Params, cfg: PMLConfig, s: int) -> int:
+def stream_pml_vmem_estimate(p: Params, cfg: PMLConfig, s: int,
+                             lossy: bool = False) -> int:
     """VMEM model: field io + psi pack io + kp tiles + tails + live."""
     S, J1, Ib = dims(p)
     item = jnp.dtype(p.dtype).itemsize
@@ -267,19 +271,22 @@ def stream_pml_vmem_estimate(p: Params, cfg: PMLConfig, s: int) -> int:
     io += 2 * 2 * s * (J1 + J1) * 128 * item         # h_i + e_i
     io += 2 * (s + s) * 8 * 128 * item               # bck window
     io += 2 * 2 * max(s - 1, 1) * J1 * Ib * item     # de2/dh2
+    if lossy:
+        io += 2 * 6 * (2 * s) * J1 * Ib * item       # ca/cb Element windows
     tails = (s + 1) * (6 + 4) * J1 * Ib * 4          # fields + kp
     tails += (s + 1) * 2 * (Pj * Ib + J1 * 128) * 4  # pack tails
     live = 3 * (6 + 4 + 1) * (s + 1) * J1 * Ib * 4
     return io + tails + live
 
 
-def pick_pml_stream_s(p: Params, cfg: PMLConfig) -> int | None:
+def pick_pml_stream_s(p: Params, cfg: PMLConfig,
+                      lossy: bool = False) -> int | None:
     """Largest feasible steps-per-sweep (full-plane only), or None."""
     S, _J1, _Ib = dims(p)
     for s in (TS, TS // 2, TS // 4):
         if D % s or (S - D) % s or (S - D) // s < 2:
             continue
-        if stream_pml_vmem_estimate(p, cfg, s) <= VMEM_BUDGET:
+        if stream_pml_vmem_estimate(p, cfg, s, lossy) <= VMEM_BUDGET:
             return s
     return None
 
@@ -288,28 +295,30 @@ def stream_pml_supported(p: Params, cfg: PMLConfig,
                          materials: Materials | None = None,
                          coefs: UpdateCoefs | None = None) -> bool:
     """True when the streaming-PML tier applies: everything the
-    in-kernel two-pass tier admits, plus computation mode, vacuum
-    media, a source patch clear of the j/i slabs, and a VMEM-feasible
-    full-plane plan."""
+    in-kernel two-pass tier admits, plus computation mode, homogeneous
+    mu_r, a source patch clear of the j/i slabs, and a VMEM-feasible
+    full-plane plan (lossy media stream six more coefficient windows,
+    which costs a sweep depth at 256^3-class grids)."""
     if coefs is None:
         coefs = update_coefs(p, materials)
     if not kernel_pml_supported(p, cfg, materials, coefs):
         return False
     if p.mode != Mode.COMPUTATION:
         return False
-    if not isinstance(coefs.ca_x, (int, float)) or coefs.heterogeneous_mu:
-        return False  # v1: vacuum only (lossy = 6 more windows)
+    if coefs.heterogeneous_mu:
+        return False  # het mu_r: 3 more windows — per-step tier for now
+    lossy = not isinstance(coefs.ca_x, (int, float))
     n = cfg.cells
     plan = make_source_plan(p)
     if plan.j0 <= n or plan.j1 >= p.maxj - n:
         return False
     if plan.i0 <= n or plan.i1 >= p.maxi - n:
         return False
-    return pick_pml_stream_s(p, cfg) is not None
+    return pick_pml_stream_s(p, cfg, lossy) is not None
 
 
 def _kernel_pml(p: Params, f_h, f_e, patch, Ib, s, nk, n, Pj,
-                sf_h, sf_e, sf_k, *refs):
+                sf_h, sf_e, sf_k, lossy, *refs):
     """One streaming-PML sweep step: s leapfrog steps + all 12 psi.
 
     The vacuum level body is line-equivalent to
@@ -325,8 +334,12 @@ def _kernel_pml(p: Params, f_h, f_e, patch, Ib, s, nk, n, Pj,
      ikp, ihj, ihi, iej, iei,
      de2_ref, dh2_ref, bck_ref,
      bjh_ref, cjh_ref, bih_ref, cih_ref,
-     bje_ref, cje_ref, bie_ref, cie_ref,
-     oex, oey, oez, ohx, ohy, ohz,
+     bje_ref, cje_ref, bie_ref, cie_ref) = refs[:23]
+    refs = refs[23:]
+    if lossy:
+        coef_refs = refs[:6]
+        refs = refs[6:]
+    (oex, oey, oez, ohx, ohy, ohz,
      okp, ohj, ohi, oej, oei,
      tex, tey, tez, thx, thy, thz,
      tkp, thj, thi, tej, tei) = refs
@@ -368,6 +381,12 @@ def _kernel_pml(p: Params, f_h, f_e, patch, Ib, s, nk, n, Pj,
     cie = cie_ref[:].astype(cd)
     de2 = de2_ref[:].astype(cd)
     dh2 = dh2_ref[:].astype(cd)
+    if lossy:
+        # ca/cb rows [L0 - s, L0 + tk): every level's E rows live here
+        # (the pallas_stream lossy-window discipline)
+        caxw, cayw, cazw, cbxw, cbyw, cbzw = (
+            r[:].astype(cd) for r in coef_refs
+        )
 
     sfh = tuple(jnp.dtype(cd).type(v) for v in sf_h)
     sfe = tuple(jnp.dtype(cd).type(v) for v in sf_e)
@@ -436,7 +455,7 @@ def _kernel_pml(p: Params, f_h, f_e, patch, Ib, s, nk, n, Pj,
     t_hx = [thx[m] for m in range(s + 1)]
     t_hy = [thy[m] for m in range(s + 1)]
     t_hz = [thz[m] for m in range(s + 1)]
-    t_kp = [tkp[:, m] for m in range(s + 1)]
+    t_kp = [tkp[m] for m in range(s + 1)]
     t_hj = [thj[m] for m in range(s + 1)]
     t_hi = [thi[m] for m in range(s + 1)]
     t_ej = [tej[m] for m in range(s + 1)]
@@ -479,7 +498,7 @@ def _kernel_pml(p: Params, f_h, f_e, patch, Ib, s, nk, n, Pj,
         thx[m - 1] = cur_hx[tk - 1]
         thy[m - 1] = cur_hy[tk - 1]
         thz[m - 1] = cur_hz[tk - 1]
-        tkp[:, m - 1] = cur_kp[:, tk - 1]
+        tkp[m - 1] = cur_kp[:, tk - 1]
         thj[m - 1] = cur_hj[tk - 1]
         thi[m - 1] = cur_hi[tk - 1]
         tej[m - 1] = cur_ej[tk - 1]
@@ -583,9 +602,17 @@ def _kernel_pml(p: Params, f_h, f_e, patch, Ib, s, nk, n, Pj,
         m_ex = k_in & jm_ex
         m_ey = k_in & jm_ey
         m_ez = k_lt_K & jm_ez
-        ex_n = jnp.where(m_ex, ex_e[:tk] + f_e * curl_x, ex_e[:tk])
-        ey_n = jnp.where(m_ey, ey_e[:tk] + f_e * curl_y, ey_e[:tk])
-        ez_n = jnp.where(m_ez, ez_e[:tk] + f_e * curl_z, ez_e[:tk])
+        if lossy:
+            ex_n = jnp.where(m_ex, caxw[co] * ex_e[:tk] + cbxw[co] * curl_x,
+                             ex_e[:tk])
+            ey_n = jnp.where(m_ey, cayw[co] * ey_e[:tk] + cbyw[co] * curl_y,
+                             ey_e[:tk])
+            ez_n = jnp.where(m_ez, cazw[co] * ez_e[:tk] + cbzw[co] * curl_z,
+                             ez_e[:tk])
+        else:
+            ex_n = jnp.where(m_ex, ex_e[:tk] + f_e * curl_x, ex_e[:tk])
+            ey_n = jnp.where(m_ey, ey_e[:tk] + f_e * curl_y, ey_e[:tk])
+            ez_n = jnp.where(m_ez, ez_e[:tk] + f_e * curl_z, ez_e[:tk])
 
         # ---- E psi: j/i packs ----
         d_exy = hz0 - hz_my
@@ -660,7 +687,7 @@ def _kernel_pml(p: Params, f_h, f_e, patch, Ib, s, nk, n, Pj,
     thx[s] = cur_hx[tk - 1]
     thy[s] = cur_hy[tk - 1]
     thz[s] = cur_hz[tk - 1]
-    tkp[:, s] = cur_kp[:, tk - 1]
+    tkp[s] = cur_kp[:, tk - 1]
     thj[s] = cur_hj[tk - 1]
     thi[s] = cur_hi[tk - 1]
     tej[s] = cur_ej[tk - 1]
@@ -699,8 +726,10 @@ def build_stream_pml_call(p: Params, cfg: PMLConfig, coefs: UpdateCoefs,
     nk = (S - D) // tk
     dtype = jnp.dtype(p.dtype)
     compute_dtype = jnp.dtype(jnp.float32) if dtype == jnp.bfloat16 else dtype
-    f_h = compute_dtype.type(coefs.h_factor)
-    f_e = compute_dtype.type(coefs.cb_x)
+    lossy = not isinstance(coefs.ca_x, (int, float))
+    assert not coefs.heterogeneous_mu, "het mu keeps the per-step tier"
+    f_h = compute_dtype.type(float(np.asarray(coefs.h_factor)))
+    f_e = compute_dtype.type(0.0) if lossy else compute_dtype.type(coefs.cb_x)
     assert p.mode == Mode.COMPUTATION
     plan = make_source_plan(p)
     patch = (plan.j0, plan.j1, plan.i0, plan.i1)
@@ -775,12 +804,18 @@ def build_stream_pml_call(p: Params, cfg: PMLConfig, coefs: UpdateCoefs,
     bci = pl.BlockSpec((1, 1, 128), lambda g: (0, 0, 0),
                        memory_space=pltpu.VMEM)
     smem = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
+    coef_win = pl.BlockSpec(
+        (pl.Element(tk + s, (0, 2 * s)), pl.Element(J1), pl.Element(Ib)),
+        lambda g: ((jnp.minimum(g, nk) + ofs) * tk - s, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
 
     in_specs = (
         [smem] + [in_blk] * 6 + [kp_in, hj_blk_i, hi_blk_i, hj_blk_i,
                                  hi_blk_i]
         + [drv_spec] * 2 + [bck_win]
         + [bcj, bcj, bci, bci, bcj, bcj, bci, bci]
+        + ([coef_win] * 6 if lossy else [])
     )
     out_specs = [out_blk] * 6 + [kp_out, hj_blk_o, hi_blk_o, hj_blk_o,
                                  hi_blk_o]
@@ -789,7 +824,7 @@ def build_stream_pml_call(p: Params, cfg: PMLConfig, coefs: UpdateCoefs,
     aliases = {} if interpret else {i + 1: i for i in range(11)}
     tail = pltpu.VMEM((s + 1, J1, Ib), compute_dtype)
     scratch = [tail] * 6 + [
-        pltpu.VMEM((4, s + 1, J1, Ib), compute_dtype),   # kp tails
+        pltpu.VMEM((s + 1, 4, J1, Ib), compute_dtype),   # kp tails
         pltpu.VMEM((s + 1, Pj, Ib), compute_dtype),      # h_j tails
         pltpu.VMEM((s + 1, J1, 128), compute_dtype),     # h_i tails
         pltpu.VMEM((s + 1, Pj, Ib), compute_dtype),      # e_j tails
@@ -797,7 +832,7 @@ def build_stream_pml_call(p: Params, cfg: PMLConfig, coefs: UpdateCoefs,
     ]
     inner = pl.pallas_call(
         functools.partial(_kernel_pml, p, f_h, f_e, patch, Ib, s, nk,
-                          n, Pj, sf_h, sf_e, sf_k),
+                          n, Pj, sf_h, sf_e, sf_k, lossy),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -809,7 +844,7 @@ def build_stream_pml_call(p: Params, cfg: PMLConfig, coefs: UpdateCoefs,
     )
 
     def call(koff, ex, ey, ez, hx, hy, hz, kp, h_j, h_i, e_j, e_i,
-             de2, dh2):
+             de2, dh2, *coef6):
         return inner(
             koff, ex, ey, ez, hx, hy, hz, kp, h_j, h_i, e_j, e_i,
             de2, dh2, jnp.asarray(bck),
@@ -817,6 +852,7 @@ def build_stream_pml_call(p: Params, cfg: PMLConfig, coefs: UpdateCoefs,
             jnp.asarray(bc[2]), jnp.asarray(bc[3]),
             jnp.asarray(bc[4]), jnp.asarray(bc[5]),
             jnp.asarray(bc[6]), jnp.asarray(bc[7]),
+            *coef6,
         )
 
     return call, nd
@@ -833,7 +869,8 @@ def make_stream_pml_group_step(p: Params, cfg: PMLConfig,
 
     if s is None:
         env = os.environ.get("FDTD_STREAM_PML_S")
-        s = int(env) if env else pick_pml_stream_s(p, cfg)
+        s = int(env) if env else pick_pml_stream_s(
+            p, cfg, not isinstance(coefs.ca_x, (int, float)))
     if s is None:
         raise NotImplementedError("no VMEM-feasible streaming-PML plan")
     if interpret is None:
@@ -843,6 +880,7 @@ def make_stream_pml_group_step(p: Params, cfg: PMLConfig,
             else (jax.default_backend() != "tpu")
         )
     call, nd = build_stream_pml_call(p, cfg, coefs, interpret, s)
+    lossy = not isinstance(coefs.ca_x, (int, float))
     S, J1, Ib = dims(p)
     dtype = jnp.dtype(p.dtype)
     plan = make_source_plan(p)
@@ -877,9 +915,13 @@ def make_stream_pml_group_step(p: Params, cfg: PMLConfig,
         de2 = jnp.asarray(zero_drv).at[sl].set(pvs.astype(dtype))
         dh2 = jnp.asarray(zero_drv).at[sl].set(
             (-plan.inv_z_te * pvs).astype(dtype))
+        coef6 = (
+            (st.ca_x, st.ca_y, st.ca_z, st.cb_x, st.cb_y, st.cb_z)
+            if lossy else ()
+        )
         ex, ey, ez, hx, hy, hz, kp, hj, hi, ej, ei = call(
             jnp.asarray(zoff), st.ex, st.ey, st.ez, st.hx, st.hy, st.hz,
-            ps.kp, ps.h_j, ps.h_i, ps.e_j, ps.e_i, de2, dh2)
+            ps.kp, ps.h_j, ps.h_i, ps.e_j, ps.e_i, de2, dh2, *coef6)
         st = dataclasses.replace(st, ex=ex, ey=ey, ez=ez,
                                  hx=hx, hy=hy, hz=hz)
         # the hx_s strip advance is an exact no-op in computation mode

@@ -744,6 +744,7 @@ def run_simulation(
     disp_fast = False
     disp_stream_dft = False
     pml_kernel_tier = False  # set by the single-chip PML dispatch below
+    pml_stream_tier = False  # r5b: the streaming-PML composition
     if dispersive:
         # ADE single-pole Debye dispersion (ops/dispersive.py): the three
         # polarization arrays ride the chunk carry as (state, P); --sar
@@ -928,6 +929,20 @@ def run_simulation(
             kernel_pml_supported(p, pml, materials)
             and os.environ.get("FDTD_PML_KERNEL", "1") != "0"
         )
+        # r5b: past the two-pass composition's ~6.4 G roofline — the
+        # full psi recursion rides the multi-step streaming wavefront
+        # (ops/pallas_stream_pml.py; computation-mode vacuum, unmonitored,
+        # 256^3-class plans).  FDTD_PML_STREAM=0 forces the per-step
+        # in-kernel tier for A/B.
+        from .ops.pallas_stream_pml import stream_pml_supported
+
+        stream_ok = (
+            kern_ok
+            and dft is None and probes is None
+            and not accumulate_power  # SAR needs per-step states
+            and stream_pml_supported(p, pml, materials)
+            and os.environ.get("FDTD_PML_STREAM", "1") != "0"
+        )
         pml_kernel_dft = False
         if dft is not None or probes is not None:
             # r5: the OPEN-BOUNDARY steady-state phasor rides the
@@ -985,14 +1000,22 @@ def run_simulation(
             dft_box, probe_chunks = _monitor_boxes(p, dft)
             run_chunk = _monitored_run_chunk(run_mon, dft_box, probe_chunks)
         elif backend == "pallas_fused":
-            pml_kernel_tier = kern_ok
-            run_pml = (
-                make_pml_kernel_chunk_runner(p, pml, materials,
-                                             accumulate_power)
-                if kern_ok
-                else make_pml_fast_chunk_runner(p, pml, materials,
-                                                accumulate_power)
-            )
+            if stream_ok:
+                from .ops.pallas_stream_pml import (
+                    make_stream_pml_chunk_runner,
+                )
+
+                pml_stream_tier = True
+                run_pml = make_stream_pml_chunk_runner(p, pml, materials)
+            else:
+                pml_kernel_tier = kern_ok
+                run_pml = (
+                    make_pml_kernel_chunk_runner(p, pml, materials,
+                                                 accumulate_power)
+                    if kern_ok
+                    else make_pml_fast_chunk_runner(p, pml, materials,
+                                                    accumulate_power)
+                )
 
             def run_chunk(carry, chunk, power):
                 return run_pml(carry, chunk, power)
@@ -1227,7 +1250,13 @@ def run_simulation(
         # identity adapters on the xla path; stripped-layout conversion
         # (with embedded material coefficients) on the Pallas fast path
         prep_s, restore_s = backend_adapters(p, backend, materials)
-        if pml_kernel_tier:
+        if pml_stream_tier:
+            # streaming tier: psi rides the pipeline-packed PsiStream;
+            # checkpoints stay canonical via pack/unpack (bit-exact)
+            from .ops.pallas_stream_pml import pack_psi_stream
+
+            prep = lambda s: (prep_s(s), pack_psi_stream(p, pml, resumed_psi))
+        elif pml_kernel_tier:
             # in-kernel tier: psi rides as the packed layout; checkpoints
             # stay canonical via pack/unpack (bit-exact round trip)
             from .ops.cpml_kernel import pack_psi as _pack_psi
@@ -1263,6 +1292,11 @@ def run_simulation(
                 from .parallel.sharded_step import extract_psi12
 
                 psi_canon = jax.jit(lambda c: extract_psi12(p, pml, c[1]))
+        elif pml_stream_tier:
+            # streaming tier: canonical psi via unpack (cross-tier interop)
+            from .ops.pallas_stream_pml import unpack_psi_stream
+
+            psi_canon = jax.jit(lambda c: unpack_psi_stream(p, pml, c[1]))
         elif pml_kernel_tier:
             # in-kernel tier: the carry holds the packed psi layout;
             # checkpoints stay canonical (cross-tier/topology interop)

@@ -120,6 +120,32 @@ def test_pml_default_composition_admitted(n, dtype):
         assert kernel_pml_supported(p, cfg, m), (n, dtype, label)
 
 
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_pml_stream_tier_admitted_256(dtype):
+    """The r5b streaming-PML tier admits the headline vacuum config
+    (256^3, 10-cell CPML, computation mode) at s>=4 — the bench row's
+    plan — and the interior water load (v2 lossy: the six ca/cb
+    windows cost a sweep depth at fp32).  512^3-class grids
+    intentionally fall back to the in-kernel two-pass tier (the kp
+    tiles + tails bust VMEM)."""
+    from fdtd_tpu.ops.cpml import PMLConfig
+    from fdtd_tpu.ops.pallas_stream_pml import (
+        pick_pml_stream_s,
+        stream_pml_supported,
+    )
+    from fdtd_tpu.state import water_block
+
+    cfg = PMLConfig(cells=10)
+    p = _params(256, dtype)
+    assert stream_pml_supported(p, cfg)
+    assert pick_pml_stream_s(p, cfg) >= 4
+    mats = water_block(p, lo=(0.35,) * 3, hi=(0.65,) * 3)
+    assert stream_pml_supported(p, cfg, mats)
+    assert pick_pml_stream_s(p, cfg, lossy=True) >= (
+        2 if dtype == "float32" else 4)
+    assert not stream_pml_supported(_params(512, dtype), cfg)
+
+
 @pytest.mark.parametrize("nshard", [2, 4, 8])
 def test_pml_sharded_composition_admitted(nshard):
     """--pml --shard N keeps the per-shard two-pass tier for the default

@@ -694,12 +694,15 @@ def test_pml_fast_supported_gates():
 
 def test_pml_fast_runner_dispatch(tmp_path, monkeypatch):
     """run_simulation(pml=..., backend="pallas_fused") dispatches the
-    in-kernel psi tier (ops/cpml_kernel.py, the r5 default — matches
-    xla to fp32 reassociation accuracy); FDTD_PML_KERNEL=0 forces the
-    r3 slab-correction composition, which stays BIT-equal to xla; a
-    multi-step-kernel backend request gets a notice and still runs."""
+    in-kernel psi tier (ops/cpml_kernel.py — matches xla to fp32
+    reassociation accuracy; FDTD_PML_STREAM=0 here pins THIS tier —
+    the r5b streaming tier above it is covered by test_stream_pml.py);
+    FDTD_PML_KERNEL=0 forces the r3 slab-correction composition, which
+    stays BIT-equal to xla; a multi-step-kernel backend request gets a
+    notice and still runs."""
     from fdtd_tpu.runner import run_simulation
 
+    monkeypatch.setenv("FDTD_PML_STREAM", "0")
     n = 20
     p = dataclasses.replace(_box_params(n, 30, dtype="float32"),
                             mode=Mode.COMPUTATION, sampling_rate=10)

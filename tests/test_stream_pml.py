@@ -93,6 +93,33 @@ def test_stream_pml_matches_xla(s):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("s", [4, 2])
+def test_stream_pml_lossy_matches_xla(s):
+    """r5b v2: lossy media (interior water block, homogeneous mu_r)
+    stream the six ca/cb coefficient windows — fields, psi, all at the
+    same reassociation tolerance vs the xla CPML scan."""
+    from fdtd_tpu.state import water_block
+    from fdtd_tpu.ops.pallas_stream_pml import (
+        make_stream_pml_chunk_runner,
+        pack_psi_stream,
+    )
+
+    n, steps = 24, 24
+    p = _comp_params(n, steps)
+    cfg = PMLConfig(cells=5)
+    mats = water_block(p, lo=(0.35,) * 3, hi=(0.65,) * 3)
+    xs = scan_inputs(p, time_values(p)[:steps])
+    run_x = make_pml_chunk_runner(p, cfg, mats)
+    (want, psi_w), _ = run_x((zeros(p), init_psi(p, cfg)), xs, None)
+
+    prep, _ = backend_adapters(p, "pallas_fused", mats)
+    run_s = make_stream_pml_chunk_runner(p, cfg, mats, interpret=True, s=s)
+    carry, _ = run_s((prep(zeros(p)), pack_psi_stream(p, cfg, None)),
+                     xs, None)
+    _assert_equal(p, cfg, carry, want, psi_w, f"lossy/s={s}")
+
+
+@pytest.mark.slow
 def test_stream_pml_odd_tail_and_chunks():
     """Odd trailing steps (the per-step in-kernel tier through the
     exact stream<->packed round trip) and chunk boundaries (engaged psi
@@ -161,21 +188,88 @@ def test_stream_psi_roundtrip_and_conversions():
 
 
 def test_stream_pml_supported_gates():
-    """The admission gate: computation-mode vacuum with a clear patch
-    passes; validation mode, lossy overlap-free materials (v1 scope),
-    fp64, and slab-overlapping patches are all rejected."""
-    from fdtd_tpu.state import water_block
+    """The admission gate: computation-mode vacuum AND an interior
+    lossy load pass; validation mode, heterogeneous mu_r, a load
+    overlapping the absorber, fp64, and slab-overlapping patches are
+    all rejected."""
+    import numpy as np
+
+    from fdtd_tpu.state import Materials, water_block
     from fdtd_tpu.ops.pallas_stream_pml import stream_pml_supported
 
     p = _comp_params(32, 10, dtype="float32")
     assert stream_pml_supported(p, PMLConfig(cells=5))
+    # lossy media stream the ca/cb windows (r5b v2)
+    mats = water_block(p, lo=(0.4,) * 3, hi=(0.6,) * 3)
+    assert stream_pml_supported(p, PMLConfig(cells=5), mats)
     # validation mode: strips are nonzero — gated out
     pv = dataclasses.replace(p, mode=Mode.VALIDATION)
     assert not stream_pml_supported(pv, PMLConfig(cells=5))
-    # v1 scope: lossy media keep the per-step in-kernel tier
-    mats = water_block(p, lo=(0.4,) * 3, hi=(0.6,) * 3)
-    assert not stream_pml_supported(p, PMLConfig(cells=5), mats)
+    # heterogeneous mu_r keeps the per-step tier
+    K, J, I = p.maxk, p.maxj, p.maxi
+    mu = np.ones((K, J, I))
+    mu[14:18, 14:18, 14:18] = 3.0
+    assert not stream_pml_supported(
+        p, PMLConfig(cells=5),
+        Materials(eps_r=np.ones((K, J, I)), sigma=None, mu_r=mu))
+    # a load overlapping the absorber loses slab-constant factors
+    sg = np.zeros((K, J, I))
+    sg[0:3, :, :] = 0.1
+    assert not stream_pml_supported(
+        p, PMLConfig(cells=5),
+        Materials(eps_r=np.ones((K, J, I)), sigma=sg, mu_r=None))
     # fp64 stays on the xla path (fast_pml_supported)
     assert not stream_pml_supported(_comp_params(32, 10), PMLConfig(cells=5))
     # a slab deep enough to reach the source patch is rejected
     assert not stream_pml_supported(p, PMLConfig(cells=13))
+
+
+@pytest.mark.slow
+def test_stream_pml_runner_dispatch(tmp_path, monkeypatch):
+    """run_simulation(pml=..., backend="pallas_fused") now dispatches
+    the streaming tier for computation-mode vacuum (matches xla to fp32
+    reassociation accuracy); FDTD_PML_STREAM=0 forces the per-step
+    in-kernel tier, which agrees at the same tolerance; checkpoint/
+    resume through the streaming tier reproduces the uninterrupted run
+    bit-exactly (canonical psi in the checkpoint — cross-tier layout)."""
+    from fdtd_tpu.runner import run_simulation
+
+    n = 20
+    p = dataclasses.replace(_comp_params(n, 30, dtype="float32"),
+                            sampling_rate=10)
+    cfg = PMLConfig(cells=4)
+    ra = run_simulation(p, out_dir=str(tmp_path / "x"), pml=cfg,
+                        backend="xla", write_snapshots=False,
+                        log=lambda s: None)
+    msgs: list[str] = []
+    rb = run_simulation(p, out_dir=str(tmp_path / "s"), pml=cfg,
+                        backend="pallas_fused", write_snapshots=False,
+                        log=msgs.append)
+    assert not msgs
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        np.testing.assert_allclose(
+            np.asarray(getattr(rb.state, c)), np.asarray(getattr(ra.state, c)),
+            atol=1e-6, rtol=1e-4, err_msg=c)
+
+    monkeypatch.setenv("FDTD_PML_STREAM", "0")
+    rk = run_simulation(p, out_dir=str(tmp_path / "k"), pml=cfg,
+                        backend="pallas_fused", write_snapshots=False,
+                        log=lambda s: None)
+    monkeypatch.delenv("FDTD_PML_STREAM")
+    np.testing.assert_allclose(np.asarray(rk.state.ey),
+                               np.asarray(rb.state.ey),
+                               atol=1e-6, rtol=1e-4)
+
+    # checkpoint/resume within the streaming tier: bit-exact
+    p_half = dataclasses.replace(p, simulation_time=15e-12)
+    run_simulation(p_half, out_dir=str(tmp_path / "part"), pml=cfg,
+                   backend="pallas_fused", checkpoint_every=10,
+                   write_snapshots=False, log=lambda s: None)
+    rr = run_simulation(p, out_dir=str(tmp_path / "part"), pml=cfg,
+                        backend="pallas_fused", resume=True,
+                        checkpoint_every=10, write_snapshots=False,
+                        log=lambda s: None)
+    for c in ["ex", "ey", "ez", "hx", "hy", "hz"]:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(rr.state, c)), np.asarray(getattr(rb.state, c)),
+            err_msg=f"resume/{c}")
