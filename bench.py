@@ -284,22 +284,33 @@ def _row_dft(n, steps, dtype):
 
 
 def _row_pml_dft(n, steps, dtype):
-    """--pml --dft: the open-boundary steady-state phasor on the
-    in-kernel CPML tier + the blocked accumulation pass (r5)."""
+    """--pml --dft: the open-boundary steady-state phasor — the phasor
+    bands riding the streaming-PML sweep (r5b) where admitted, else
+    the in-kernel CPML tier + the blocked accumulation pass (r5)."""
     import jax
 
     from fdtd_tpu.dft import DftConfig, dft_weights, zero_dft_acc
     from fdtd_tpu.ops.cpml import PMLConfig
-    from fdtd_tpu.ops.cpml_kernel import (
-        make_pml_kernel_dft_chunk_runner,
-        pack_psi,
-    )
+    from fdtd_tpu.ops.pallas_stream_pml import stream_pml_dft_supported
     from fdtd_tpu.step import backend_adapters
 
     p = _bench_params(n, steps, dtype)
     pml = PMLConfig(cells=10)
     dftc = DftConfig((2.45e10,))
-    run = make_pml_kernel_dft_chunk_runner(p, pml, None, dftc)
+    if stream_pml_dft_supported(p, pml, dftc):
+        from fdtd_tpu.ops.pallas_stream_pml import (
+            make_stream_pml_dft_chunk_runner,
+            pack_psi_stream as pack_psi,
+        )
+
+        run = make_stream_pml_dft_chunk_runner(p, pml, None, dftc)
+    else:
+        from fdtd_tpu.ops.cpml_kernel import (
+            make_pml_kernel_dft_chunk_runner,
+            pack_psi,
+        )
+
+        run = make_pml_kernel_dft_chunk_runner(p, pml, None, dftc)
     prep, _ = backend_adapters(p, "pallas_fused")
     ts = np.arange(steps) * p.time_step
     xs_t, xs_a = scan_inputs(p, ts)

@@ -260,7 +260,8 @@ def _bck_rows(p: Params, cfg: PMLConfig, dt) -> np.ndarray:
 
 
 def stream_pml_vmem_estimate(p: Params, cfg: PMLConfig, s: int,
-                             lossy: bool = False) -> int:
+                             lossy: bool = False,
+                             dft_nf: int = 0) -> int:
     """VMEM model: field io + psi pack io + kp tiles + tails + live."""
     S, J1, Ib = dims(p)
     item = jnp.dtype(p.dtype).itemsize
@@ -273,20 +274,25 @@ def stream_pml_vmem_estimate(p: Params, cfg: PMLConfig, s: int,
     io += 2 * 2 * max(s - 1, 1) * J1 * Ib * item     # de2/dh2
     if lossy:
         io += 2 * 6 * (2 * s) * J1 * Ib * item       # ca/cb Element windows
+    if dft_nf:
+        io += 2 * 2 * 6 * dft_nf * s * J1 * Ib * 4   # dacc 4-D tiles
     tails = (s + 1) * (6 + 4) * J1 * Ib * 4          # fields + kp
     tails += (s + 1) * 2 * (Pj * Ib + J1 * 128) * 4  # pack tails
+    if dft_nf:
+        tails += 6 * dft_nf * 3 * s * J1 * Ib * 4    # rolling phasor bands
     live = 3 * (6 + 4 + 1) * (s + 1) * J1 * Ib * 4
     return io + tails + live
 
 
 def pick_pml_stream_s(p: Params, cfg: PMLConfig,
-                      lossy: bool = False) -> int | None:
+                      lossy: bool = False,
+                      dft_nf: int = 0) -> int | None:
     """Largest feasible steps-per-sweep (full-plane only), or None."""
     S, _J1, _Ib = dims(p)
     for s in (TS, TS // 2, TS // 4):
         if D % s or (S - D) % s or (S - D) // s < 2:
             continue
-        if stream_pml_vmem_estimate(p, cfg, s, lossy) <= VMEM_BUDGET:
+        if stream_pml_vmem_estimate(p, cfg, s, lossy, dft_nf) <= VMEM_BUDGET:
             return s
     return None
 
@@ -318,7 +324,7 @@ def stream_pml_supported(p: Params, cfg: PMLConfig,
 
 
 def _kernel_pml(p: Params, f_h, f_e, patch, Ib, s, nk, n, Pj,
-                sf_h, sf_e, sf_k, lossy, *refs):
+                sf_h, sf_e, sf_k, lossy, dft_nf, *refs):
     """One streaming-PML sweep step: s leapfrog steps + all 12 psi.
 
     The vacuum level body is line-equivalent to
@@ -339,10 +345,19 @@ def _kernel_pml(p: Params, f_h, f_e, patch, Ib, s, nk, n, Pj,
     if lossy:
         coef_refs = refs[:6]
         refs = refs[6:]
+    if dft_nf:
+        wts_ref, daccin_ref = refs[:2]
+        refs = refs[2:]
     (oex, oey, oez, ohx, ohy, ohz,
-     okp, ohj, ohi, oej, oei,
-     tex, tey, tez, thx, thy, thz,
-     tkp, thj, thi, tej, tei) = refs
+     okp, ohj, ohi, oej, oei) = refs[:11]
+    refs = refs[11:]
+    if dft_nf:
+        odacc = refs[0]
+        refs = refs[1:]
+    (tex, tey, tez, thx, thy, thz,
+     tkp, thj, thi, tej, tei) = refs[:11]
+    if dft_nf:
+        dbandr = refs[11]
 
     g = pl.program_id(0)
     K, J = p.maxk, p.maxj
@@ -359,6 +374,8 @@ def _kernel_pml(p: Params, f_h, f_e, patch, Ib, s, nk, n, Pj,
         tej[:] = jnp.zeros(tej.shape, tej.dtype)
         thi[:] = jnp.zeros(thi.shape, thi.dtype)
         tei[:] = jnp.zeros(tei.shape, tei.dtype)
+        if dft_nf:
+            dbandr[:] = jnp.zeros(dbandr.shape, jnp.float32)
 
     st_dt = iex.dtype
     cd = jnp.float32 if st_dt == jnp.bfloat16 else st_dt
@@ -387,6 +404,10 @@ def _kernel_pml(p: Params, f_h, f_e, patch, Ib, s, nk, n, Pj,
         caxw, cayw, cazw, cbxw, cbyw, cbzw = (
             r[:].astype(cd) for r in coef_refs
         )
+    if dft_nf:
+        # per-frequency rolling phasor bands as VALUES through the level
+        # loop (the pallas_stream dft mechanism), written back per step
+        dbands = [dbandr[i] for i in range(6 * dft_nf)]
 
     sfh = tuple(jnp.dtype(cd).type(v) for v in sf_h)
     sfe = tuple(jnp.dtype(cd).type(v) for v in sf_e)
@@ -664,6 +685,51 @@ def _kernel_pml(p: Params, f_h, f_e, patch, Ib, s, nk, n, Pj,
         r_eyz = jnp.where(m_eyz, b3 * kp_w[3] + c3 * (hx0 - hx_m1), kp_w[3])
         ey_n = jnp.where(m_eyz, ey_n + sfk[3] * r_eyz, ey_n)
 
+        if dft_nf:
+            # cell rows [o_m - 1, o_m + tk - 1): E^m = own old tail +
+            # fresh (post-ALL-corrections, matching the xla step's final
+            # E; frozen strips are zero in computation mode, so these
+            # in-kernel cell means equal the canonical ones)
+            exs = jnp.concatenate([t_ex[m][None], ex_n], axis=0)
+            eys = jnp.concatenate([t_ey[m][None], ey_n], axis=0)
+            ezs = jnp.concatenate([t_ez[m][None], ez_n], axis=0)
+            a, b = exs[:tk], exs[1:]
+            mex = 0.25 * (a + b + jnp.roll(a, -1, axis=1)
+                          + jnp.roll(b, -1, axis=1))
+            a, b = eys[:tk], eys[1:]
+            a_i = jnp.where(last_lane, zr, jnp.roll(a, -1, axis=2))
+            b_i = jnp.where(last_lane, zr, jnp.roll(b, -1, axis=2))
+            mey = 0.25 * (a + a_i + b + b_i)
+            a = ezs[:tk]
+            a_j = jnp.roll(a, -1, axis=1)
+            a_i = jnp.where(last_lane, zr, jnp.roll(a, -1, axis=2))
+            a_ji = jnp.where(last_lane, zr, jnp.roll(a_j, -1, axis=2))
+            mez = 0.25 * (a + a_j + a_i + a_ji)
+            kv_c = krow(o_m - 1, tk)
+            m_cell = (kv_c >= 0) & (kv_c < K) & jm_j
+            b0 = 2 * tk - m - 1  # band row of cell row o_m - 1
+
+            def band_add(bandv, inc):
+                tail_sh = (3 * tk - b0 - tk,) + inc.shape[1:]
+                return bandv + jnp.concatenate(
+                    [jnp.zeros((b0,) + inc.shape[1:], jnp.float32), inc,
+                     jnp.zeros(tail_sh, jnp.float32)],
+                    axis=0,
+                )
+
+            zf32 = jnp.float32(0.0)
+            for fi in range(dft_nf):
+                cw = wts_ref[m - 1, fi]
+                sw = wts_ref[m - 1, dft_nf + fi]
+                for ci, me in enumerate((mex, mey, mez)):
+                    mef = me.astype(jnp.float32)
+                    base = (fi * 3 + ci) * 2
+                    dbands[base] = band_add(
+                        dbands[base], jnp.where(m_cell, cw * mef, zf32))
+                    dbands[base + 1] = band_add(
+                        dbands[base + 1],
+                        jnp.where(m_cell, (-sw) * mef, zf32))
+
         cur_ex, cur_ey, cur_ez = ex_n, ey_n, ez_n
         cur_hx, cur_hy, cur_hz = hx_n, hy_n, hz_n
         cur_kp = jnp.stack([r_hxz, r_hyz, r_exz, r_eyz])
@@ -709,13 +775,35 @@ def _kernel_pml(p: Params, f_h, f_e, patch, Ib, s, nk, n, Pj,
             o[:] = v.astype(st_dt)
         okp[:] = cur_kp.astype(st_dt)
 
+    if dft_nf:
+        # cell block g-2 completes at step g (level s's bottom row is
+        # its last contribution); one extra drain step (grid nk+ofs+1)
+        # emits the final block — the pallas_stream dft schedule
+        demit = jnp.stack([bnd[:tk] for bnd in dbands])
+
+        @pl.when((g >= 2) & (g <= nk + 1))
+        def _emit_dacc():
+            odacc[:] = daccin_ref[:] + demit
+
+        @pl.when(g < 2)
+        def _emit_dacc_dead():
+            odacc[:] = jnp.zeros(odacc.shape, jnp.float32)
+
+        for i, bnd in enumerate(dbands):
+            dbandr[i] = jnp.concatenate(
+                [bnd[tk:],
+                 jnp.zeros((tk,) + bnd.shape[1:], jnp.float32)],
+                axis=0,
+            )
+
 
 def build_stream_pml_call(p: Params, cfg: PMLConfig, coefs: UpdateCoefs,
-                          interpret: bool, s: int):
+                          interpret: bool, s: int, dft_nf: int = 0):
     """The streaming-PML sweep pallas_call.
 
-    ``call(koff, ex..hz, kp, h_j, h_i, e_j, e_i, de2, dh2) ->
-    (ex..hz, kp, h_j, h_i, e_j, e_i)`` — 11 aliased in/out pairs.
+    ``call(koff, ex..hz, kp, h_j, h_i, e_j, e_i, de2, dh2[, coef6]
+    [, wts, dacc]) -> (ex..hz, kp, h_j, h_i, e_j, e_i[, dacc])`` — 11
+    aliased in/out pairs (12 with the in-kernel DFT accumulator).
     """
     S, J1, Ib = dims(p)
     n = cfg.cells
@@ -757,7 +845,8 @@ def build_stream_pml_call(p: Params, cfg: PMLConfig, coefs: UpdateCoefs,
     kp_shape = jax.ShapeDtypeStruct((4, S, J1, Ib), dtype)
     hj_shape = jax.ShapeDtypeStruct((S, Pj, Ib), dtype)
     hi_shape = jax.ShapeDtypeStruct((S, J1, 128), dtype)
-    grid = (nk + ofs,)
+    dacc_shape = jax.ShapeDtypeStruct((6 * dft_nf, S, J1, Ib), jnp.float32)
+    grid = (nk + ofs + (1 if dft_nf else 0),)
 
     def in_k(g):
         return jnp.where(g < nk, g + ofs, 0)
@@ -804,6 +893,19 @@ def build_stream_pml_call(p: Params, cfg: PMLConfig, coefs: UpdateCoefs,
     bci = pl.BlockSpec((1, 1, 128), lambda g: (0, 0, 0),
                        memory_space=pltpu.VMEM)
     smem = pl.BlockSpec((1, 1), lambda g: (0, 0), memory_space=pltpu.SMEM)
+    wts_smem = pl.BlockSpec((s, 2 * dft_nf), lambda g: (0, 0),
+                            memory_space=pltpu.SMEM)
+    # phasor blocks trail the fields by two (pallas_stream's schedule)
+    dacc_blk = pl.BlockSpec(
+        (6 * dft_nf, tk, J1, Ib),
+        lambda g: (
+            0,
+            jnp.clip(jnp.where(g < 2, jnp.minimum(g, ofs - 1), g + ofs - 2),
+                     0, nk + ofs - 1),
+            0, 0,
+        ),
+        memory_space=pltpu.VMEM,
+    )
     coef_win = pl.BlockSpec(
         (pl.Element(tk + s, (0, 2 * s)), pl.Element(J1), pl.Element(Ib)),
         lambda g: ((jnp.minimum(g, nk) + ofs) * tk - s, 0, 0),
@@ -816,12 +918,17 @@ def build_stream_pml_call(p: Params, cfg: PMLConfig, coefs: UpdateCoefs,
         + [drv_spec] * 2 + [bck_win]
         + [bcj, bcj, bci, bci, bcj, bcj, bci, bci]
         + ([coef_win] * 6 if lossy else [])
+        + ([wts_smem, dacc_blk] if dft_nf else [])
     )
+    n_in = len(in_specs)
     out_specs = [out_blk] * 6 + [kp_out, hj_blk_o, hi_blk_o, hj_blk_o,
-                                 hi_blk_o]
+                                 hi_blk_o] + ([dacc_blk] if dft_nf else [])
     out_shape = (bulk_shape,) * 6 + (kp_shape, hj_shape, hi_shape,
-                                     hj_shape, hi_shape)
+                                     hj_shape, hi_shape) \
+        + ((dacc_shape,) if dft_nf else ())
     aliases = {} if interpret else {i + 1: i for i in range(11)}
+    if dft_nf and not interpret:
+        aliases[n_in - 1] = 11
     tail = pltpu.VMEM((s + 1, J1, Ib), compute_dtype)
     scratch = [tail] * 6 + [
         pltpu.VMEM((s + 1, 4, J1, Ib), compute_dtype),   # kp tails
@@ -829,10 +936,11 @@ def build_stream_pml_call(p: Params, cfg: PMLConfig, coefs: UpdateCoefs,
         pltpu.VMEM((s + 1, J1, 128), compute_dtype),     # h_i tails
         pltpu.VMEM((s + 1, Pj, Ib), compute_dtype),      # e_j tails
         pltpu.VMEM((s + 1, J1, 128), compute_dtype),     # e_i tails
-    ]
+    ] + ([pltpu.VMEM((6 * dft_nf, 3 * tk, J1, Ib), jnp.float32)]
+         if dft_nf else [])
     inner = pl.pallas_call(
         functools.partial(_kernel_pml, p, f_h, f_e, patch, Ib, s, nk,
-                          n, Pj, sf_h, sf_e, sf_k, lossy),
+                          n, Pj, sf_h, sf_e, sf_k, lossy, dft_nf),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -844,16 +952,16 @@ def build_stream_pml_call(p: Params, cfg: PMLConfig, coefs: UpdateCoefs,
     )
 
     def call(koff, ex, ey, ez, hx, hy, hz, kp, h_j, h_i, e_j, e_i,
-             de2, dh2, *coef6):
-        return inner(
-            koff, ex, ey, ez, hx, hy, hz, kp, h_j, h_i, e_j, e_i,
-            de2, dh2, jnp.asarray(bck),
-            jnp.asarray(bc[0]), jnp.asarray(bc[1]),
-            jnp.asarray(bc[2]), jnp.asarray(bc[3]),
-            jnp.asarray(bc[4]), jnp.asarray(bc[5]),
-            jnp.asarray(bc[6]), jnp.asarray(bc[7]),
-            *coef6,
-        )
+             de2, dh2, *coef6, wts=None, dacc=None):
+        args = [koff, ex, ey, ez, hx, hy, hz, kp, h_j, h_i, e_j, e_i,
+                de2, dh2, jnp.asarray(bck),
+                jnp.asarray(bc[0]), jnp.asarray(bc[1]),
+                jnp.asarray(bc[2]), jnp.asarray(bc[3]),
+                jnp.asarray(bc[4]), jnp.asarray(bc[5]),
+                jnp.asarray(bc[6]), jnp.asarray(bc[7])] + list(coef6)
+        if dft_nf:
+            args += [wts, dacc]
+        return inner(*args)
 
     return call, nd
 
@@ -861,10 +969,13 @@ def build_stream_pml_call(p: Params, cfg: PMLConfig, coefs: UpdateCoefs,
 def make_stream_pml_group_step(p: Params, cfg: PMLConfig,
                                coefs: UpdateCoefs,
                                interpret: bool | None = None,
-                               s: int | None = None):
+                               s: int | None = None,
+                               dft_nf: int = 0):
     """``group_step((st, ps), (ts, amps)) -> (st, ps)`` advancing
-    ``group_step.s`` steps per sweep on
-    ``(StrippedState, PsiStream)``."""
+    ``group_step.s`` steps per sweep on ``(StrippedState, PsiStream)``.
+    With ``dft_nf``: ``group_step(carry, xs, wts_rows=(cw, sw),
+    dacc=...) -> (carry, dacc)`` — the stacked-layout phasor
+    accumulator rides the sweep."""
     import os
 
     if s is None:
@@ -879,7 +990,7 @@ def make_stream_pml_group_step(p: Params, cfg: PMLConfig,
             (dd.platform != "tpu") if dd is not None
             else (jax.default_backend() != "tpu")
         )
-    call, nd = build_stream_pml_call(p, cfg, coefs, interpret, s)
+    call, nd = build_stream_pml_call(p, cfg, coefs, interpret, s, dft_nf)
     lossy = not isinstance(coefs.ca_x, (int, float))
     S, J1, Ib = dims(p)
     dtype = jnp.dtype(p.dtype)
@@ -905,7 +1016,7 @@ def make_stream_pml_group_step(p: Params, cfg: PMLConfig,
             hx=st.hx.at[sl].set((-plan.inv_z_te * pv).astype(dtype)),
         )
 
-    def group_step(carry, xs_group):
+    def group_step(carry, xs_group, wts_rows=None, dacc=None):
         st, ps = carry
         _ts_g, amps_g = xs_group
         st = inject_state(st, drive_patch(amps_g[0]))
@@ -919,15 +1030,25 @@ def make_stream_pml_group_step(p: Params, cfg: PMLConfig,
             (st.ca_x, st.ca_y, st.ca_z, st.cb_x, st.cb_y, st.cb_z)
             if lossy else ()
         )
-        ex, ey, ez, hx, hy, hz, kp, hj, hi, ej, ei = call(
+        kw = {}
+        if dft_nf:
+            cw_g, sw_g = wts_rows
+            kw = dict(wts=jnp.concatenate([cw_g, sw_g], axis=1),
+                      dacc=dacc)
+        outs = call(
             jnp.asarray(zoff), st.ex, st.ey, st.ez, st.hx, st.hy, st.hz,
-            ps.kp, ps.h_j, ps.h_i, ps.e_j, ps.e_i, de2, dh2, *coef6)
+            ps.kp, ps.h_j, ps.h_i, ps.e_j, ps.e_i, de2, dh2, *coef6,
+            **kw)
+        ex, ey, ez, hx, hy, hz, kp, hj, hi, ej, ei = outs[:11]
         st = dataclasses.replace(st, ex=ex, ey=ey, ez=ez,
                                  hx=hx, hy=hy, hz=hz)
         # the hx_s strip advance is an exact no-op in computation mode
         # (ey_s/ez_s are PEC-frozen at zero, so its curl and its hx_y
         # strip psi are identically zero) — skipped by design
-        return st, PsiStream(kp=kp, h_j=hj, h_i=hi, e_j=ej, e_i=ei)
+        carry = (st, PsiStream(kp=kp, h_j=hj, h_i=hi, e_j=ej, e_i=ei))
+        if dft_nf:
+            return carry, outs[11]
+        return carry
 
     group_step.s = s
     return group_step
@@ -968,5 +1089,99 @@ def make_stream_pml_chunk_runner(p: Params, cfg: PMLConfig,
                               (ts[idx], amps[idx]))
             carry = (st, packed_to_stream(p, cfg, pp))
         return carry, power_acc
+
+    return run
+
+
+def stream_pml_dft_supported(p: Params, cfg: PMLConfig, dft,
+                             materials: Materials | None = None) -> bool:
+    """True when the OPEN-BOUNDARY in-kernel DFT rides the streaming
+    tier: everything :func:`stream_pml_supported` admits, E phasors
+    only, and a plan that still fits with the 6*nf phasor tiles."""
+    if dft is None or dft.fields != "e":
+        return False
+    coefs = update_coefs(p, materials)
+    if not stream_pml_supported(p, cfg, materials, coefs):
+        return False
+    lossy = not isinstance(coefs.ca_x, (int, float))
+    return pick_pml_stream_s(p, cfg, lossy, dft.nf) is not None
+
+
+def make_stream_pml_dft_chunk_runner(p: Params, cfg: PMLConfig,
+                                     materials: Materials | None,
+                                     dft,
+                                     accumulate_power: bool = False,
+                                     interpret: bool | None = None,
+                                     s: int | None = None):
+    """Monitored streaming-PML runner: the open-boundary steady-state
+    phasor rides the WAVEFRONT tier (the per-frequency rolling bands of
+    :mod:`fdtd_tpu.ops.pallas_stream`, fed by the in-level cell means).
+
+    ``run((st, ps), (ts, amps, cw, sw), power, dft_acc) ->
+    ((st, ps), power, dft_acc, None)`` — the monitored-chunk contract.
+    ``dft_acc`` is canonical (re, im) at chunk boundaries (checkpoint-
+    compatible with every monitored tier).  Odd trailing steps run the
+    per-step in-kernel tier + the blocked accumulation pass
+    (:func:`fdtd_tpu.ops.pallas_stream.build_dft_accum_call`), through
+    the exact stream<->packed conversions.  fields='e', computation
+    mode, SAR off (per-step states)."""
+    import os
+
+    from .pallas_stream import (
+        build_dft_accum_call,
+        crop_dft_acc,
+        embed_dft_acc,
+    )
+
+    nf = dft.nf
+    assert dft.fields == "e", "in-kernel DFT carries E phasors only"
+    assert not accumulate_power, "SAR needs per-step states"
+    coefs = update_coefs(p, materials)
+    lossy = not isinstance(coefs.ca_x, (int, float))
+    if interpret is None:
+        dd = jax.config.jax_default_device
+        interpret = (
+            (dd.platform != "tpu") if dd is not None
+            else (jax.default_backend() != "tpu")
+        )
+    if s is None:
+        env = os.environ.get("FDTD_STREAM_PML_S")
+        s = int(env) if env else pick_pml_stream_s(p, cfg, lossy, nf)
+    if s is None:
+        raise NotImplementedError("no VMEM-feasible streaming-PML DFT plan")
+    group_step = make_stream_pml_group_step(p, cfg, coefs, interpret, s,
+                                            dft_nf=nf)
+    sgrp = group_step.s
+    odd_step = make_pml_kernel_step(p, cfg, coefs, interpret)
+    accum = build_dft_accum_call(p, nf, interpret)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 3))
+    def run(carry, xs, power_acc, dft_acc):
+        ts, amps, cw, sw = xs
+        dacc = embed_dft_acc(p, dft_acc, nf)
+        nsteps = ts.shape[0]
+        n_grp = nsteps // sgrp
+        if n_grp:
+            g = lambda a: a[: sgrp * n_grp].reshape((n_grp, sgrp)
+                                                    + a.shape[1:])
+            gts = (g(ts), g(amps), g(jnp.asarray(cw)), g(jnp.asarray(sw)))
+
+            def body(c, x):
+                carry, dacc = c
+                carry, dacc = group_step(carry, x[:2], wts_rows=x[2:],
+                                         dacc=dacc)
+                return (carry, dacc), None
+
+            (carry, dacc), _ = jax.lax.scan(body, (carry, dacc), gts)
+        for r in range(nsteps % sgrp):
+            idx = sgrp * n_grp + r
+            st, ps = carry
+            st, pp = odd_step((st, stream_to_packed(p, cfg, ps)),
+                              (ts[idx], amps[idx]))
+            carry = (st, packed_to_stream(p, cfg, pp))
+            wrow = jnp.concatenate(
+                [jnp.asarray(cw)[idx], jnp.asarray(sw)[idx]])[None, :]
+            dacc = accum(st.ex, st.ey, st.ez, wrow, dacc)
+        return carry, power_acc, crop_dft_acc(p, dacc, nf), None
 
     return run

@@ -944,6 +944,7 @@ def run_simulation(
             and os.environ.get("FDTD_PML_STREAM", "1") != "0"
         )
         pml_kernel_dft = False
+        pml_stream_dft = False
         if dft is not None or probes is not None:
             # r5: the OPEN-BOUNDARY steady-state phasor rides the
             # in-kernel CPML tier — the kernel step has a complete state
@@ -962,6 +963,16 @@ def run_simulation(
                 and (_on_tpu() or backend in ("pallas_fused", "pallas"))
             )
             if pml_kernel_dft:
+                # r5b: prefer the WAVEFRONT tier — the phasor bands ride
+                # the streaming-PML sweep (pallas_stream_pml) instead of
+                # a per-step accumulation pass over the two-pass tier
+                from .ops.pallas_stream_pml import stream_pml_dft_supported
+
+                pml_stream_dft = (
+                    not accumulate_power
+                    and stream_pml_dft_supported(p, pml, dft, materials)
+                    and os.environ.get("FDTD_PML_STREAM", "1") != "0"
+                )
                 backend = "pallas_fused"
             else:
                 # per-step monitors need per-step states: the xla PML
@@ -991,12 +1002,25 @@ def run_simulation(
                 )
                 backend = "xla"
         if backend == "pallas_fused" and pml_kernel_dft:
-            from .ops.cpml_kernel import make_pml_kernel_dft_chunk_runner
+            if pml_stream_dft:
+                from .ops.pallas_stream_pml import (
+                    make_stream_pml_dft_chunk_runner,
+                )
 
-            pml_kernel_tier = True
-            run_mon = make_pml_kernel_dft_chunk_runner(
-                p, pml, materials, dft, accumulate_power=accumulate_power
-            )
+                pml_stream_tier = True
+                run_mon = make_stream_pml_dft_chunk_runner(
+                    p, pml, materials, dft
+                )
+            else:
+                from .ops.cpml_kernel import (
+                    make_pml_kernel_dft_chunk_runner,
+                )
+
+                pml_kernel_tier = True
+                run_mon = make_pml_kernel_dft_chunk_runner(
+                    p, pml, materials, dft,
+                    accumulate_power=accumulate_power
+                )
             dft_box, probe_chunks = _monitor_boxes(p, dft)
             run_chunk = _monitored_run_chunk(run_mon, dft_box, probe_chunks)
         elif backend == "pallas_fused":

@@ -273,3 +273,43 @@ def test_stream_pml_runner_dispatch(tmp_path, monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(getattr(rr.state, c)), np.asarray(getattr(rb.state, c)),
             err_msg=f"resume/{c}")
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("steps", [20, 22])
+def test_stream_pml_dft_matches_xla(steps):
+    """The open-boundary in-kernel DFT rides the streaming-PML sweep:
+    fields/psi at fp64 reassociation accuracy and phasors at the fp32-
+    accumulator tolerance of the in-kernel DFT tier (<=2e-7, the r4
+    pin) vs the xla monitored PML scan — incl. odd trailing steps
+    (the per-step tier + blocked accumulation pass)."""
+    from fdtd_tpu.dft import DftConfig, dft_weights, zero_dft_acc
+    from fdtd_tpu.ops.pallas_stream_pml import (
+        make_stream_pml_dft_chunk_runner,
+        pack_psi_stream,
+    )
+
+    n = 24
+    p = _comp_params(n, steps)
+    cfg = PMLConfig(cells=5)
+    dftc = DftConfig((2.45e10,))
+    tv = time_values(p)[:steps]
+    ts, amps = scan_inputs(p, tv)
+    cw, sw = dft_weights(dftc, np.asarray(tv))
+    xs = (ts, amps, cw, sw)
+    run_x = make_pml_chunk_runner(p, cfg, None, dft=dftc)
+    (want, psi_w), _pw, dacc_w, _ = run_x(
+        (zeros(p), init_psi(p, cfg)), xs, None, zero_dft_acc(p, dftc))
+
+    prep, _ = backend_adapters(p, "pallas_fused", None)
+    run_s = make_stream_pml_dft_chunk_runner(p, cfg, None, dftc,
+                                             interpret=True, s=4)
+    carry, _pw, dacc_g, _ = run_s(
+        (prep(zeros(p)), pack_psi_stream(p, cfg, None)), xs, None,
+        zero_dft_acc(p, dftc))
+    _assert_equal(p, cfg, carry, want, psi_w, f"dft/{steps}")
+    for i, name in enumerate(("re", "im")):
+        a, b = np.asarray(dacc_g[i]), np.asarray(dacc_w[i])
+        sc = max(np.abs(b).max(), 1e-30)
+        assert np.abs(a - b).max() / sc < 2e-7, (steps, name)
+    assert float(np.abs(np.asarray(dacc_w[0])).max()) > 0
