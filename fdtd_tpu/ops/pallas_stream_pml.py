@@ -235,16 +235,19 @@ def packed_to_stream(p: Params, cfg: PMLConfig, pp: PsiPacked) -> PsiStream:
 
 
 def _bck_rows(p: Params, cfg: PMLConfig, dt) -> np.ndarray:
-    """(S, 8, 128) per-array-row (b, c) for the four k-terms (sublane
-    2t = b, 2t+1 = c; values replicated is unnecessary — lane 0 only),
-    sliced from :func:`build_plan`'s fp64-derived tables so recursion
-    constants are bit-identical to the xla path.  Rows outside the
-    slabs (and dead/pad rows) are (1, 0) — psi stays exactly zero
-    through the uniform recursion."""
-    S, _J1, _Ib = dims(p)
+    """(S, 8, Ib) per-array-row (b, c) for the four k-terms (sublane
+    2t = b, 2t+1 = c), sliced from :func:`build_plan`'s fp64-derived
+    tables so recursion constants are bit-identical to the xla path.
+    Rows outside the slabs (and dead/pad rows) are (1, 0) — psi stays
+    exactly zero through the uniform recursion.  Values are REPLICATED
+    across the Ib lanes: the kernel slices (tk, 1, Ib) per term and
+    broadcasts along sublanes only — a memory-derived (tk, 1, 1)
+    double-minor broadcast crashes this libtpu's Mosaic compiler
+    (isolated by tools-era probe constructs3.py c8 vs c9)."""
+    S, _J1, Ib = dims(p)
     n = cfg.cells
     plan = build_plan(p, cfg, dt)
-    out = np.zeros((S, 8, 128), dt)
+    out = np.zeros((S, 8, Ib), dt)
     out[:, 0::2, :] = 1.0  # b = 1 outside slabs
     starts = {"hx_z": 0, "hy_z": 0, "ex_z": 1, "ey_z": 1}
     K = p.maxk
@@ -270,7 +273,7 @@ def stream_pml_vmem_estimate(p: Params, cfg: PMLConfig, s: int,
     io += 2 * 2 * 4 * s * J1 * Ib * item             # kp 4-D tiles
     io += 2 * 2 * s * (Pj + Pj) * Ib * item          # h_j + e_j
     io += 2 * 2 * s * (J1 + J1) * 128 * item         # h_i + e_i
-    io += 2 * (s + s) * 8 * 128 * item               # bck window
+    io += 2 * (s + s) * 8 * Ib * item                # bck window
     io += 2 * 2 * max(s - 1, 1) * J1 * Ib * item     # de2/dh2
     if lossy:
         io += 2 * 6 * (2 * s) * J1 * Ib * item       # ca/cb Element windows
@@ -387,7 +390,7 @@ def _kernel_pml(p: Params, f_h, f_e, patch, Ib, s, nk, n, Pj,
     cur_hi = ihi[:].astype(cd)                        # (tk, J1, 128)
     cur_ej = iej[:].astype(cd)
     cur_ei = iei[:].astype(cd)
-    bckw = bck_ref[:].astype(cd)                      # (tk+s, 8, 128)
+    bckw = bck_ref[:].astype(cd)                      # (tk+s, 8, Ib)
     bjh = bjh_ref[:].astype(cd)
     cjh = cjh_ref[:].astype(cd)
     bih = bih_ref[:].astype(cd)
@@ -589,8 +592,9 @@ def _kernel_pml(p: Params, f_h, f_e, patch, Ib, s, nk, n, Pj,
 
         # ---- H psi: k-terms (full-k embed; b=1, c=0 keeps zeros) ----
         def bc_k(t):
-            b = bckw[co, 2 * t : 2 * t + 1, 0:1]
-            c = bckw[co, 2 * t + 1 : 2 * t + 2, 0:1]
+            # (tk, 1, Ib): sublane-only broadcast (see _bck_rows)
+            b = bckw[co, 2 * t : 2 * t + 1, :]
+            c = bckw[co, 2 * t + 1 : 2 * t + 2, :]
             return b, c
 
         b0, c0 = bc_k(0)  # hx_z, d = ey1 - ey0
@@ -884,7 +888,7 @@ def build_stream_pml_call(p: Params, cfg: PMLConfig, coefs: UpdateCoefs,
     drv_spec = pl.BlockSpec((nd, J1, Ib), lambda g: (0, 0, 0),
                             memory_space=pltpu.VMEM)
     bck_win = pl.BlockSpec(
-        (pl.Element(tk + s, (0, 2 * s)), pl.Element(8), pl.Element(128)),
+        (pl.Element(tk + s, (0, 2 * s)), pl.Element(8), pl.Element(Ib)),
         lambda g: ((jnp.minimum(g, nk) + ofs) * tk - s, 0, 0),
         memory_space=pltpu.VMEM,
     )
