@@ -345,7 +345,7 @@ def _row_dispersive_dft(n, steps, dtype):
     p = _bench_params(n, steps, dtype)
     dm = water_debye_load(p, sigma_ion25=0.3)
     dftc = DftConfig((2.45e10,))
-    run = make_dispersive_stream_dft_chunk_runner(p, dm)
+    run = make_dispersive_stream_dft_chunk_runner(p, dm, dftc)
     ts = np.arange(steps) * p.time_step
     xs_t, xs_a = scan_inputs(p, ts)
     cw, sw = dft_weights(dftc, ts)
